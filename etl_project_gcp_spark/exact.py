@@ -1,0 +1,102 @@
+"""Cross-engine-deterministic money aggregation.
+
+Two failure modes make naive ``round(sum(double), 2)`` diverge between a
+distributed Spark plan and any single-threaded oracle engine:
+
+1. **Summation order.** Doubles don't associate; partition order changes
+   the last bits, and a sum landing near a ``.005`` boundary rounds
+   differently (observed: 638065.645 → .65 vs .64).
+2. **round() semantics on doubles.** Given the *same* double, Spark
+   rounds its shortest decimal representation (BigDecimal HALF_UP) while
+   DuckDB/C round the binary value — 1225101.535 → .54 vs .53.
+
+Both disappear if arithmetic stays in *decimal* space until the final
+emit: money columns have fixed decimal precision, so (a) summation in
+``DECIMAL`` is exact and order-independent (100 TB-safe: works no matter
+how AQE re-partitions), and (b) decimal→decimal rescaling rounds
+half-away-from-zero identically in Spark, DuckDB, and BigQuery (the
+reference's engine). Averages use exact integer arithmetic:
+``round_half_up(S / (10^s · n))`` computed as ``(2·S·10^out + d) div
+(2·d)`` with ``d = n·10^s`` — all in BIGINT, exact in every engine.
+
+Assumes non-negative aggregated values for the half-up averages (all
+money/quantity columns here; matches the reference whose ROUND only ever
+sees positive amounts — SURVEY §2.4).
+
+Each Spark-side helper has an ``o``-prefixed twin emitting the
+equivalent ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dsum(col: Column, scale: int = 2) -> Column:
+    """Exact decimal sum emitted as double (no final rounding)."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def dsum_round(col: Column, scale: int = 2, out: int = 2) -> Column:
+    """Exact decimal sum, rescaled (rounds half-up in decimal space),
+    emitted as double."""
+    return (
+        F.sum(col.cast(f"decimal(18,{scale})"))
+        .cast(f"decimal(28,{out})")
+        .cast("double")
+    )
+
+
+def davg(col: Column, scale: int = 2, out: int = 2) -> Column:
+    """Exact average rounded half-up to ``out`` decimals, as double.
+
+    Integer arithmetic: S = sum·10^scale (exact), d = n·10^scale,
+    result = ((2·S·10^out + d) div (2·d)) / 10^out.
+    NULL when the group has no non-null values (COUNT=0) — preserves the
+    reference's NULL-on-empty-group semantics (etl_medallion.py:188-190).
+    """
+    s_int = (F.sum(col.cast(f"decimal(18,{scale})")) * (10**scale)).cast("long")
+    n = F.count(col)
+    d = n * (10**scale)
+    num = F.lit(2) * s_int * (10**out) + d
+    den = F.lit(2) * d
+    r = (num - num % den) / den  # exact: value < 2^53
+    return F.when(n > 0, r / (10**out))
+
+
+def dround(col: Column, scale: int = 4, out: int = 2) -> Column:
+    """Per-row deterministic round of a fixed-precision expression:
+    snap to its exact decimal value (scale), rescale half-up (out),
+    emit double. Spark's decimal→decimal cast rounds HALF_UP."""
+    return col.cast(f"decimal(18,{scale})").cast(f"decimal(18,{out})").cast("double")
+
+
+def osum(expr: str, scale: int = 2) -> str:
+    return f"CAST(sum(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+def osum_round(expr: str, scale: int = 2, out: int = 2) -> str:
+    # NOTE: DuckDB's decimal→decimal CAST *truncates*; round() on a
+    # decimal rounds half-away-from-zero (= Spark's decimal rescale
+    # HALF_UP for positives), so round, then cast.
+    return (
+        f"CAST(round(sum(CAST({expr} AS DECIMAL(18,{scale}))), {out}) AS DOUBLE)"
+    )
+
+
+def oround(expr: str, scale: int = 4, out: int = 2) -> str:
+    # round() on decimal is exact half-away-from-zero in DuckDB
+    # (its decimal→decimal CAST would truncate — do not use).
+    return f"CAST(round(CAST({expr} AS DECIMAL(18,{scale})), {out}) AS DOUBLE)"
+
+
+def oavg(expr: str, scale: int = 2, out: int = 2) -> str:
+    s_int = f"CAST(sum(CAST({expr} AS DECIMAL(18,{scale}))) * {10**scale} AS BIGINT)"
+    d = f"(count({expr}) * {10**scale})"
+    num = f"(2 * {s_int} * {10**out} + {d})"
+    den = f"(2 * {d})"
+    return (
+        f"CASE WHEN count({expr}) > 0 "
+        f"THEN CAST({num} // {den} AS DOUBLE) / {10**out} END"
+    )

@@ -1,0 +1,141 @@
+"""Relational operator library (SURVEY §2.2/2.3/2.4/2.6).
+
+Small, composable, *declarative* builders — each returns a lazy
+DataFrame so Catalyst sees the whole plan (filter pushdown, column
+pruning, join planning, partial aggregation all apply). Nothing here
+collects or iterates rows on the driver.
+
+Scale notes per operator class:
+- filters/projections: pushed into the Parquet scan by Catalyst
+  (`PushedFilters`/`ReadSchema` in .explain) — at 100 TB these gate IO.
+- joins: dimension sides are explicitly `broadcast()` when small
+  (reference joins are all fact→small-dim, SURVEY §2.3) so no shuffle of
+  the fact table is needed; large-large joins fall back to sort-merge
+  with AQE skew splitting.
+- aggregations: expressed as groupBy().agg() → Catalyst plans partial
+  (map-side) + final hash aggregation, so shuffle volume is one row per
+  (partition × group), not per input row.
+- top-k: orderBy().limit(k) → TakeOrderedAndProject, a per-partition
+  heap + driver merge of k rows; never a global sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BROADCAST_DIM_MAX_ROWS = 10_000_000  # guidance only; callers decide
+
+
+def project(df: DataFrame, *cols: str | Column) -> DataFrame:
+    """Column projection / rename / computed columns (P1-P3)."""
+    return df.select(*cols)
+
+
+def keep_where(df: DataFrame, *predicates: Column) -> DataFrame:
+    """Conjunctive filter (P7-P12): AND of all predicates."""
+    out = df
+    for p in predicates:
+        out = out.filter(p)
+    return out
+
+
+def distinct_over(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Projection + set-dedup (P4/A9 — etl_spark.ipynb cell-11)."""
+    return df.select(*cols).distinct()
+
+
+def with_literal(df: DataFrame, name: str, value) -> DataFrame:
+    """Add constant column (P5 — etl_spark.ipynb cell-13)."""
+    return df.withColumn(name, F.lit(value))
+
+
+def drop_columns(df: DataFrame, *names: str) -> DataFrame:
+    """Drop columns (P6 — etl_spark.ipynb cell-17)."""
+    return df.drop(*names)
+
+
+def left_join_dim(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Column | str | list[str],
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Left-outer equi-join fact→dim (J1/J2 — etl_medallion.py:176-178).
+
+    Small dimension sides are broadcast so the (large) fact side never
+    shuffles — the 100 TB-safe default for star-schema joins. Set
+    ``broadcast_dim=False`` for large-large joins (sort-merge + AQE).
+    """
+    right = F.broadcast(dim) if broadcast_dim else dim
+    return fact.join(right, on=on, how="left")
+
+
+def left_join_keep_unmatched(
+    keep: DataFrame,
+    other: DataFrame,
+    on: Column | str | list[str],
+    broadcast_keep: bool = False,
+) -> DataFrame:
+    """Left-outer join dim→fact preserving zero-match rows (J3 —
+    etl_medallion.py:191-192: products LEFT JOIN sales keeps zero-sale
+    products; their COUNT is 0 and SUM/AVG are NULL — not coalesced)."""
+    left = F.broadcast(keep) if broadcast_keep else keep
+    return left.join(other, on=on, how="left")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: Column | str | list[str]) -> DataFrame:
+    """NOT EXISTS (left-anti) — the Spark-native form of the
+    `LEFT JOIN … WHERE right.key IS NULL` idiom (P11/P12)."""
+    return left.join(right, on=on, how="left_anti")
+
+
+def grouped_agg(
+    df: DataFrame, keys: Sequence[str | Column], *aggs: Column
+) -> DataFrame:
+    """Grouped multi-aggregate (A1-A4). Aggs must be pre-aliased so the
+    result schema matches the oracle (driver contract)."""
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
+    """Global top-k (O3 — ORDER BY … LIMIT k).
+
+    Callers must make ``order`` a total order (append a unique key as
+    tiebreak) or the selected rows are nondeterministic under ties.
+    Physical plan: TakeOrderedAndProject (no global sort).
+    """
+    return df.orderBy(*order).limit(k)
+
+
+def sort_by(df: DataFrame, *order: Column) -> DataFrame:
+    """Multi-key sort (O1/O2/O5). Note stored-table ordering is not part
+    of table contents (SURVEY §2.6 O1) — use for presentation only."""
+    return df.orderBy(*order)
+
+
+def summary_stats(df: DataFrame, cols: Sequence[str], scale: int = 2) -> DataFrame:
+    """describe()-equivalent (A8) as an explicit typed aggregation:
+    one row per column with count/mean/stddev/min/max, numerics rounded
+    for cross-engine comparability."""
+    pieces = []
+    for c in cols:
+        # mean via exact decimal sum / count: partition-order-independent,
+        # so it matches a single-threaded oracle engine bit-for-bit.
+        exact_sum = F.sum(F.col(c).cast("decimal(18,4)")).cast("double")
+        pieces.append(
+            df.agg(
+                F.lit(c).alias("column"),
+                F.count(c).alias("n"),
+                F.round(exact_sum / F.count(c), scale).alias("mean"),
+                F.round(F.stddev_samp(c), scale).alias("stddev"),
+                F.round(F.min(c), scale).alias("min"),
+                F.round(F.max(c), scale).alias("max"),
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out

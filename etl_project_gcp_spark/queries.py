@@ -1,0 +1,622 @@
+"""Query registry — the driver-facing catalog of implemented operators.
+
+Each entry pairs a Spark DataFrame pipeline with an equivalent ANSI-SQL
+oracle that DuckDB runs on the same parquet (driver contract,
+__spark_entry__.py). Names map to SURVEY.md §2 inventory rows; every
+computed column is aliased identically on both sides, and floating
+aggregates are rounded identically on both sides so the driver's
+order-insensitive value hash matches.
+
+Queries are expressed on the driver corpus (TESTDATA.md): the TPC-H-ish
+star schema plays the role of the reference's business tables —
+``part LEFT JOIN lineitem`` is the reference's ``products LEFT JOIN
+sales`` (etl_medallion.py:191-192), ``orders`` grouped by calendar is its
+``sales_summary`` (etl_medallion.py:199-209), and so on (FIXTURES.md §1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from etl_project_gcp_spark import exact as X
+from etl_project_gcp_spark.exact import oavg as _oavg
+from etl_project_gcp_spark.exact import oround as _oround
+from etl_project_gcp_spark.exact import osum_round as _osumr
+from etl_project_gcp_spark.operators import relational as R
+
+QuerieFn = Callable[[SparkSession, str], DataFrame]
+
+# registry: name -> (spark_fn, oracle_sql | None)
+_REGISTRY: dict[str, tuple[QuerieFn, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QuerieFn) -> QuerieFn:
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+def queries() -> dict[str, QuerieFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# A. Aggregations over the fact table (A1/A2/F5 — etl_medallion.py:186-208)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_osumr('l_quantity')}                                            AS sum_qty,
+           {_osumr('l_extendedprice')}                                       AS sum_base_price,
+           {_osumr('l_extendedprice * (1 - l_discount)', 4)}                 AS sum_disc_price,
+           {_osumr('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)}   AS sum_charge,
+           {_oavg('l_quantity')}                                                      AS avg_qty,
+           {_oavg('l_extendedprice')}                                                 AS avg_price,
+           {_oavg('l_discount', 2, 4)}                                                AS avg_disc,
+           count(*)                                                                   AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship grouped multi-aggregate (A1 shape, TPC-H Q1 vocabulary).
+
+    Scale: partial aggregation map-side → shuffle carries ≤ (partitions ×
+    4 groups) rows; the filter and 7-column projection push to the scan.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return R.grouped_agg(
+        R.keep_where(li, F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")),
+        ["l_returnflag", "l_linestatus"],
+        X.dsum_round(F.col("l_quantity")).alias("sum_qty"),
+        X.dsum_round(F.col("l_extendedprice")).alias("sum_base_price"),
+        X.dsum_round(disc_price, 4).alias("sum_disc_price"),
+        X.dsum_round(disc_price * (1 + F.col("l_tax")), 6).alias("sum_charge"),
+        X.davg(F.col("l_quantity")).alias("avg_qty"),
+        X.davg(F.col("l_extendedprice")).alias("avg_price"),
+        X.davg(F.col("l_discount"), 2, 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "sales_summary",
+    f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER)   AS year,
+           CAST(month(o_orderdate) AS INTEGER)  AS month,
+           o_orderpriority,
+           o_orderstatus,
+           count(*)                             AS total_transactions,
+           {_osumr('o_totalprice')}    AS total_revenue,
+           {_oavg('o_totalprice')}              AS avg_transaction_value
+    FROM orders
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped agg over derived calendar keys (A2/F4 —
+    etl_medallion.py:199-208: EXTRACT(YEAR/MONTH) + count/sum/round-avg)."""
+    orders = _t(spark, sf_dir, "orders")
+    return R.grouped_agg(
+        orders,
+        [
+            F.year("o_orderdate").alias("year"),
+            F.month("o_orderdate").alias("month"),
+            "o_orderpriority",
+            "o_orderstatus",
+        ],
+        F.count(F.lit(1)).alias("total_transactions"),
+        X.dsum_round(F.col("o_totalprice")).alias("total_revenue"),
+        X.davg(F.col("o_totalprice")).alias("avg_transaction_value"),
+    )
+
+
+@register(
+    "priority_rollup",
+    f"""
+    WITH sales_summary AS (
+        SELECT CAST(year(o_orderdate) AS INTEGER)  AS year,
+               CAST(month(o_orderdate) AS INTEGER) AS month,
+               o_orderpriority,
+               count(*)                            AS total_transactions,
+               {_osumr('o_totalprice')}   AS total_revenue,
+               {_oavg('o_totalprice')}             AS avg_transaction_value
+        FROM orders
+        GROUP BY 1, 2, 3
+    )
+    SELECT o_orderpriority,
+           CAST(sum(total_transactions) AS BIGINT) AS total_transactions,
+           {_osumr('total_revenue')}      AS total_revenue,
+           {_oavg('avg_transaction_value')}        AS avg_avg_value
+    FROM sales_summary
+    GROUP BY o_orderpriority
+    """,
+)
+def priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregation of aggregates (A3 — etl_medallion.py:358-365).
+
+    Deliberately an avg-of-avgs, faithfully preserving the reference's
+    report semantics (SURVEY §2.4 note) — do not "fix" into weighted avg.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    monthly = R.grouped_agg(
+        orders,
+        [
+            F.year("o_orderdate").alias("year"),
+            F.month("o_orderdate").alias("month"),
+            "o_orderpriority",
+        ],
+        F.count(F.lit(1)).alias("total_transactions"),
+        X.dsum_round(F.col("o_totalprice")).alias("total_revenue"),
+        X.davg(F.col("o_totalprice")).alias("avg_transaction_value"),
+    )
+    return R.grouped_agg(
+        monthly,
+        ["o_orderpriority"],
+        F.sum("total_transactions").alias("total_transactions"),
+        X.dsum_round(F.col("total_revenue")).alias("total_revenue"),
+        X.davg(F.col("avg_transaction_value")).alias("avg_avg_value"),
+    )
+
+
+@register(
+    "count_lineitem",
+    "SELECT count(*) AS n FROM lineitem",
+)
+def count_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped scalar count (A5 — etl_medallion.py:244,274)."""
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "orders_by_status",
+    """
+    SELECT o_orderstatus, count(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped count + sort desc (A6/O5 — etl_spark.ipynb cell-15/20)."""
+    return R.sort_by(
+        _t(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders")
+        ),
+        F.desc("n_orders"),
+    )
+
+
+@register(
+    "lineitem_stats",
+    f"""
+    SELECT 'l_quantity' AS column, count(l_quantity) AS n,
+           {_oavg('l_quantity', 4, 2)} AS mean,
+           round(stddev_samp(l_quantity), 2) AS stddev,
+           round(min(l_quantity), 2) AS min, round(max(l_quantity), 2) AS max
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(l_extendedprice),
+           {_oavg('l_extendedprice', 4, 2)},
+           round(stddev_samp(l_extendedprice), 2),
+           round(min(l_extendedprice), 2), round(max(l_extendedprice), 2)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(l_discount),
+           {_oavg('l_discount', 4, 2)},
+           round(stddev_samp(l_discount), 2),
+           round(min(l_discount), 2), round(max(l_discount), 2)
+    FROM lineitem
+    """,
+)
+def lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe()-equivalent summary statistics (A8 — etl_spark.ipynb
+    cell-10/22), as a typed explicit aggregation."""
+    return R.summary_stats(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# B. Projections & filters (P* — etl_medallion.py silver layer)
+# ---------------------------------------------------------------------------
+
+@register(
+    "silver_customers",
+    """
+    SELECT c_custkey,
+           trim(c_name)                AS c_name,
+           lower(trim(c_mktsegment))   AS segment,
+           c_acctbal,
+           c_nationkey
+    FROM customer
+    WHERE c_name IS NOT NULL AND c_acctbal > 0
+    """,
+)
+def silver_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silver cleanse: projection + rename + TRIM/LOWER + conjunctive
+    filter (P1/P7/F1/F2 — etl_medallion.py:117-126)."""
+    cust = _t(spark, sf_dir, "customer")
+    return R.keep_where(
+        R.project(
+            cust,
+            "c_custkey",
+            F.trim("c_name").alias("c_name"),
+            F.lower(F.trim("c_mktsegment")).alias("segment"),
+            "c_acctbal",
+            "c_nationkey",
+        ),
+        F.col("c_name").isNotNull() & (F.col("c_acctbal") > 0),
+    )
+
+
+@register(
+    "silver_lineitem",
+    """
+    SELECT * FROM lineitem
+    WHERE l_quantity > 0 AND l_extendedprice > 0
+    """,
+)
+def silver_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT * passthrough + positivity filter (P2/P9 —
+    etl_medallion.py:138-140)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return R.keep_where(li, (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+
+
+@register(
+    "distinct_flag_status",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrow select + distinct (P4/A9 — etl_spark.ipynb cell-11)."""
+    return R.distinct_over(_t(spark, sf_dir, "lineitem"), ["l_returnflag", "l_linestatus"])
+
+
+@register(
+    "const_and_drop",
+    """
+    SELECT n_nationkey, n_name, 'Earth' AS continent, 'USD' AS currency
+    FROM nation
+    """,
+)
+def const_and_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal columns + drop (P5/P6 — etl_spark.ipynb cell-13/17)."""
+    nat = _t(spark, sf_dir, "nation")
+    nat = R.with_literal(nat, "continent", "Earth")
+    nat = R.with_literal(nat, "currency", "USD")
+    return R.drop_columns(nat, "n_regionkey")
+
+
+@register(
+    "parts_never_shipped",
+    """
+    SELECT p_partkey, p_name FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+)
+def parts_never_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-test after outer join, Spark-native as anti-join (P11/P12 —
+    the `LEFT JOIN … IS NULL` idiom, etl_spark.ipynb cell-22)."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return R.project(R.anti_join(part, li, part.p_partkey == li.l_partkey),
+                     "p_partkey", "p_name")
+
+
+# ---------------------------------------------------------------------------
+# C. Joins (J1-J3 — etl_medallion.py:176-192)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sales_analytics",
+    f"""
+    SELECT l.l_orderkey,
+           l.l_linenumber,
+           l.l_quantity,
+           l.l_extendedprice,
+           l.l_discount,
+           l.l_shipdate,
+           p.p_name,
+           p.p_brand,
+           p.p_retailprice                                   AS unit_price,
+           s.s_name                                          AS supplier_name,
+           p.p_brand || ' ' || p.p_type                      AS part_desc,
+           {_oround('l.l_extendedprice * (1 - l.l_discount)')} AS net_amount
+    FROM lineitem l
+    LEFT JOIN part p     ON l.l_partkey = p.p_partkey
+    LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    """,
+)
+def sales_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way left-join chain fact→dim→dim with qualified 12-col projection
+    and NULL-propagating concat (J1/J2/P3/F3 — etl_medallion.py:161-178).
+
+    Scale: both dims broadcast — the fact table never shuffles.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    joined = R.left_join_dim(
+        R.left_join_dim(li, part, li.l_partkey == part.p_partkey),
+        supp,
+        li.l_suppkey == supp.s_suppkey,
+    )
+    return R.project(
+        joined,
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_shipdate",
+        "p_name",
+        "p_brand",
+        F.col("p_retailprice").alias("unit_price"),
+        F.col("s_name").alias("supplier_name"),
+        F.concat(F.col("p_brand"), F.lit(" "), F.col("p_type")).alias("part_desc"),
+        X.dround(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_amount"),
+    )
+
+
+@register(
+    "product_metrics",
+    f"""
+    SELECT p.p_partkey,
+           p.p_name,
+           p.p_brand,
+           count(l.l_orderkey)                                                  AS total_sales,
+           {_osumr('l.l_quantity')}                                    AS total_quantity,
+           {_osumr('l.l_extendedprice * (1 - l.l_discount)', 4)}       AS total_revenue,
+           {_oavg('l.l_extendedprice')}                                         AS avg_sale_amount
+    FROM part p
+    LEFT JOIN lineitem l ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_partkey, p.p_name, p.p_brand
+    """,
+)
+def product_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim→fact left join preserving zero-sale parts + grouped
+    multi-aggregate (J3/A1 — etl_medallion.py:182-194). Zero-sale parts
+    keep COUNT=0 with NULL sums — not coalesced (SURVEY §2.4 note)."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = R.left_join_keep_unmatched(part, li, part.p_partkey == li.l_partkey)
+    return R.grouped_agg(
+        joined,
+        ["p_partkey", "p_name", "p_brand"],
+        F.count("l_orderkey").alias("total_sales"),
+        X.dsum_round(F.col("l_quantity")).alias("total_quantity"),
+        X.dsum_round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+        ).alias("total_revenue"),
+        X.davg(F.col("l_extendedprice")).alias("avg_sale_amount"),
+    )
+
+
+@register(
+    "region_summary",
+    f"""
+    SELECT r.r_name                     AS region,
+           count(*)                     AS total_customers,
+           {_osumr('c.c_acctbal')} AS total_acctbal
+    FROM customer c
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IS NOT NULL
+    GROUP BY r.r_name
+    """,
+)
+def region_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake join chain + not-null filter post-join + grouped count
+    and rounded sum (A4/P12 — etl_medallion.py:368-376)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = R.left_join_dim(
+        R.left_join_dim(cust, nation, cust.c_nationkey == nation.n_nationkey),
+        region,
+        nation.n_regionkey == region.r_regionkey,
+    )
+    return R.grouped_agg(
+        R.keep_where(joined, F.col("r_name").isNotNull()),
+        [F.col("r_name").alias("region")],
+        F.count(F.lit(1)).alias("total_customers"),
+        X.dsum_round(F.col("c_acctbal")).alias("total_acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D. Sorts / top-k (O* — etl_medallion.py:194-209, 354-376)
+# ---------------------------------------------------------------------------
+
+@register(
+    "top5_parts_by_revenue",
+    f"""
+    SELECT p_partkey, p_name, total_revenue FROM (
+        SELECT p.p_partkey, p.p_name,
+               {_osumr('l.l_extendedprice * (1 - l.l_discount)', 4)} AS total_revenue
+        FROM part p
+        LEFT JOIN lineitem l ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_partkey, p.p_name
+    ) ORDER BY total_revenue DESC, p_partkey LIMIT 5
+    """,
+)
+def top5_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k via sort+limit (O3 — etl_medallion.py:354-355).
+
+    Ordered on the rounded revenue with p_partkey tiebreak so the
+    selected set is a total order (deterministic across engines).
+    Physical: TakeOrderedAndProject — per-partition heap, no global sort.
+    """
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = R.grouped_agg(
+        R.left_join_keep_unmatched(part, li, part.p_partkey == li.l_partkey),
+        ["p_partkey", "p_name"],
+        X.dsum_round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+        ).alias("total_revenue"),
+    )
+    return R.top_k(revenue, [F.desc("total_revenue"), F.asc("p_partkey")], 5)
+
+
+@register(
+    "orders_sorted_multi",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_totalprice > 400000
+    """,
+)
+def orders_sorted_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key descending sort (O2 — etl_medallion.py:209). The driver's
+    hash is order-insensitive, so the oracle omits ORDER BY; the Spark
+    side still sorts to exercise the physical operator."""
+    orders = _t(spark, sf_dir, "orders")
+    return R.sort_by(
+        R.project(R.keep_where(orders, F.col("o_totalprice") > 400000),
+                  "o_orderkey", "o_totalprice", "o_orderdate"),
+        F.desc("o_orderdate"), F.desc("o_totalprice"), F.asc("o_orderkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E. Set operations (§2.7 — engine-complete even though reference has none)
+# ---------------------------------------------------------------------------
+
+@register(
+    "nations_union",
+    """
+    SELECT n_name FROM nation WHERE n_regionkey IN (0, 1)
+    UNION
+    SELECT n_name FROM nation WHERE n_regionkey IN (1, 2)
+    """,
+)
+def nations_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = _t(spark, sf_dir, "nation")
+    a = nat.filter(F.col("n_regionkey").isin(0, 1)).select("n_name")
+    b = nat.filter(F.col("n_regionkey").isin(1, 2)).select("n_name")
+    return a.union(b).distinct()
+
+
+@register(
+    "nations_intersect",
+    """
+    SELECT n_name FROM nation WHERE n_regionkey <= 2
+    INTERSECT
+    SELECT n_name FROM nation WHERE n_regionkey >= 1
+    """,
+)
+def nations_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = _t(spark, sf_dir, "nation")
+    a = nat.filter(F.col("n_regionkey") <= 2).select("n_name")
+    b = nat.filter(F.col("n_regionkey") >= 1).select("n_name")
+    return a.intersect(b)
+
+
+@register(
+    "nations_except",
+    """
+    SELECT n_name FROM nation WHERE n_regionkey <= 2
+    EXCEPT
+    SELECT n_name FROM nation WHERE n_regionkey >= 1
+    """,
+)
+def nations_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = _t(spark, sf_dir, "nation")
+    a = nat.filter(F.col("n_regionkey") <= 2).select("n_name")
+    b = nat.filter(F.col("n_regionkey") >= 1).select("n_name")
+    return a.exceptAll(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# F. Window functions (W1/W2 [EXT] — SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+@register(
+    "top3_parts_per_brand",
+    f"""
+    SELECT p_brand, p_partkey, total_revenue, CAST(rk AS INTEGER) AS rk FROM (
+        SELECT p_brand, p_partkey, total_revenue,
+               row_number() OVER (
+                   PARTITION BY p_brand
+                   ORDER BY total_revenue DESC, p_partkey
+               ) AS rk
+        FROM (
+            SELECT p.p_brand, p.p_partkey,
+                   {_osumr('l.l_extendedprice * (1 - l.l_discount)', 4)} AS total_revenue
+            FROM part p
+            LEFT JOIN lineitem l ON p.p_partkey = l.l_partkey
+            GROUP BY p.p_brand, p.p_partkey
+        )
+    ) WHERE rk <= 3
+    """,
+)
+def top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ranking window (W1 [EXT]).
+
+    Scale: the row_number window shuffles once on p_brand; the upstream
+    aggregate already reduced to one row per part, so window input is
+    |part|, not |lineitem|.
+    """
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = R.grouped_agg(
+        R.left_join_keep_unmatched(part, li, part.p_partkey == li.l_partkey),
+        ["p_brand", "p_partkey"],
+        X.dsum_round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+        ).alias("total_revenue"),
+    )
+    w = W.partitionBy("p_brand").orderBy(F.desc("total_revenue"), F.asc("p_partkey"))
+    return (
+        revenue.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "total_revenue", "rk")
+    )
+
+
+@register(
+    "customer_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative aggregate over event time (W2 [EXT])."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )

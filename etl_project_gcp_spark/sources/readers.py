@@ -1,0 +1,72 @@
+"""Source readers (SURVEY §2.1, S1/S2/S6).
+
+The bronze CSV ingest mirrors the strictness flags of the reference's
+``LOAD DATA OVERWRITE … FROM FILES`` (etl_medallion.py:90-99):
+header skipped, jagged rows rejected, no quoted newlines, schema
+autodetected. Parquet is the canonical lakehouse format for every layer
+after bronze (the reference notebook also lands on Parquet,
+etl_spark.ipynb cell-23).
+
+Scale notes: readers are plain ``DataFrameReader`` plans, so Catalyst
+pushes filters/column pruning down to the scan; for Parquet this means
+row-group skipping and per-column IO — at 100 TB the scan reads only the
+projected columns of the row-groups that can match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# Driver-corpus tables (TESTDATA.md): name -> parquet file stem.
+CORPUS_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_csv_bronze(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Bronze CSV load with the reference's strictness semantics.
+
+    Parity with etl_medallion.py:90-99: ``skip_leading_rows=1`` → header,
+    ``allow_jagged_rows=false`` → FAILFAST, ``allow_quoted_newlines=false``
+    → multiLine=False, autodetect → inferSchema (unless an explicit schema
+    is pinned, which silver-layer casts make equivalent — SURVEY §4.3.1).
+    """
+    reader = spark.read.options(header=True, mode="FAILFAST", multiLine=False)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_csv_delimited(
+    spark: SparkSession, path: str, sep: str = ";", header: bool = True
+) -> DataFrame:
+    """Custom-delimiter CSV read (S2 — etl_spark.ipynb cell-7)."""
+    return spark.read.csv(path, header=header, sep=sep, inferSchema=True)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet table scan (S6)."""
+    return spark.read.parquet(path)
+
+
+def read_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = CORPUS_TABLES
+) -> dict[str, DataFrame]:
+    """Load the driver corpus tables from ``sf_dir`` as DataFrames."""
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}

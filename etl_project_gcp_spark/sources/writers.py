@@ -1,0 +1,46 @@
+"""Sinks (SURVEY §2.1, S3/S4/S7).
+
+Everything is full-overwrite and idempotent, matching the reference's
+``LOAD DATA OVERWRITE`` / ``CREATE OR REPLACE TABLE`` / notebook
+``mode('overwrite')`` lifecycle (etl_medallion.py:91,116,...;
+etl_spark.ipynb cell-23). No incremental/merge semantics exist in the
+reference, so none are promised here.
+
+Scale notes: ``partition_by`` is an engine-side optimization the
+reference never declares (SURVEY §1.5) — at 100 TB, gold tables should
+be partitioned on their natural pruning keys (e.g. year/month derived in
+the sales_summary query) so downstream scans prune partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet_overwrite(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet sink, overwrite (S4)."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    """CSV sink with header, UTF-8 (S3 — data_generator.py:293-311)."""
+    df.write.mode("overwrite").option("header", header).csv(path)
+
+
+def write_table_overwrite(
+    df: DataFrame,
+    table: str,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Managed-table CTAS equivalent (S7 — CREATE OR REPLACE TABLE AS SELECT)."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.saveAsTable(table)
