@@ -1,0 +1,115 @@
+"""Event-time operators (SURVEY §2.10 ST1/ST2 [EXT], §2.12 X5).
+
+The reference is batch-only (etl_medallion.py — HTTP-triggered); these
+operators give the engine the event-stream vocabulary a large-scale
+pipeline needs, expressed so the SAME column expressions work in batch
+and under Structured Streaming (streaming variants in
+etl_project_gcp_spark/streaming/).
+
+Scale notes:
+- tumbling windows: a plain groupBy on (bucket, keys) — partial agg
+  map-side, no per-event shuffle amplification.
+- sessionization: one shuffle on user_id for the lag window + one
+  partial-agg'd groupBy; state never materializes on the driver. Under
+  streaming the same semantics come from F.session_window.
+- JSON extraction: get_json_object is JVM-side codegen (no Python);
+  for hot paths at 100 TB prefer from_json with a pinned schema once —
+  repeated get_json_object calls re-parse per call.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def tumbling_window_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    width: str = "hour",
+    keys: tuple[str, ...] = ("event_type",),
+    *aggs: F.Column,
+) -> DataFrame:
+    """Tumbling-window aggregate (ST1) as a batch groupBy.
+
+    Emits the window start as a flat ``window_start`` timestamp column
+    (date_trunc) rather than Spark's struct-typed ``F.window`` so results
+    are plain-SQL comparable; under streaming the struct variant in
+    streaming/ is used instead.
+    """
+    bucket = F.date_trunc(width, F.col(ts_col)).alias("window_start")
+    return events.groupBy(bucket, *keys).agg(*aggs)
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization (ST2): assign a per-user session_id.
+
+    Classic lag + cumulative-sum formulation: a row starts a new session
+    iff it is the user's first event or follows the previous event by
+    more than ``gap``. Exact on microseconds (interval comparison, no
+    epoch truncation). Returns the input plus ``session_id`` (1-based
+    per user).
+    """
+    w_order = W.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    prev_ts = F.lag(ts_col).over(w_order)
+    is_new = F.when(
+        prev_ts.isNull() | (F.col(ts_col) > prev_ts + F.expr(f"INTERVAL {gap}")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return events.withColumn("_is_new", is_new).withColumn(
+        "session_id",
+        F.sum("_is_new").over(
+            w_order.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    ).drop("_is_new")
+
+
+def session_summary(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-session rollup: event count + span bounds."""
+    sess = sessionize(events, gap, user_col, ts_col)
+    return sess.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+    )
+
+
+def extract_json_prop(
+    events: DataFrame,
+    prop_path: str = "$.k",
+    props_col: str = "props",
+    out_col: str = "k",
+    out_type: str = "int",
+) -> DataFrame:
+    """JSON property extraction (X5 — events.props is a JSON string)."""
+    return events.withColumn(
+        out_col, F.get_json_object(F.col(props_col), prop_path).cast(out_type)
+    )
+
+
+def parse_props(events: DataFrame, schema: str = "k INT", props_col: str = "props") -> DataFrame:
+    """Pinned-schema JSON parse (from_json) — the 100 TB-preferred form:
+    one parse per row regardless of how many fields are consumed."""
+    return events.withColumn("_props", F.from_json(F.col(props_col), schema))
+
+
+__all__ = [
+    "tumbling_window_agg",
+    "sessionize",
+    "session_summary",
+    "extract_json_prop",
+    "parse_props",
+]

@@ -49,8 +49,26 @@ def oracle_sql() -> dict[str, str]:
     return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime confs the corpus requires, applied to whatever session the
+    caller (driver) provides: UTC so timestamp values match the tz-naive
+    oracle engine, and nanosAsLong because events.parquet carries
+    TIMESTAMP(NANOS) which Spark has no native type for."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with ts restored to TimestampType: the file stores
+    TIMESTAMP(NANOS) (read as long nanos), truncated to micros exactly
+    like DuckDB's nanos→micros conversion."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 # ---------------------------------------------------------------------------
@@ -619,4 +637,98 @@ def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .cast("double")
         .alias("running_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G. Event-time operators (ST1/ST2 [EXT], X5 — SURVEY §2.10, §2.12)
+# ---------------------------------------------------------------------------
+
+from etl_project_gcp_spark.operators import events as EV  # noqa: E402
+
+
+@register(
+    "hourly_event_counts",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*)               AS n_events,
+           {_osumr('value')}      AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window count/sum over event time (ST1 [EXT]). The same
+    groupBy expression runs under Structured Streaming (streaming/)."""
+    ev = _events(spark, sf_dir)
+    return EV.tumbling_window_agg(
+        ev,
+        "ts",
+        "hour",
+        ("event_type",),
+        F.count(F.lit(1)).alias("n_events"),
+        X.dsum_round(F.col("value")).alias("total_value"),
+    )
+
+
+@register(
+    "event_sessions",
+    """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           count(*)                   AS n_events,
+           min(ts)                    AS session_start,
+           max(ts)                    AS session_end
+    FROM sess
+    GROUP BY 1, 2
+    """,
+)
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization, 30-minute inactivity gap (ST2 [EXT]).
+    Batch twin of F.session_window — exact microsecond interval compare."""
+    ev = _events(spark, sf_dir)
+    return EV.session_summary(ev, "30 minutes")
+
+
+@register(
+    "event_props_by_type",
+    f"""
+    WITH ex AS (
+        SELECT event_type,
+               CAST(json_extract(props, '$.k') AS INTEGER) AS k
+        FROM events
+    )
+    SELECT event_type,
+           count(*)                 AS n_events,
+           CAST(sum(k) AS BIGINT)   AS sum_k,
+           {X.oavg('k', 0, 2)}      AS avg_k
+    FROM ex
+    GROUP BY event_type
+    """,
+)
+def event_props_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction + aggregate (X5 — events.props)."""
+    ev = EV.extract_json_prop(_events(spark, sf_dir), "$.k", "props", "k", "int")
+    return R.grouped_agg(
+        ev,
+        ["event_type"],
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        X.davg(F.col("k"), 0, 2).alias("avg_k"),
     )
