@@ -85,6 +85,27 @@ def osum_round(expr: str, scale: int = 2, out: int = 2) -> str:
     )
 
 
+def ddiv_round(num: Column, den: Column, out: int = 2) -> Column:
+    """Exact round-half-up(num/den, out) for non-negative integer
+    columns, as double: ((2·num·10^out + den) div (2·den)) / 10^out.
+    NULL-safe: NULL when den is 0."""
+    n = num.cast("long")
+    d = den.cast("long")
+    big = F.lit(2) * n * (10**out) + d
+    two_d = F.lit(2) * d
+    r = (big - big % two_d) / two_d
+    return F.when(d > 0, r / (10**out))
+
+
+def odiv_round(num: str, den: str, out: int = 2) -> str:
+    n = f"CAST({num} AS BIGINT)"
+    d = f"CAST({den} AS BIGINT)"
+    return (
+        f"CASE WHEN {d} > 0 THEN "
+        f"CAST((2 * {n} * {10**out} + {d}) // (2 * {d}) AS DOUBLE) / {10**out} END"
+    )
+
+
 def oround(expr: str, scale: int = 4, out: int = 2) -> str:
     # round() on decimal is exact half-away-from-zero in DuckDB
     # (its decimal→decimal CAST would truncate — do not use).

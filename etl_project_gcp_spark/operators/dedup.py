@@ -1,0 +1,258 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY §2.12 X1/X2 [EXT]).
+
+Spark-first designs (PAPERS.md: top-k similarity EDBT 2020, adaptive
+similarity SIGMOD 2020 inform the banding/verify split):
+
+- **Exact** (X1): hash-groupBy on content — one shuffle keyed by the
+  content hash, scales linearly; canonical row = min id per group.
+- **MinHash + LSH** (X2): shingle → per-seed min-hash signature →
+  band-bucket join. All expression-level (xxhash64, explode, groupBy
+  min) — no UDF, no driver-side state. Candidate pairs come from
+  equal band hashes (O(sum of bucket sizes²) ≪ O(N²)); exact Jaccard
+  verification runs only on candidates.
+- **SimHash**: 64-bit signature from signed per-bit token-hash votes;
+  near-dup = small Hamming distance. Banding on 16-bit chunks gives the
+  candidate set (pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 chunks equal).
+- **N-gram Jaccard**: exact pairwise similarity on word n-grams for a
+  candidate pair set (the verification primitive).
+
+At 100 TB: every stage is shuffle-bounded by |docs|·(signature width)
+not |docs|²; skewed buckets (boilerplate shingles) are the known hot
+spot — cap bucket size before the pairwise step (max_bucket) exactly
+like production near-dup pipelines do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """X1: one canonical row per distinct content; count of copies."""
+    return docs.groupBy(text_col).agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.sha2(F.col(text_col), 256).alias("content_sha256"),
+    ).drop(text_col)
+
+
+def _word_shingles(text_col: str, k: int) -> F.Column:
+    """Array of k-word shingles (strings) of the lowercased text."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+
+
+def shingle_docs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """(id, shingle_hash) pairs — distinct per doc."""
+    return (
+        docs.select(
+            F.col(id_col), F.explode(_word_shingles(text_col, k)).alias("shingle")
+        )
+        .select(id_col, F.xxhash64("shingle").alias("sh"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signature per doc: for seed i, min over shingles of
+    xxhash64(shingle_hash, seed_i). One groupBy; signature emitted as an
+    array column."""
+    mins = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    sig = shingled.groupBy(id_col).agg(*mins)
+    return sig.select(
+        id_col, F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Band the signature; docs sharing any band-hash become candidate
+    pairs (a < b). Buckets larger than ``max_bucket`` are dropped —
+    boilerplate-skew protection (they'd be caught by exact dedup anyway).
+    """
+    band_cols = [
+        F.xxhash64(
+            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
+            F.lit(b),
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select(id_col, *band_cols)
+    stacked = banded.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bh"))
+                for b in range(bands)
+            ])
+        ).alias("e"),
+    ).select(id_col, F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+
+    # skew guard: drop pathological buckets before the self-join
+    sized = stacked.withColumn(
+        "_bsz", F.count(F.lit(1)).over(W.partitionBy("band", "bh"))
+    ).filter(F.col("_bsz") <= max_bucket)
+
+    a = sized.select(F.col("band"), F.col("bh"), F.col(id_col).alias("a"))
+    b = sized.select(F.col("band"), F.col("bh"), F.col(id_col).alias("b"))
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact Jaccard on shingle-hash sets for each candidate pair; keep
+    pairs ≥ threshold. Joins are keyed by doc id (broadcastable when the
+    candidate set is small — the common case after banding)."""
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sh_a = shingled.select(F.col(id_col).alias("a"), F.col("sh"))
+    sh_b = shingled.select(F.col(id_col).alias("b"), F.col("sh"))
+    common = (
+        candidates.join(sh_a, "a")
+        .join(sh_b, ["b", "sh"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full X2 pipeline: shingle → minhash → LSH bands → exact-Jaccard
+    verify. Returns (a, b, jaccard) near-duplicate pairs, a < b."""
+    shingled = shingle_docs(docs, id_col, text_col, shingle_k)
+    sigs = minhash_signatures(shingled, id_col, num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
+    return jaccard_verify(cands, shingled, id_col, threshold)
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash: per token-hash, vote ±1 on each bit; sign of the
+    per-bit sum forms the signature. Pure expressions: explode + one
+    groupBy with ``bits`` conditional sums."""
+    tok = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select(id_col, F.xxhash64("tok").alias("h"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    per_doc = tok.groupBy(id_col).agg(*votes)
+    sig = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, j)
+        sig = term if sig is None else sig.bitwiseXOR(term)  # disjoint bits: XOR == OR
+    return per_doc.select(id_col, sig.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Candidate pairs by bit-chunk banding: the signature splits into
+    ``n_chunks`` equal chunks with ``n_chunks > max_hamming`` — by
+    pigeonhole any pair within the Hamming budget shares a whole chunk,
+    so bucketing on chunk equality has perfect recall. Verified by
+    exact popcount distance."""
+    n_chunks = 2
+    while n_chunks <= max_hamming and n_chunks < 64:
+        n_chunks *= 2  # keep it a divisor of 64
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    sigs = simhash_signatures(docs, id_col, text_col)
+    chunks = [
+        F.shiftrightunsigned(F.col("simhash"), width * c)
+        .bitwiseAND(F.lit(mask))
+        .alias(f"c{c}")
+        for c in range(n_chunks)
+    ]
+    chunked = sigs.select(id_col, "simhash", *chunks)
+    pairs = None
+    for c in range(n_chunks):
+        a = chunked.select(
+            F.col(id_col).alias("a"), F.col("simhash").alias("sig_a"), F.col(f"c{c}").alias("ck")
+        )
+        b = chunked.select(
+            F.col(id_col).alias("b"), F.col("simhash").alias("sig_b"), F.col(f"c{c}").alias("ck")
+        )
+        p = a.join(b, "ck").filter(F.col("a") < F.col("b")).select("a", "b", "sig_a", "sig_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.distinct()
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for given (a, b) pairs."""
+    shingled = shingle_docs(docs, id_col, text_col, n)
+    return jaccard_verify(pairs, shingled, id_col, threshold)

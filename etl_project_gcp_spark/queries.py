@@ -27,6 +27,7 @@ from etl_project_gcp_spark.exact import oavg as _oavg
 from etl_project_gcp_spark.exact import oround as _oround
 from etl_project_gcp_spark.exact import osum_round as _osumr
 from etl_project_gcp_spark.operators import relational as R
+from etl_project_gcp_spark.session import ship_package_to_workers
 
 QuerieFn = Callable[[SparkSession, str], DataFrame]
 
@@ -56,6 +57,7 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     TIMESTAMP(NANOS) which Spark has no native type for."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ship_package_to_workers(spark)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -732,3 +734,251 @@ def event_props_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").alias("sum_k"),
         X.davg(F.col("k"), 0, 2).alias("avg_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# H. Text analysis & dedup over documents (X1/X2/X4 [EXT] — SURVEY §2.12)
+# ---------------------------------------------------------------------------
+
+from etl_project_gcp_spark.operators import dedup as DD  # noqa: E402
+from etl_project_gcp_spark.operators import text as TX  # noqa: E402
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT min(doc_id)   AS doc_id,
+           count(*)      AS n_copies,
+           sha256(text)  AS content_sha256
+    FROM documents
+    GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup (X1): hash-groupBy, canonical id = min."""
+    return DD.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_token_stats",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(lower(text), '\\s+')) AS INTEGER) AS n_tokens,
+               CAST(length(text) AS INTEGER)                                 AS n_chars,
+               length(regexp_replace(text, '\\s', '', 'g'))                  AS n_alpha
+        FROM documents
+    )
+    SELECT doc_id, n_tokens, n_chars,
+           {X.odiv_round('n_alpha', 'n_tokens')} AS mean_token_len,
+           n_chars < 200                         AS is_short
+    FROM t
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (X4): token count, exact mean token
+    length, short-doc flag."""
+    return TX.token_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_quality",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(length(text) AS INTEGER)                                 AS n_chars,
+               CAST(len(string_split_regex(lower(text), '\\s+')) AS INTEGER) AS n_tokens,
+               length(regexp_replace(text, '[\\w\\s]', '', 'g'))             AS n_punct,
+               len(list_intersect(
+                   string_split_regex(lower(text), '\\s+'),
+                   ['the','a','of','and','to','in','is','that','it','for']
+               ))                                                            AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           {X.odiv_round('n_punct', 'n_chars', 4)}  AS punct_ratio,
+           {X.odiv_round('n_stop', 'n_tokens', 4)}  AS stopword_hit_ratio,
+           n_chars >= 50 AND n_tokens >= 10         AS passes_min_length
+    FROM t
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (X4): length/punct/stopword signals — the
+    standard pre-training corpus filters."""
+    return TX.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "word_counts_top20",
+    """
+    SELECT word, count(*) AS n FROM (
+        SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+        FROM documents
+    ) WHERE word <> ''
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+)
+def word_counts_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies, top-20 (X4): explode → count → top-k
+    with lexical tiebreak so the selected set is deterministic."""
+    return TX.word_frequencies(_t(spark, sf_dir, "documents"), top=20)
+
+
+@register(
+    "lang_distribution",
+    """
+    SELECT lang, source, count(*) AS n_docs
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.grouped_agg(
+        _t(spark, sf_dir, "documents"),
+        ["lang", "source"],
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp_md5,
+           sha256(text)                                       AS content_sha256
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting (X4): md5 of normalized text + raw sha256."""
+    return TX.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@register("lang_id_pred", None)  # heuristic — no SQL oracle; rows-only check
+def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID (X4 heuristic)."""
+    return TX.language_id(_t(spark, sf_dir, "documents"))
+
+
+@register("dedup_minhash", None)  # non-SQL-expressible — rows-only check
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs (X2): shingle → minhash → band
+    bucket join → exact-Jaccard verify."""
+    return DD.minhash_near_duplicates(_t(spark, sf_dir, "documents"))
+
+
+@register("dedup_simhash", None)  # non-SQL-expressible — rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: 64-bit signature, chunk banding,
+    Hamming ≤ 3."""
+    return DD.simhash_near_duplicates(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# I. Embedding similarity search (X3 [EXT] — SURVEY §2.12)
+# ---------------------------------------------------------------------------
+
+from etl_project_gcp_spark.operators import vector as VX  # noqa: E402
+
+
+@register(
+    "cosine_topk",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 5
+    ), c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               round(list_cosine_similarity(qv, cv), 6) AS cosine
+        FROM q, c WHERE neighbor_id <> query_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+               ) AS rk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 10
+    """,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors vec_id<5 (X3
+    baseline). Exact-ranked with id tiebreak; the LSH/IVF variants below
+    are the approximate scale paths."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return VX.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@register(
+    "embedding_near_dups",
+    """
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round(list_cosine_similarity(
+               CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
+           ), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(
+              CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
+          ), 6) >= 0.95
+    """,
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup family, exact form).
+    All-pairs — correctness baseline; use ann_lsh for the scale path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").cast("array<double>").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").cast("array<double>").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(VX.cosine(F.col("va"), F.col("vb")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= 0.95)
+    )
+
+
+@register("ann_lsh_topk", None)  # approximate — rows-only; recall tested in tests/
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH approximate top-10 (X3 scale path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return VX.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@register("ann_ivf_topk", None)  # approximate — rows-only; recall tested in tests/
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: probe 4 of 16 coarse lists (X3 scale path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return VX.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+# ---------------------------------------------------------------------------
+# J. Multimodal column plumbing (driver mandate — stubbed decode)
+# ---------------------------------------------------------------------------
+
+from etl_project_gcp_spark.operators import multimodal as MM  # noqa: E402
+
+
+@register(
+    "binary_meta",
+    """
+    SELECT doc_id AS id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           sha256(text)                                AS sha256
+    FROM documents
+    """,
+)
+def binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata via Arrow-batched mapInPandas: the
+    documents' text is cast to an opaque binary payload, then byte
+    length + sha256 are computed Python-side in columnar batches —
+    exercising the real multimodal plumbing (schema, batching) with a
+    SQL-checkable result. The stub-decoded format/width/height columns
+    are dropped here because they're fake (decode libs not installed)."""
+    docs = MM.attach_binary(_t(spark, sf_dir, "documents"), "text")
+    meta = MM.extract_media_meta(docs, id_col="doc_id", content_col="content")
+    return meta.select("id", "n_bytes", "sha256")

@@ -17,10 +17,46 @@ Scale notes (100 TB design stance):
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+_PKG_SHIPPED: set[int] = set()
+
+
+def ship_package_to_workers(spark: SparkSession) -> None:
+    """Make ``etl_project_gcp_spark`` importable on executor Python
+    workers regardless of the caller's cwd/sys.path.
+
+    Python-side operators (mapInPandas/pandas_udf) pickle functions *by
+    reference* to this package, so workers must import it. A driver that
+    embeds this engine (e.g. the verification harness) may hold a
+    SparkSession whose workers know nothing about our install location —
+    so we zip the package once per session and addPyFile it.
+    """
+    sid = id(spark.sparkContext)
+    if sid in _PKG_SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), "etl_project_gcp_spark_pkg.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.join(
+                        "etl_project_gcp_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    _PKG_SHIPPED.add(sid)
 
 
 def get_spark(

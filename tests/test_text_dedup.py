@@ -1,0 +1,81 @@
+"""Functional tests for near-dup detection (X2) and language ID — the
+non-SQL-expressible operators get behavior tests instead of oracles."""
+
+from __future__ import annotations
+
+from etl_project_gcp_spark.operators import dedup as DD
+from etl_project_gcp_spark.operators import text as TX
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the sun sets slowly "
+    "behind the quiet hills and the river flows gently toward the distant sea "
+    "carrying leaves and small branches past the old wooden bridge"
+)
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    near = BASE.replace("quick", "swift").replace("lazy", "sleepy")
+    far = (
+        "completely different content about database engines and columnar "
+        "storage formats with vectorized execution and adaptive query plans "
+        "spilling to disk when memory pressure rises during large joins"
+    )
+    docs = _docs(spark, [(1, BASE), (2, near), (3, far), (4, BASE)])
+    pairs = DD.minhash_near_duplicates(docs, threshold=0.5).collect()
+    found = {(r.a, r.b) for r in pairs}
+    assert (1, 4) in found  # exact copy
+    assert (1, 2) in found or (2, 4) in found  # planted near-dup
+    assert not any(3 in p for p in found)  # unrelated doc never pairs
+    exact = next(r for r in pairs if (r.a, r.b) == (1, 4))
+    assert exact.jaccard == 1.0
+
+
+def test_simhash_finds_planted_near_dups(spark):
+    near = BASE.replace("quick", "swift")
+    far = (
+        "unrelated text on astronomy telescopes observing distant galaxies "
+        "through adaptive optics and long exposure photography at high "
+        "altitude observatories during clear moonless winter nights"
+    )
+    docs = _docs(spark, [(1, BASE), (2, near), (3, far), (4, BASE)])
+    pairs = DD.simhash_near_duplicates(docs, max_hamming=10).collect()
+    found = {(r.a, r.b): r.hamming for r in pairs}
+    assert found.get((1, 4)) == 0  # identical → hamming 0
+    assert (1, 2) in found  # one-word change → small hamming
+    assert (1, 3) not in found and (2, 3) not in found
+
+
+def test_exact_dedup_counts(spark):
+    docs = _docs(spark, [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")])
+    out = {r.doc_id: r.n_copies for r in DD.exact_dedup(docs).collect()}
+    assert out == {1: 3, 2: 1}
+
+
+def test_language_id_on_clear_samples(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "the cat sat on the mat and it is happy for a while"),
+            (2, "el perro corre por la calle y los gatos miran desde un balcón"),
+            (3, "le chat dort sur le canapé et les oiseaux chantent pour une heure"),
+            (4, "xqz zzk qqp"),  # no markers
+        ],
+    )
+    pred = {r.doc_id: r.pred_lang for r in TX.language_id(docs).collect()}
+    assert pred[1] == "en"
+    assert pred[2] == "es"
+    assert pred[3] == "fr"
+    assert pred[4] == "und"
+
+
+def test_ngram_jaccard_on_pairs(spark):
+    docs = _docs(spark, [(1, BASE), (2, BASE), (3, "totally other words here now")])
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], ["a", "b"])
+    out = {(r.a, r.b): r.jaccard for r in DD.ngram_jaccard_pairs(docs, pairs).collect()}
+    assert out[(1, 2)] == 1.0
+    assert out.get((1, 3), 0.0) == 0.0

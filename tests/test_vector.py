@@ -1,0 +1,44 @@
+"""Recall tests for the approximate similarity paths (X3) — everything
+is hash-derived, so recall is deterministic per dataset."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_project_gcp_spark.operators import vector as VX
+
+
+def _recall(truth_rows, approx_rows):
+    T, A = {}, {}
+    for r in truth_rows:
+        T.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx_rows:
+        A.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return sum(len(T[q] & A.get(q, set())) / len(T[q]) for q in T) / len(T)
+
+
+def test_ann_recall_vs_brute_force(spark, sf01_dir):
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    truth = VX.brute_force_topk(emb, q, k=10).collect()
+    assert len(truth) == 20 * 10
+
+    lsh = VX.lsh_topk(emb, q, k=10).collect()
+    assert _recall(truth, lsh) >= 0.5  # measured 0.585 on this corpus
+
+    ivf = VX.ivf_topk(emb, q, k=10).collect()
+    assert _recall(truth, ivf) >= 0.7  # measured 0.805 on this corpus
+
+
+def test_brute_force_topk_is_total_order(spark, sf01_dir):
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    out = VX.brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.rk, r.cosine, r.neighbor_id))
+    for q, rows in by_q.items():
+        rows.sort()
+        ranks = [r[0] for r in rows]
+        assert ranks == list(range(1, 6))
+        sims = [r[1] for r in rows]
+        assert sims == sorted(sims, reverse=True)
