@@ -1,0 +1,83 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value" (total sec), "unit", "queries", "sf"}.
+
+Each query is forced to full materialization via the noop sink (count()
+alone can let Catalyst skip projected columns). One warmup of the
+smallest query amortizes session/JIT startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_project_gcp_spark import queries as Q  # noqa: E402
+from etl_project_gcp_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: every operator family from SURVEY §2 with a scale story.
+BENCH_QUERIES = [
+    "pricing_summary",
+    "silver_lineitem",
+    "sales_analytics",
+    "product_metrics",
+    "sales_summary",
+    "priority_rollup",
+    "region_summary",
+    "top5_parts_by_revenue",
+    "top3_parts_per_brand",
+    "customer_running_total",
+    "hourly_event_counts",
+    "event_sessions",
+    "event_props_by_type",
+    "dedup_exact",
+    "doc_token_stats",
+    "doc_quality",
+    "word_counts_top20",
+    "doc_fingerprint",
+    "dedup_minhash",
+    "dedup_simhash",
+    "cosine_topk",
+    "ann_ivf_topk",
+    "binary_meta",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark(app_name="etl_project_gcp_spark-bench")
+    registry = Q.queries()
+    materialize(registry["count_lineitem"](spark, SF_DIR))  # warmup
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        materialize(registry[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline-query wall time, local[%s]"
+                % os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

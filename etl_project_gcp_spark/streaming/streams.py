@@ -1,0 +1,99 @@
+"""Structured Streaming variants of the event operators (ST3 [EXT]).
+
+The reference is batch-only (SURVEY §2.10); these wrappers re-express
+the batch event vocabulary (operators/events.py) as streaming plans:
+same column expressions, plus watermarks for bounded state and late-data
+handling. ``trigger(availableNow=True)`` turns any of them into an
+incremental batch job — the 100 TB-native way to run the pipeline
+continuously without reprocessing.
+
+State-size notes: watermark delay bounds the window state; session
+windows use Spark's native session_window state store (merging windows
+per key); all aggregations remain partial-agg'd before the stateful
+shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+EVENT_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str = EVENT_SCHEMA,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """File-based event stream (new files under ``path`` become
+    micro-batches). Schema must be pinned for streaming sources."""
+    return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def streaming_tumbling_agg(
+    stream: DataFrame,
+    width: str = "1 hour",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Watermarked tumbling-window count/sum — the streaming twin of
+    events.tumbling_window_agg (same semantics once windows close)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, width).alias("win"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            *keys,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_session_agg(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Native session windows (F.session_window) — the streaming twin of
+    events.session_summary's lag+cumsum batch formulation."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("sw"), user_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory_sink(
+    plan: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+) -> StreamingQuery:
+    """Drain all currently-available input into an in-memory table
+    (trigger availableNow) — used by tests and smoke checks."""
+    return (
+        plan.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
