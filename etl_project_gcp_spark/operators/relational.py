@@ -77,13 +77,43 @@ def left_join_keep_unmatched(
     keep: DataFrame,
     other: DataFrame,
     on: Column | str | list[str],
-    broadcast_keep: bool = False,
 ) -> DataFrame:
     """Left-outer join dim→fact preserving zero-match rows (J3 —
     etl_medallion.py:191-192: products LEFT JOIN sales keeps zero-sale
-    products; their COUNT is 0 and SUM/AVG are NULL — not coalesced)."""
-    left = F.broadcast(keep) if broadcast_keep else keep
-    return left.join(other, on=on, how="left")
+    products; their COUNT is 0 and SUM/AVG are NULL — not coalesced).
+
+    Scale note: an outer join can NEVER broadcast its preserved side
+    (unmatched preserved rows must stream), so dim-LEFT-JOIN-fact forces
+    a fact shuffle. When the join feeds an aggregation, use
+    ``dim_fact_rollup`` instead — it pushes the aggregate below the join
+    so the fact reduces map-side and the join sees only |dim| rows.
+    """
+    return keep.join(other, on=on, how="left")
+
+
+def dim_fact_rollup(
+    dim: DataFrame,
+    fact: DataFrame,
+    dim_key: str,
+    fact_key: str,
+    aggs: Sequence[Column],
+    zero_fill: Sequence[str] = (),
+) -> DataFrame:
+    """Aggregation-below-join rewrite of ``dim LEFT JOIN fact GROUP BY
+    dim.*``: pre-aggregate the fact by its join key (map-side partial agg
+    reduces |fact| → |distinct keys| before any join), then broadcast the
+    rolled-up fact onto the dim. Zero-match dim rows keep NULL aggregates
+    except the columns named in ``zero_fill`` (COUNT semantics: BigQuery/
+    Spark COUNT over an empty group is 0, not NULL — SURVEY §2.4).
+
+    At 100 TB: the fact is touched once, shuffles only its pre-aggregated
+    form (|keys| rows), and the dim never moves.
+    """
+    rolled = fact.groupBy(F.col(fact_key).alias(dim_key)).agg(*aggs)
+    out = dim.join(F.broadcast(rolled), on=dim_key, how="left")
+    for c in zero_fill:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    return out
 
 
 def anti_join(left: DataFrame, right: DataFrame, on: Column | str | list[str]) -> DataFrame:

@@ -416,16 +416,24 @@ def product_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep COUNT=0 with NULL sums — not coalesced (SURVEY §2.4 note)."""
     part = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem")
-    joined = R.left_join_keep_unmatched(part, li, part.p_partkey == li.l_partkey)
-    return R.grouped_agg(
-        joined,
-        ["p_partkey", "p_name", "p_brand"],
-        F.count("l_orderkey").alias("total_sales"),
-        X.dsum_round(F.col("l_quantity")).alias("total_quantity"),
-        X.dsum_round(
-            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
-        ).alias("total_revenue"),
-        X.davg(F.col("l_extendedprice")).alias("avg_sale_amount"),
+    out = R.dim_fact_rollup(
+        part.select("p_partkey", "p_name", "p_brand"),
+        li,
+        "p_partkey",
+        "l_partkey",
+        [
+            F.count("l_orderkey").alias("total_sales"),
+            X.dsum_round(F.col("l_quantity")).alias("total_quantity"),
+            X.dsum_round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("total_revenue"),
+            X.davg(F.col("l_extendedprice")).alias("avg_sale_amount"),
+        ],
+        zero_fill=["total_sales"],
+    )
+    return out.select(
+        "p_partkey", "p_name", "p_brand",
+        "total_sales", "total_quantity", "total_revenue", "avg_sale_amount",
     )
 
 
@@ -486,13 +494,17 @@ def top5_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     part = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem")
-    revenue = R.grouped_agg(
-        R.left_join_keep_unmatched(part, li, part.p_partkey == li.l_partkey),
-        ["p_partkey", "p_name"],
-        X.dsum_round(
-            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
-        ).alias("total_revenue"),
-    )
+    revenue = R.dim_fact_rollup(
+        part.select("p_partkey", "p_name"),
+        li,
+        "p_partkey",
+        "l_partkey",
+        [
+            X.dsum_round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("total_revenue")
+        ],
+    ).select("p_partkey", "p_name", "total_revenue")
     return R.top_k(revenue, [F.desc("total_revenue"), F.asc("p_partkey")], 5)
 
 
@@ -597,13 +609,17 @@ def top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     part = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem")
-    revenue = R.grouped_agg(
-        R.left_join_keep_unmatched(part, li, part.p_partkey == li.l_partkey),
-        ["p_brand", "p_partkey"],
-        X.dsum_round(
-            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
-        ).alias("total_revenue"),
-    )
+    revenue = R.dim_fact_rollup(
+        part.select("p_partkey", "p_brand"),
+        li,
+        "p_partkey",
+        "l_partkey",
+        [
+            X.dsum_round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("total_revenue")
+        ],
+    ).select("p_brand", "p_partkey", "total_revenue")
     w = W.partitionBy("p_brand").orderBy(F.desc("total_revenue"), F.asc("p_partkey"))
     return (
         revenue.withColumn("rk", F.row_number().over(w))

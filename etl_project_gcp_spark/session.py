@@ -90,6 +90,10 @@ def get_spark(
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
+        # local mode reads small single-file tables: shrink split size so
+        # the scan parallelizes across cores (cluster deployments keep the
+        # 128 MB default — plenty of files there)
+        builder = builder.config("spark.sql.files.maxPartitionBytes", "8m")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
