@@ -1,0 +1,52 @@
+"""Catalog / metadata operators (SURVEY §2.9 M1-M4, §2.1 S8).
+
+The reference exposes schema introspection as a first-class feature:
+INFORMATION_SCHEMA.TABLES / .COLUMNS queries (etl_medallion.py:228-233,
+:280-286) and notebook printSchema/columns (etl_spark.ipynb cell-9/22).
+Spark's catalog API is the native equivalent; these wrappers return
+DataFrame-friendly plain structures and mirror the reference's ordering
+contracts (ORDER BY table_name; ordinal column positions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def create_namespace(spark: SparkSession, name: str) -> None:
+    """CREATE SCHEMA IF NOT EXISTS (M4/S8 — etl_medallion.py:78,110,156)."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
+
+
+def list_tables(spark: SparkSession, database: str | None = None) -> list[str]:
+    """Table names in a namespace, sorted (M1 — INFORMATION_SCHEMA.TABLES
+    ... WHERE table_type='BASE TABLE' ORDER BY table_name)."""
+    tables = spark.catalog.listTables(database) if database else spark.catalog.listTables()
+    return sorted(t.name for t in tables if t.tableType not in ("VIEW", "TEMPORARY"))
+
+
+def list_views(spark: SparkSession, database: str | None = None) -> list[str]:
+    tables = spark.catalog.listTables(database) if database else spark.catalog.listTables()
+    return sorted(t.name for t in tables if t.tableType in ("VIEW", "TEMPORARY"))
+
+
+def list_columns(spark: SparkSession, table: str, limit: int | None = None) -> list[dict]:
+    """Columns in ordinal position (M2 — INFORMATION_SCHEMA.COLUMNS
+    ORDER BY ordinal_position [LIMIT n])."""
+    cols = [
+        {"column_name": c.name, "data_type": c.dataType, "ordinal_position": i + 1}
+        for i, c in enumerate(spark.catalog.listColumns(table))
+    ]
+    return cols[:limit] if limit is not None else cols
+
+
+def table_schema(df: DataFrame) -> list[tuple[str, str]]:
+    """printSchema-equivalent as data (M3): (name, type) in order."""
+    return [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+
+
+def register_corpus_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...]) -> None:
+    """Expose the parquet corpus as temp views so spark.sql() queries and
+    catalog introspection work over it."""
+    for n in names:
+        spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)

@@ -998,3 +998,136 @@ def binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = MM.attach_binary(_t(spark, sf_dir, "documents"), "text")
     meta = MM.extract_media_meta(docs, id_col="doc_id", content_col="content")
     return meta.select("id", "n_bytes", "sha256")
+
+
+# ---------------------------------------------------------------------------
+# K. Additional relational shapes (semi/anti joins, HAVING, CASE WHEN —
+#    rounding out the query vocabulary a reference user would expect)
+# ---------------------------------------------------------------------------
+
+@register(
+    "customers_with_open_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+    )
+    """,
+)
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join: no duplication, no fact columns
+    carried, the probe side short-circuits on first match."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "brands_above_avg_revenue",
+    f"""
+    WITH brand_rev AS (
+        SELECT p.p_brand,
+               {_osumr('l.l_extendedprice * (1 - l.l_discount)', 4)} AS total_revenue
+        FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand
+    )
+    SELECT p_brand, total_revenue FROM brand_rev
+    WHERE total_revenue > (SELECT {_oavg('total_revenue', 2, 2)} FROM brand_rev)
+    """,
+)
+def brands_above_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING-over-aggregate + scalar subquery: brands whose revenue
+    exceeds the all-brand average. The scalar aggregates once and
+    broadcasts as a literal into the filter."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    brand_rev = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            X.dsum_round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("total_revenue")
+        )
+    )
+    avg_rev = brand_rev.agg(X.davg(F.col("total_revenue")).alias("a"))
+    return brand_rev.join(F.broadcast(avg_rev)).filter(
+        F.col("total_revenue") > F.col("a")
+    ).select("p_brand", "total_revenue")
+
+
+@register(
+    "order_size_buckets",
+    f"""
+    SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+                WHEN o_totalprice < 300000 THEN 'medium'
+                ELSE 'large' END          AS bucket,
+           count(*)                        AS n_orders,
+           {_osumr('o_totalprice')}        AS total_revenue
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def order_size_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + aggregate (the notebook's conditional
+    vocabulary, generalized)."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 100000, "small")
+        .when(F.col("o_totalprice") < 300000, "medium")
+        .otherwise("large")
+    )
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        X.dsum_round(F.col("o_totalprice")).alias("total_revenue"),
+    )
+
+
+@register(
+    "filter_compound_eq",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_linenumber = 4
+    """,
+)
+def filter_compound_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound equality filter (P10 — etl_spark.ipynb cell-22:
+    (Origin=='US') & (Cylinders==4))."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_linenumber") == 4)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+@register(
+    "nation_order_rollup",
+    f"""
+    SELECT n.n_name AS nation,
+           count(*) AS n_orders,
+           {_osumr('o.o_totalprice')} AS total_revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def nation_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner-join snowflake rollup: orders→customer→nation, both dims
+    broadcast — the fact is aggregated without ever shuffling rows."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            X.dsum_round(F.col("o_totalprice")).alias("total_revenue"),
+        )
+    )

@@ -1,0 +1,57 @@
+"""Catalog/metadata ops (M1-M4) and source readers/writers (S2-S4)."""
+
+from __future__ import annotations
+
+from etl_project_gcp_spark import catalog as C
+from etl_project_gcp_spark.sources import (
+    read_csv_bronze,
+    read_csv_delimited,
+    write_csv,
+    write_parquet_overwrite,
+)
+
+
+def test_catalog_views_and_columns(spark, sf_dir):
+    C.register_corpus_views(spark, sf_dir, ("nation", "region"))
+    assert {"nation", "region"} <= set(C.list_views(spark))
+    cols = C.list_columns(spark, "nation")
+    assert [c["column_name"] for c in cols] == ["n_nationkey", "n_name", "n_regionkey"]
+    assert cols[0]["ordinal_position"] == 1
+    first2 = C.list_columns(spark, "nation", limit=2)
+    assert len(first2) == 2
+
+
+def test_create_namespace_idempotent(spark):
+    C.create_namespace(spark, "bronze_test_ns")
+    C.create_namespace(spark, "bronze_test_ns")  # IF NOT EXISTS
+    assert "bronze_test_ns" in [d.name for d in spark.catalog.listDatabases()]
+    spark.sql("DROP DATABASE bronze_test_ns")
+
+
+def test_table_schema(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/region.parquet")
+    assert C.table_schema(df) == [("r_regionkey", "int"), ("r_name", "string")]
+
+
+def test_csv_roundtrip_with_custom_delimiter(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a;x"), (2, "b")], ["id", "val"])
+    # default-delimiter sink then re-read (S3)
+    write_csv(df, str(tmp_path / "plain"))
+    back = read_csv_bronze(spark, str(tmp_path / "plain"))
+    assert sorted((r.id, r.val) for r in back.collect()) == [(1, "a;x"), (2, "b")]
+    # semicolon-delimited read (S2 — notebook cars.csv path)
+    (tmp_path / "semi").mkdir()
+    (tmp_path / "semi" / "cars.csv").write_text("Car;MPG;Cylinders\nFord;18.0;6\nFiat;29.0;4\n")
+    cars = read_csv_delimited(spark, str(tmp_path / "semi" / "cars.csv"), sep=";")
+    assert cars.columns == ["Car", "MPG", "Cylinders"]
+    assert cars.count() == 2
+    assert dict((r.Car, r.Cylinders) for r in cars.collect()) == {"Ford": 6, "Fiat": 4}
+
+
+def test_parquet_sink_overwrite_partitioned(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a", 2023), (2, "b", 2024)], ["id", "v", "year"])
+    write_parquet_overwrite(df, str(tmp_path / "pq"), partition_by=["year"])
+    write_parquet_overwrite(df, str(tmp_path / "pq"), partition_by=["year"])  # idempotent
+    back = spark.read.parquet(str(tmp_path / "pq"))
+    assert back.count() == 2
+    assert set(back.columns) == {"id", "v", "year"}
