@@ -48,6 +48,14 @@ def dsum_round(col: Column, scale: int = 2, out: int = 2) -> Column:
     )
 
 
+def _avg_expr(s_int: Column, n: Column, scale: int, out: int) -> Column:
+    d = n * (10**scale)
+    num = F.lit(2) * s_int * (10**out) + d
+    den = F.lit(2) * d
+    r = (num - num % den) / den  # exact: value < 2^53
+    return F.when(n > 0, r / (10**out))
+
+
 def davg(col: Column, scale: int = 2, out: int = 2) -> Column:
     """Exact average rounded half-up to ``out`` decimals, as double.
 
@@ -57,12 +65,20 @@ def davg(col: Column, scale: int = 2, out: int = 2) -> Column:
     reference's NULL-on-empty-group semantics (etl_medallion.py:188-190).
     """
     s_int = (F.sum(col.cast(f"decimal(18,{scale})")) * (10**scale)).cast("long")
-    n = F.count(col)
-    d = n * (10**scale)
-    num = F.lit(2) * s_int * (10**out) + d
-    den = F.lit(2) * d
-    r = (num - num % den) / den  # exact: value < 2^53
-    return F.when(n > 0, r / (10**out))
+    return _avg_expr(s_int, F.count(col), scale, out)
+
+
+def davg_over(col: Column, window, scale: int = 2, out: int = 2) -> Column:
+    """``davg`` as a window expression — the scalar-subquery pattern
+    ("value vs average over all rows") without re-scanning the input:
+    an empty-frame window over an already-aggregated (small) frame
+    computes the global average in one extra exchange of |groups| rows,
+    where the self-join formulation would duplicate the whole upstream
+    scan+aggregate subtree."""
+    s_int = (
+        F.sum(col.cast(f"decimal(18,{scale})")).over(window) * (10**scale)
+    ).cast("long")
+    return _avg_expr(s_int, F.count(col).over(window), scale, out)
 
 
 def dround(col: Column, scale: int = 4, out: int = 2) -> Column:

@@ -892,6 +892,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_duplicates(_t(spark, sf_dir, "documents"))
 
 
+@register("dedup_ngram_jaccard", None)  # non-SQL-expressible — rows-only check
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs: LSH candidates over 3-gram
+    shingles, then exact n-gram Jaccard verify at 0.8 (the X2 family's
+    exact-verification primitive exposed as its own operator)."""
+    docs = _t(spark, sf_dir, "documents")
+    shingled = DD.shingle_docs(docs, k=3)
+    sigs = DD.minhash_signatures(shingled)
+    cands = DD.lsh_candidate_pairs(sigs)
+    return DD.ngram_jaccard_pairs(docs, cands, n=3, threshold=0.8)
+
+
 # ---------------------------------------------------------------------------
 # I. Embedding similarity search (X3 [EXT] — SURVEY §2.12)
 # ---------------------------------------------------------------------------
@@ -1040,8 +1052,10 @@ def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def brands_above_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HAVING-over-aggregate + scalar subquery: brands whose revenue
-    exceeds the all-brand average. The scalar aggregates once and
-    broadcasts as a literal into the filter."""
+    exceeds the all-brand average. The average is a window over the
+    aggregated frame (|brands| rows), NOT a join against a scalar
+    subquery — the join formulation duplicates the lineitem scan+agg
+    subtree, a double fact-table scan at 100 TB."""
     part = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem")
     brand_rev = (
@@ -1054,10 +1068,14 @@ def brands_above_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_revenue")
         )
     )
-    avg_rev = brand_rev.agg(X.davg(F.col("total_revenue")).alias("a"))
-    return brand_rev.join(F.broadcast(avg_rev)).filter(
-        F.col("total_revenue") > F.col("a")
-    ).select("p_brand", "total_revenue")
+    all_rows = W.partitionBy()
+    return (
+        brand_rev.withColumn(
+            "a", X.davg_over(F.col("total_revenue"), all_rows)
+        )
+        .filter(F.col("total_revenue") > F.col("a"))
+        .select("p_brand", "total_revenue")
+    )
 
 
 @register(

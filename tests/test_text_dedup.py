@@ -79,3 +79,13 @@ def test_ngram_jaccard_on_pairs(spark):
     out = {(r.a, r.b): r.jaccard for r in DD.ngram_jaccard_pairs(docs, pairs).collect()}
     assert out[(1, 2)] == 1.0
     assert out.get((1, 3), 0.0) == 0.0
+
+
+def test_dedup_ngram_jaccard_query_end_to_end(spark, sf01_dir):
+    from etl_project_gcp_spark import queries as Q
+
+    df = Q.queries()["dedup_ngram_jaccard"](spark, sf01_dir)
+    rows = df.collect()
+    assert df.columns == ["a", "b", "jaccard"]
+    assert len(rows) > 0  # corpus plants near-duplicates
+    assert all(r.a < r.b and r.jaccard >= 0.8 for r in rows)
