@@ -53,6 +53,33 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def time_medallion(spark) -> float:
+    """End-to-end bronze→silver→gold at the reference's own data scale
+    (2 500 employees / 150 products / 5 000 sales — data_generator.py:19-21).
+    Fixture generation is excluded from the timed span; the pipeline's
+    9 statements (3 loads + 3 silver + 3 gold writes) are timed."""
+    import shutil
+    import tempfile
+
+    from etl_project_gcp_spark import datagen
+    from etl_project_gcp_spark.plans.medallion import MedallionPipeline
+
+    root = tempfile.mkdtemp(prefix="bench_medallion_")
+    try:
+        sources = datagen.write_fixture_csvs(
+            spark, f"{root}/landing", n_employees=2500, n_products=150, n_sales=5000
+        )
+        pipe = MedallionPipeline(spark, f"{root}/warehouse")
+        t0 = time.time()
+        result = pipe.run_etl(sources)
+        dt = time.time() - t0
+        if not result.get("success"):
+            raise RuntimeError(f"medallion pipeline failed: {result}")
+        return round(dt, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark(app_name="etl_project_gcp_spark-bench")
     registry = Q.queries()
@@ -63,6 +90,7 @@ def main() -> None:
         t0 = time.time()
         materialize(registry[name](spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
+    timings["medallion_pipeline"] = time_medallion(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -1106,6 +1106,35 @@ def order_size_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customers_without_big_orders",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+           ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderkey IS NULL
+    """,
+)
+def customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-test filter over left-join output (P11/P12 — the literal
+    IS NULL vocabulary of etl_spark.ipynb cell-22 / etl_medallion.py:373):
+    customers with no order above 300 000. Catalyst rewrites the pattern
+    to a left-anti join, so the executed plan never materializes the
+    unmatched-null rows."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey", "o_orderkey")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .filter(F.col("o_orderkey").isNull())
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
     "filter_compound_eq",
     """
     SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
