@@ -1,6 +1,7 @@
 from etl_project_gcp_spark.streaming.streams import (
     read_event_stream,
     run_to_memory_sink,
+    stateful_sessionize,
     streaming_session_agg,
     streaming_tumbling_agg,
 )
@@ -9,5 +10,6 @@ __all__ = [
     "read_event_stream",
     "streaming_tumbling_agg",
     "streaming_session_agg",
+    "stateful_sessionize",
     "run_to_memory_sink",
 ]

@@ -83,6 +83,103 @@ def streaming_session_agg(
     )
 
 
+def stateful_sessionize(
+    stream: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState``.
+
+    The operator the native ``session_window`` can't express: a per-user
+    session tracker with arbitrary Python close-out logic (here: emit
+    start/end/count/value-total per session; an open session survives in
+    the state store across micro-batches and closes either when a later
+    event exceeds the gap or when the event-time watermark passes its
+    timeout).
+
+    Scale notes: state is one fixed-width tuple per live user (bounded
+    by the watermark, not by history); data reaches Python in Arrow
+    batches grouped by user; the shuffle is the same single exchange a
+    groupBy would do. This is the template for any custom stateful
+    operator the engine needs beyond Spark's built-ins.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+
+    out_schema = (
+        f"{user_col} bigint, session_start timestamp, session_end timestamp, "
+        "n_events int, total_value double"
+    )
+    state_schema = "start long, last long, n int, total double"
+
+    def close_out(uid: int, s: int, last: int, n: int, total: float):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                user_col: [uid],
+                "session_start": [pd.Timestamp(s, unit="us")],
+                "session_end": [pd.Timestamp(last, unit="us")],
+                "n_events": [n],
+                "total_value": [total],
+            }
+        )
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (uid,) = key
+        if state.hasTimedOut:
+            s, last, n, total = state.get
+            state.remove()
+            yield close_out(uid, s, last, n, total)
+            return
+
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        if state.exists:
+            s, last, n, total = state.get
+        else:
+            s = last = None
+            n, total = 0, 0.0
+
+        closed = []
+        for ts, val in zip(rows[ts_col], rows["value"]):
+            t = ts.value // 1000  # ns → us
+            if s is None:
+                s = last = t
+                n, total = 1, float(val)
+            elif t - last > gap_us:
+                closed.append((s, last, n, total))
+                s = last = t
+                n, total = 1, float(val)
+            else:
+                last = t
+                n += 1
+                total += float(val)
+
+        state.update((s, last, n, total))
+        state.setTimeoutTimestamp((last + gap_us) // 1000)  # us → ms
+        if closed:
+            yield pd.concat(
+                [close_out(uid, *c) for c in closed], ignore_index=True
+            )
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_to_memory_sink(
     plan: DataFrame,
     query_name: str,

@@ -72,3 +72,55 @@ def test_streaming_sessions_match_batch(spark, event_dir):
             d.setdefault(r.user_id, []).append(r.n_events)
         return {u: sorted(v) for u, v in d.items()}
     assert per_user(got) == per_user(batch)
+
+
+def test_stateful_sessionize_emits_closed_sessions(spark, tmp_path_factory):
+    """applyInPandasWithState sessionizer: sessions close when a later
+    event exceeds the gap; the trailing (sentinel) session stays open in
+    state and is NOT emitted by the availableNow drain."""
+    import datetime as dt
+
+    from etl_project_gcp_spark.streaming import stateful_sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, uid, offset_s, value):
+        return (eid, t0 + dt.timedelta(seconds=offset_s), uid, "click", value, "{}")
+
+    rows = [
+        # user 1, session A: 2 events 60s apart
+        ev(1, 1, 0, 1.0),
+        ev(2, 1, 60, 2.0),
+        # user 1, session B: 2 events starting 2h later (gap 1800s exceeded)
+        ev(3, 1, 7200, 3.0),
+        ev(4, 1, 7230, 4.0),
+        # user 2, session C: single event
+        ev(5, 2, 0, 5.0),
+        # sentinels far in the future force A/B/C closed in-batch
+        ev(6, 1, 360000, 0.0),
+        ev(7, 2, 360000, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string"
+    )
+    out = str(tmp_path_factory.mktemp("stateful") / "events")
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+
+    from etl_project_gcp_spark.streaming import read_event_stream, run_to_memory_sink
+
+    stream = read_event_stream(spark, out)
+    q = run_to_memory_sink(
+        stateful_sessionize(stream, gap_seconds=1800), "stateful_sessions",
+        output_mode="append",
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start, r.n_events, r.total_value)
+        for r in spark.table("stateful_sessions").collect()
+    }
+    assert got == {
+        (1, t0, 2, 3.0),
+        (1, t0 + dt.timedelta(seconds=7200), 2, 7.0),
+        (2, t0, 1, 5.0),
+    }
