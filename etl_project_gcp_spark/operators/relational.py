@@ -169,3 +169,54 @@ def summary_stats(df: DataFrame, cols: Sequence[str], scale: int = 2) -> DataFra
     for p in pieces[1:]:
         out = out.unionByName(p)
     return out
+
+
+def salted_skew_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: spray each skewed-side row into one of
+    ``salt_buckets`` sub-partitions, replicate the small side across all
+    buckets, and join on (key, salt). A hot key's rows then land on
+    ``salt_buckets`` reducers instead of one.
+
+    The tool for when AQE's skew-join split can't apply (e.g. the skewed
+    side feeds a co-grouped/stateful op, or the join is produced by an
+    API that pins the partitioning). Replication costs |small| ×
+    salt_buckets — keep the salted side the big one. Deterministic salt
+    (hash of the full row via monotonically-increasing id would be
+    nondeterministic under retries; pmod of xxhash64 over all columns is
+    stable), so speculative re-execution is safe.
+    """
+    salt = F.pmod(F.xxhash64(*skewed.columns), F.lit(salt_buckets))
+    left = skewed.withColumn("_salt", salt)
+    right = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("long"))
+    return left.join(right, on=[key, "_salt"], how=how).drop("_salt")
+
+
+def salted_grouped_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    partial_aggs: Sequence[Column],
+    final_aggs: Sequence[Column],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys: groupBy(keys + salt)
+    computes partials (a hot key spreads over ``salt_buckets`` reducers),
+    then groupBy(keys) combines partials (≤ salt_buckets rows per key).
+
+    Only algebraic aggregates decompose this way — callers supply both
+    phases explicitly, e.g. partial ``sum(x) AS s`` / final
+    ``sum(s) AS total`` or partial ``count(*) AS c`` / final
+    ``sum(c) AS n``. (Spark's own HashAggregate already does
+    partial→final within a shuffle; salting adds the extra key so the
+    *reduce* side also parallelizes per hot key.)
+    """
+    salt = F.pmod(F.xxhash64(*df.columns), F.lit(salt_buckets))
+    partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*partial_aggs)
+    return partial.groupBy(*keys).agg(*final_aggs)

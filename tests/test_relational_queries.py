@@ -36,3 +36,79 @@ def test_registry_names_consistent():
     qs, oracles = E.queries(), E.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) > 0
+
+
+def test_salted_skew_join_matches_plain_join(spark, sf01_dir):
+    from etl_project_gcp_spark.operators import relational as R
+
+    li = spark.read.parquet(f"{sf01_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    part = spark.read.parquet(f"{sf01_dir}/part.parquet").select(
+        "p_partkey", "p_brand"
+    ).withColumnRenamed("p_partkey", "l_partkey")
+    plain = li.join(part, "l_partkey").groupBy("p_brand").count()
+    salted = R.salted_skew_join(li, part, "l_partkey", salt_buckets=8).groupBy(
+        "p_brand"
+    ).count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_grouped_agg_matches_plain(spark, sf01_dir):
+    from pyspark.sql import functions as F
+
+    from etl_project_gcp_spark.operators import relational as R
+
+    li = spark.read.parquet(f"{sf01_dir}/lineitem.parquet")
+    plain = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+    )
+    salted = R.salted_grouped_agg(
+        li,
+        ["l_returnflag"],
+        partial_aggs=[
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s"),
+        ],
+        final_aggs=[
+            F.sum("c").alias("n"),
+            F.sum("s").alias("qty"),
+        ],
+        salt_buckets=8,
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_exact_decimal_aggregation_matches_python_decimal(spark):
+    """Property check for exact.py: dsum_round/davg on random 2-decimal
+    money values must equal Decimal arithmetic with ROUND_HALF_UP —
+    including sums landing exactly on a .005 boundary, where
+    round(sum(double)) formulations go wrong."""
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as F
+
+    from etl_project_gcp_spark import exact as X
+
+    rng = random.Random(20260813)
+    vals = [Decimal(rng.randrange(0, 10_000_000)) / 100 for _ in range(500)]
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double").coalesce(4)
+    got = df.agg(
+        X.dsum_round(F.col("v")).alias("s"),
+        X.davg(F.col("v")).alias("a"),
+    ).collect()[0]
+
+    exp_sum = sum(vals).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+    exp_avg = (sum(vals) / len(vals)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+    assert Decimal(str(got.s)) == exp_sum
+    assert Decimal(str(got.a)) == exp_avg
+
+    # explicit half-up boundary: avg(0.01, 0.02) = 0.015 — must round UP
+    # to 0.02 (binary-double formulations round to 0.01: 0.015 is stored
+    # as 0.01499999...)
+    b = spark.createDataFrame([(0.01,), (0.02,)], "v double")
+    gb = b.agg(X.davg(F.col("v")).alias("a")).collect()[0]
+    assert Decimal(str(gb.a)) == Decimal("0.02")
