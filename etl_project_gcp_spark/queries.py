@@ -1018,6 +1018,42 @@ def binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
+    "customer_max_order_gap",
+    """
+    WITH gaps AS (
+        SELECT o_custkey,
+               date_diff('day',
+                         lag(o_orderdate) OVER (
+                             PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey),
+                         o_orderdate) AS gap_days
+        FROM orders
+    )
+    SELECT o_custkey, CAST(max(gap_days) AS INTEGER) AS max_gap_days
+    FROM gaps WHERE gap_days IS NOT NULL
+    GROUP BY o_custkey
+    """,
+)
+def customer_max_order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead vocabulary (W family): per-customer max days between
+    consecutive orders. The (date, key) ordering makes the frame a total
+    order, so the result is deterministic under same-day orders."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    )
+    return (
+        gaps.filter(F.col("gap_days").isNotNull())
+        .groupBy("o_custkey")
+        .agg(F.max("gap_days").cast("int").alias("max_gap_days"))
+    )
+
+
+@register(
     "customers_with_open_orders",
     """
     SELECT c_custkey, c_name FROM customer c
