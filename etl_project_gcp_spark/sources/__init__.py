@@ -5,6 +5,7 @@ from etl_project_gcp_spark.sources.readers import (
     read_tables,
 )
 from etl_project_gcp_spark.sources.writers import (
+    write_bucketed_table,
     write_csv,
     write_parquet_overwrite,
     write_table_overwrite,
@@ -15,6 +16,7 @@ __all__ = [
     "read_csv_delimited",
     "read_parquet",
     "read_tables",
+    "write_bucketed_table",
     "write_csv",
     "write_parquet_overwrite",
     "write_table_overwrite",

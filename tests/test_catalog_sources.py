@@ -55,3 +55,42 @@ def test_parquet_sink_overwrite_partitioned(spark, tmp_path):
     back = spark.read.parquet(str(tmp_path / "pq"))
     assert back.count() == 2
     assert set(back.columns) == {"id", "v", "year"}
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
+    """Two tables bucketed identically on the join key must join with no
+    Exchange in the physical plan — the write-time shuffle is amortized
+    over every later join on that key."""
+    from pyspark.sql import functions as F
+
+    from etl_project_gcp_spark.sources import write_bucketed_table
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_bucketed_table(li, "b_lineitem", ["l_orderkey"], 8, ["l_orderkey"])
+    write_bucketed_table(orders, "b_orders", ["o_orderkey"], 8, ["o_orderkey"])
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("b_lineitem").join(
+                spark.table("b_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            # and it actually computes the right thing
+            n = joined.count()
+            expected = li.join(
+                orders, li.l_orderkey == orders.o_orderkey
+            ).count()
+            assert n == expected
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
