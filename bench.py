@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "top3_parts_per_brand",
     "customer_running_total",
     "hourly_event_counts",
+    "sliding_event_counts",
     "event_sessions",
     "event_props_by_type",
     "dedup_exact",

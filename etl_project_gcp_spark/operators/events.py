@@ -43,6 +43,29 @@ def tumbling_window_agg(
     return events.groupBy(bucket, *keys).agg(*aggs)
 
 
+def sliding_window_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    slide: str = "15 minutes",
+    keys: tuple[str, ...] = ("event_type",),
+    *aggs: F.Column,
+) -> DataFrame:
+    """Sliding-window aggregate: each event lands in width/slide
+    overlapping windows (F.window with a slide duration — Spark expands
+    the event into its windows before the groupBy, so the shuffle
+    carries width/slide× the rows; keep the ratio small at scale).
+    Emits the struct window's ``start`` flat for SQL comparability.
+    """
+    win = F.window(F.col(ts_col), width, slide)
+    return (
+        events.groupBy(win.alias("w"), *keys)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("w.start"))
+        .drop("w")
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -691,6 +691,36 @@ def hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sliding_event_counts",
+    f"""
+    SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+               - k * INTERVAL 15 MINUTE       AS window_start,
+           event_type,
+           count(*)                           AS n_events,
+           {_osumr('value')}                  AS total_value
+    FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) ks
+    GROUP BY 1, 2
+    """,
+)
+def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window count/sum (1h window, 15min slide): every event
+    lands in 4 overlapping windows. The oracle replicates each event
+    into its windows explicitly (epoch-aligned, matching Spark's window
+    origin); width/slide must stay integral."""
+    ev = _events(spark, sf_dir)
+    out = EV.sliding_window_agg(
+        ev,
+        "ts",
+        "1 hour",
+        "15 minutes",
+        ("event_type",),
+        F.count(F.lit(1)).alias("n_events"),
+        X.dsum_round(F.col("value")).alias("total_value"),
+    )
+    return out.select("window_start", "event_type", "n_events", "total_value")
+
+
+@register(
     "event_sessions",
     """
     WITH flagged AS (
