@@ -206,6 +206,87 @@ def count_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "priority_status_cube",
+    f"""
+    SELECT o_orderpriority, o_orderstatus,
+           count(*)                 AS n_orders,
+           {_osumr('o_totalprice')} AS total_revenue
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def priority_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all 4 rollup combinations in one pass —
+    Spark expands the cube map-side, so the shuffle carries one partial
+    row per (grouping-set, key) not a re-scan per rollup level."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        X.dsum_round(F.col("o_totalprice")).alias("total_revenue"),
+    )
+
+
+@register(
+    "distinct_customer_count",
+    """
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*)                  AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def distinct_customer_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT inside an aggregate: Spark plans this as a two-phase
+    expand + aggregate (partial distinct per partition, then final) —
+    no driver-side set."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register("approx_distinct_customers", None)  # sketch — rows-only check
+def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct sketch (approx_count_distinct, 1% rsd):
+    the 100 TB path for cardinality — one fixed-size sketch per group
+    merges associatively, where exact COUNT(DISTINCT) must shuffle every
+    distinct value. Rows-only check; the unit test bounds the error vs
+    the exact count."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers")
+    )
+
+
+@register(
+    "price_quartiles_by_status",
+    """
+    SELECT o_orderstatus,
+           round(CAST(quantile_cont(o_totalprice, 0.25) AS DOUBLE), 2) AS p25,
+           round(CAST(quantile_cont(o_totalprice, 0.50) AS DOUBLE), 2) AS p50,
+           round(CAST(quantile_cont(o_totalprice, 0.75) AS DOUBLE), 2) AS p75
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def price_quartiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, both linear interpolation on the sorted set).
+    Rounded to 2 decimals: the interpolation arithmetic can differ in
+    the last float bits between engines. At 100 TB use
+    `percentile_approx` (t-digest sketch) instead — exact percentile
+    must ship every group value to one reducer."""
+    orders = _t(spark, sf_dir, "orders")
+    def pct(q, name):
+        return F.round(
+            F.expr(f"percentile(o_totalprice, {q})"), 2
+        ).alias(name)
+    return orders.groupBy("o_orderstatus").agg(
+        pct(0.25, "p25"), pct(0.50, "p50"), pct(0.75, "p75")
+    )
+
+
+@register(
     "orders_by_status",
     """
     SELECT o_orderstatus, count(*) AS n_orders

@@ -112,3 +112,21 @@ def test_exact_decimal_aggregation_matches_python_decimal(spark):
     b = spark.createDataFrame([(0.01,), (0.02,)], "v double")
     gb = b.agg(X.davg(F.col("v")).alias("a")).collect()[0]
     assert Decimal(str(gb.a)) == Decimal("0.02")
+
+
+def test_approx_distinct_within_rsd_bound(spark, sf01_dir):
+    """HLL++ sketch at 1% rsd must land within 5% of the exact distinct
+    count for every group (5 sigma — deterministic for a fixed input)."""
+    from etl_project_gcp_spark import queries as Q
+
+    approx = {
+        r.o_orderstatus: r.approx_customers
+        for r in Q.queries()["approx_distinct_customers"](spark, sf01_dir).collect()
+    }
+    exact = {
+        r.o_orderstatus: r.n_customers
+        for r in Q.queries()["distinct_customer_count"](spark, sf01_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= 0.05 * exact[k], (k, approx[k], exact[k])
