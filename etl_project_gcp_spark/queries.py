@@ -287,6 +287,34 @@ def price_quartiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "revenue_pivot_by_status",
+    f"""
+    SELECT o_orderpriority,
+           {_osumr("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS revenue_f,
+           {_osumr("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS revenue_o,
+           {_osumr("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS revenue_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def revenue_pivot_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): revenue per priority × status. Pivot values are
+    pinned explicitly — an unpinned pivot runs an extra distinct pass
+    over the data to discover columns, and makes the output schema
+    data-dependent (both wrong at scale)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(X.dsum_round(F.col("o_totalprice")))
+    )
+    return (
+        out.withColumnRenamed("F", "revenue_f")
+        .withColumnRenamed("O", "revenue_o")
+        .withColumnRenamed("P", "revenue_p")
+    )
+
+
+@register(
     "orders_by_status",
     """
     SELECT o_orderstatus, count(*) AS n_orders

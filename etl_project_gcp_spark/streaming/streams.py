@@ -42,12 +42,17 @@ def streaming_tumbling_agg(
     watermark: str = "10 minutes",
     ts_col: str = "ts",
     keys: tuple[str, ...] = ("event_type",),
+    slide: str | None = None,
 ) -> DataFrame:
     """Watermarked tumbling-window count/sum — the streaming twin of
-    events.tumbling_window_agg (same semantics once windows close)."""
+    events.tumbling_window_agg (same semantics once windows close).
+    Pass ``slide`` for overlapping sliding windows (each event lands in
+    width/slide windows; state grows by the same ratio, still bounded by
+    the watermark)."""
+    win = F.window(ts_col, width, slide) if slide else F.window(ts_col, width)
     return (
         stream.withWatermark(ts_col, watermark)
-        .groupBy(F.window(ts_col, width).alias("win"), *keys)
+        .groupBy(win.alias("win"), *keys)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("value").alias("total_value"),

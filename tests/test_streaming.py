@@ -124,3 +124,32 @@ def test_stateful_sessionize_emits_closed_sessions(spark, tmp_path_factory):
         (1, t0 + dt.timedelta(seconds=7200), 2, 7.0),
         (2, t0, 1, 5.0),
     }
+
+
+def test_streaming_sliding_matches_batch(spark, event_dir):
+    stream = read_event_stream(spark, event_dir)
+    q = run_to_memory_sink(
+        streaming_tumbling_agg(
+            stream, "1 hour", "10 minutes", slide="15 minutes"
+        ),
+        "sliding_test",
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): (r.n_events, round(r.total_value, 4))
+        for r in spark.sql("SELECT * FROM sliding_test").collect()
+    }
+    batch = EV.sliding_window_agg(
+        spark.read.parquet(event_dir),
+        "ts",
+        "1 hour",
+        "15 minutes",
+        ("event_type",),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    want = {
+        (r.window_start, r.event_type): (r.n_events, round(r.total_value, 4))
+        for r in batch.collect()
+    }
+    assert got == want
