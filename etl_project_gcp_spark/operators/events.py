@@ -66,6 +66,44 @@ def sliding_window_agg(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: tuple[str, ...],
+    ts_col: str,
+    right_value_cols: tuple[str, ...],
+) -> DataFrame:
+    """As-of join (left): for each left row, attach the right row with
+    the greatest ``ts_col`` ≤ the left row's (inclusive), per key.
+
+    Spark has no ASOF JOIN operator; the naive formulation (range join +
+    per-left-row max) explodes to O(|L|·|R|) per key. This is the
+    scalable union trick: interleave both sides sorted by (key, ts) and
+    carry the latest right payload forward with last(ignorenulls) — ONE
+    shuffle on the key, linear in |L|+|R|, no row amplification. Ties at
+    equal ts resolve right-before-left, giving the inclusive (>=)
+    semantics of DuckDB/kdb ASOF.
+
+    ``right_value_cols`` must not collide with left column names.
+    """
+    rv = F.struct(*[F.col(c) for c in right_value_cols]).alias("_rv")
+    r = right.select(*key_cols, ts_col, rv, F.lit(0).alias("_side"))
+    l = left.withColumn("_rv", F.lit(None).cast(r.schema["_rv"].dataType)).withColumn(
+        "_side", F.lit(1)
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        W.partitionBy(*key_cols)
+        .orderBy(ts_col, "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = unioned.withColumn("_rv", F.last("_rv", ignorenulls=True).over(w))
+    out = filled.filter(F.col("_side") == 1).drop("_side")
+    for c in right_value_cols:
+        out = out.withColumn(c, F.col(f"_rv.{c}"))
+    return out.drop("_rv")
+
+
 def sessionize(
     events: DataFrame,
     gap: str = "30 minutes",

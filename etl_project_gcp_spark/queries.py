@@ -830,6 +830,45 @@ def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "purchase_last_click",
+    """
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+           c.event_id AS click_event_id, c.ts AS click_ts
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN
+         (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase attributed to the user's most recent
+    click at-or-before it (NULL when none) — the attribution primitive
+    Spark lacks natively, via the linear union+window formulation."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_event_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = EV.asof_join(
+        purchases, clicks, ("user_id",), "ts", ("click_event_id", "click_ts")
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "click_event_id",
+        "click_ts",
+    )
+
+
+@register(
     "event_sessions",
     """
     WITH flagged AS (

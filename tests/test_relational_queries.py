@@ -7,6 +7,7 @@ sf0.01, order-insensitive, exact values.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from etl_project_gcp_spark import queries as Q
 from tests.oracle import compare
@@ -130,3 +131,28 @@ def test_approx_distinct_within_rsd_bound(spark, sf01_dir):
     assert set(approx) == set(exact)
     for k in exact:
         assert abs(approx[k] - exact[k]) <= 0.05 * exact[k], (k, approx[k], exact[k])
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive ties (ts equal → match), strictly-later rights excluded,
+    no match → NULL payload."""
+    import datetime as dt
+
+    from etl_project_gcp_spark.operators import events as EV
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, 1, t(10)), (2, 1, t(20)), (3, 2, t(5))],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 1, t(10)), (101, 1, t(15)), (102, 2, t(6))],
+        "rid bigint, user_id bigint, ts timestamp",
+    ).select("user_id", "ts", F.col("rid"), F.col("ts").alias("rts"))
+    out = {
+        r.event_id: r.rid
+        for r in EV.asof_join(
+            left, right, ("user_id",), "ts", ("rid", "rts")
+        ).collect()
+    }
+    assert out == {1: 100, 2: 101, 3: None}
