@@ -104,6 +104,43 @@ def asof_join(
     return out.drop("_rv")
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: tuple[str, ...],
+    ts_col: str,
+    lookback_seconds: int,
+    right_value_cols: tuple[str, ...],
+) -> DataFrame:
+    """Interval range join: pairs (l, r) with same keys and ``r.ts`` in
+    ``(l.ts - lookback, l.ts]``.
+
+    The naive theta-join is a BroadcastNestedLoopJoin (O(|L|·|R|) per
+    key). This buckets time into lookback-sized cells: a left row's
+    matches can only sit in its own or the previous cell, so it explodes
+    into exactly 2 bucket candidates and the join becomes an EQUALITY
+    join on (keys, bucket) + an exact range filter — hash-joinable,
+    2|L|+|R| rows through the shuffle, skew bounded by cell population.
+    """
+    us = lookback_seconds * 1_000_000
+    r_bucket = F.floor(F.unix_micros(F.col(ts_col)) / us).cast("long")
+    r = right.select(
+        *key_cols,
+        F.col(ts_col).alias("_rts"),
+        r_bucket.alias("_b"),
+        *[F.col(c) for c in right_value_cols],
+    )
+    l_bucket = F.floor(F.unix_micros(F.col(ts_col)) / us).cast("long")
+    l = left.withColumn(
+        "_b", F.explode(F.array(l_bucket - 1, l_bucket))
+    )
+    joined = l.join(r, [*key_cols, "_b"]).filter(
+        (F.col("_rts") <= F.col(ts_col))
+        & (F.col("_rts") > F.col(ts_col) - F.expr(f"INTERVAL {lookback_seconds} SECOND"))
+    )
+    return joined.drop("_b", "_rts")
+
+
 def sessionize(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -869,6 +869,45 @@ def purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "errors_recent_clicks",
+    """
+    SELECT e.event_id, e.user_id, count(c.event_id) AS n_recent_clicks
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id
+     AND c.ts <= e.ts AND c.ts > e.ts - INTERVAL 5 MINUTE
+    GROUP BY 1, 2
+    """,
+)
+def errors_recent_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per error event, how many clicks the user made in the
+    preceding 5 minutes. Bucketed equality formulation — never a
+    nested-loop theta join; zero-match errors kept via count-then-left-
+    join-back (the aggregate stays on the small pair set)."""
+    ev = _events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    pairs = EV.range_join(errors, clicks, ("user_id",), "ts", 300, ("click_id",))
+    counts = pairs.groupBy("event_id").agg(
+        F.count("click_id").alias("n_recent_clicks")
+    )
+    return (
+        errors.join(F.broadcast(counts), "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("n_recent_clicks", F.lit(0)).alias("n_recent_clicks"),
+        )
+    )
+
+
+@register(
     "event_sessions",
     """
     WITH flagged AS (

@@ -156,3 +156,34 @@ def test_asof_join_semantics(spark):
         ).collect()
     }
     assert out == {1: 100, 2: 101, 3: None}
+
+
+def test_range_join_boundaries(spark):
+    """Inclusive at l.ts, exclusive at l.ts - lookback; matches crossing
+    a bucket boundary must still be found (the classic bucketing bug)."""
+    import datetime as dt
+
+    from etl_project_gcp_spark.operators import events as EV
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)  # epoch-aligned to 300s cells
+    t = lambda s: base + dt.timedelta(seconds=s)
+    left = spark.createDataFrame(
+        [(1, 1, t(600))], "event_id bigint, user_id bigint, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 1, t(600)),   # == l.ts          -> match (inclusive)
+            (11, 1, t(301)),   # l.ts-299, prev bucket -> match (crossing)
+            (12, 1, t(300)),   # == l.ts-300      -> NO match (exclusive)
+            (13, 1, t(601)),   # after l.ts       -> NO match
+            (14, 2, t(600)),   # other key        -> NO match
+        ],
+        "rid bigint, user_id bigint, ts timestamp",
+    ).select("user_id", "ts", "rid")
+    got = sorted(
+        r.rid
+        for r in EV.range_join(
+            left, right, ("user_id",), "ts", 300, ("rid",)
+        ).collect()
+    )
+    assert got == [10, 11]
