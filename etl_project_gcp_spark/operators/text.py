@@ -36,6 +36,20 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+# BPE-ish pre-tokenization: letter runs, single digits, punctuation
+# singletons — the GPT-2-family split shape, restricted to constructs
+# whose regex semantics are identical in Spark (Java regex) and DuckDB
+# (RE2) so the count is oracle-checkable.
+BPE_SPLIT_PATTERN = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Approximate LLM token count via BPE-style pre-tokenization
+    (regexp_extract_all, JVM-side — no Python tokenizer in the scan)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), 0))
+
+
 def token_stats(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

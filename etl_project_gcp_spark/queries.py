@@ -1015,6 +1015,25 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_bpe_tokens",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]'))
+                AS INTEGER) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate LLM token count per document via BPE-style
+    pre-tokenization (X4 — 'whitespace + a BPE-ish regex'): letter runs,
+    single digits, punctuation singletons, all JVM-side."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.bpe_token_count("text").alias("n_bpe_tokens")
+    )
+
+
+@register(
     "doc_quality",
     f"""
     WITH t AS (

@@ -1,4 +1,5 @@
 from etl_project_gcp_spark.streaming.streams import (
+    incremental_rollup,
     read_event_stream,
     run_to_memory_sink,
     stateful_sessionize,
@@ -7,6 +8,7 @@ from etl_project_gcp_spark.streaming.streams import (
 )
 
 __all__ = [
+    "incremental_rollup",
     "read_event_stream",
     "streaming_tumbling_agg",
     "streaming_session_agg",

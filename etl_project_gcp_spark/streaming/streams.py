@@ -185,6 +185,51 @@ def stateful_sessionize(
     )
 
 
+def incremental_rollup(
+    spark: SparkSession,
+    events_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    width: str = "1 hour",
+    watermark: str = "10 minutes",
+    keys: tuple[str, ...] = ("event_type",),
+) -> StreamingQuery:
+    """Continuous aggregate (hypertable-rollup pattern): maintain a
+    time-bucketed rollup table incrementally.
+
+    Each invocation (trigger availableNow) processes ONLY files that
+    arrived since the last run — the checkpoint tracks source progress —
+    and appends ONLY newly-finalized windows (append mode + watermark:
+    a window emits once its end passes the watermark, exactly once).
+    Re-running never reprocesses history, which is the difference
+    between this and the batch rollup at 100 TB: cost per refresh is
+    proportional to new data, not table size.
+    """
+    stream = read_event_stream(spark, events_path)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("win"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            *keys,
+            "n_events",
+            "total_value",
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_memory_sink(
     plan: DataFrame,
     query_name: str,

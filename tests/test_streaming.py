@@ -153,3 +153,54 @@ def test_streaming_sliding_matches_batch(spark, event_dir):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_incremental_rollup_processes_only_new_data(spark, tmp_path_factory):
+    """Two availableNow refreshes: the second must emit only windows
+    finalized by the new files (no reprocessing, no duplicates), and the
+    accumulated table must match the batch rollup over closed windows."""
+    import datetime as dt
+
+    from etl_project_gcp_spark.streaming import incremental_rollup
+
+    root = tmp_path_factory.mktemp("rollup")
+    src, out, ckpt = str(root / "src"), str(root / "out"), str(root / "ckpt")
+
+    def ev_batch(rows):
+        return spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, "
+                  "event_type string, value double, props string"
+        )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    h = lambda hours, mins=0: t0 + dt.timedelta(hours=hours, minutes=mins)
+    # batch 1: events in hours 0 and 1, plus one at hour 2 to advance the
+    # watermark past hour 0+1's windows... watermark = max(ts)-10min = 2:20
+    b1 = [(1, h(0, 5), 1, "click", 1.0, "{}"),
+          (2, h(0, 45), 1, "click", 2.0, "{}"),
+          (3, h(1, 15), 2, "click", 3.0, "{}"),
+          (4, h(2, 30), 2, "click", 4.0, "{}")]
+    ev_batch(b1).coalesce(1).write.mode("append").parquet(src)
+    q = incremental_rollup(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    first = {
+        (r.window_start, r.n_events, r.total_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    # windows [0:00,1:00) and [1:00,2:00) closed (watermark 2:20); the
+    # hour-2 window is still open
+    assert first == {(h(0), 2, 3.0), (h(1), 1, 3.0)}
+
+    # batch 2: hour-4 event closes the hour-2 window
+    b2 = [(5, h(4, 30), 1, "click", 5.0, "{}")]
+    ev_batch(b2).coalesce(1).write.mode("append").parquet(src)
+    q2 = incremental_rollup(spark, src, out, ckpt)
+    q2.awaitTermination(120)
+    acc = {
+        (r.window_start, r.n_events, r.total_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert acc == first | {(h(2), 1, 4.0)}
+    # exactly-once: no duplicated windows across refreshes
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == len({r.window_start for r in rows})
