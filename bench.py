@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "dedup_minhash",
     "dedup_simhash",
     "cosine_topk",
+    "cosine_topk_arrow",
     "ann_ivf_topk",
     "binary_meta",
 ]

@@ -88,6 +88,60 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scores: int = 6,
+) -> DataFrame:
+    """Arrow-vectorized twin of ``brute_force_topk``: one numpy matmul
+    per Arrow batch instead of per-row array expressions.
+
+    Shape (REPOSE/partition-then-merge): the query matrix is tiny by
+    contract, so it rides into every task via the closure; each
+    partition emits only its local top-k per query (≤ k·|Q| rows), and a
+    final window merges the partials — the shuffle carries k·|Q|·
+    partitions rows, never N. Same rounding + id tiebreak as the
+    expression version, so both return the identical set.
+    """
+    import numpy as np
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows])
+    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    def local_topk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            cmat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+            scores = np.round(cn @ qn.T, round_scores)  # |batch| × |Q|
+            for j, qid in enumerate(qids):
+                mask = ids != qid
+                cand_ids, cand_s = ids[mask], scores[mask, j]
+                order = np.lexsort((cand_ids, -cand_s))[:k]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(order), qid),
+                        "neighbor_id": cand_ids[order],
+                        "cosine": cand_s[order],
+                    }
+                )
+
+    partials = corpus.select(id_col, vec_col).mapInPandas(
+        local_topk, "query_id long, neighbor_id long, cosine double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return partials.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
 def _sign_projections(df: DataFrame, vec_col: str, planes: int, table: int) -> DataFrame:
     """Per-vector LSH bucket for one hash table: P sign bits of
     hash-derived hyperplane projections, packed into a long."""

@@ -42,3 +42,23 @@ def test_brute_force_topk_is_total_order(spark, sf01_dir):
         assert ranks == list(range(1, 6))
         sims = [r[1] for r in rows]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_arrow_brute_force_matches_expression_version(spark, sf01_dir):
+    """The numpy/mapInPandas formulation must select the identical
+    (query, neighbor, rank) set as the array-expression formulation."""
+    from pyspark.sql import functions as F
+
+    from etl_project_gcp_spark.operators import vector as VX
+
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    expr = {
+        (r.query_id, r.neighbor_id, r.rk, r.cosine)
+        for r in VX.brute_force_topk(emb, q, k=10).collect()
+    }
+    arrow = {
+        (r.query_id, r.neighbor_id, r.rk, r.cosine)
+        for r in VX.brute_force_topk_arrow(emb, q, k=10).collect()
+    }
+    assert expr == arrow
