@@ -969,6 +969,91 @@ def event_props_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "event_props_pinned",
+    """
+    SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+)
+def event_props_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 hot-path variant: from_json with a PINNED schema — one parse
+    per row materializing a typed struct, where repeated
+    get_json_object calls re-parse the document per extracted key."""
+    ev = _events(spark, sf_dir)
+    parsed = ev.select(
+        "event_id",
+        F.from_json(F.col("props"), "k int").alias("p"),
+    )
+    return parsed.select("event_id", F.col("p.k").alias("k"))
+
+
+@register(
+    "lineitem_unpivot",
+    """
+    SELECT l_orderkey, 'quantity' AS measure, l_quantity AS value
+    FROM lineitem WHERE l_linenumber = 1
+    UNION ALL
+    SELECT l_orderkey, 'extendedprice', l_extendedprice
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long, the inverse of pivot): two measure columns
+    stacked into (measure, value) rows — a map-side expand, no shuffle."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return li.select(
+        "l_orderkey",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_extendedprice").alias("extendedprice"),
+    ).unpivot(["l_orderkey"], ["quantity", "extendedprice"], "measure", "value")
+
+
+@register(
+    "green_parts_strings",
+    """
+    SELECT p_partkey,
+           upper(substring(p_name, 1, 10))  AS name_prefix,
+           replace(p_type, ' ', '_')        AS type_slug,
+           CAST(length(p_name) AS INTEGER)  AS name_len
+    FROM part WHERE p_name LIKE '%green%'
+    """,
+)
+def green_parts_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function vocabulary: LIKE filter, substring, upper,
+    replace, length — all JVM-side codegen."""
+    part = _t(spark, sf_dir, "part")
+    return part.filter(F.col("p_name").like("%green%")).select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 10)).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+@register(
+    "orders_by_quarter",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER)    AS yr,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           count(*)                              AS n_orders,
+           CAST(max(last_day(o_orderdate)) AS TIMESTAMP) AS quarter_last_day
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def orders_by_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function vocabulary beyond year/month: quarter and
+    last_day over the orders timeline."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max(F.last_day("o_orderdate")).cast("timestamp").alias("quarter_last_day"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # H. Text analysis & dedup over documents (X1/X2/X4 [EXT] — SURVEY §2.12)
 # ---------------------------------------------------------------------------
@@ -1257,6 +1342,29 @@ def binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = MM.attach_binary(_t(spark, sf_dir, "documents"), "text")
     meta = MM.extract_media_meta(docs, id_col="doc_id", content_col="content")
     return meta.select("id", "n_bytes", "sha256")
+
+
+@register(
+    "frame_samples",
+    """
+    WITH d AS (
+        SELECT doc_id, sha256(text) AS payload_sha256,
+               CAST(octet_length(encode(text)) // 100 AS INTEGER) AS max_frame
+        FROM documents
+    )
+    SELECT doc_id, payload_sha256, CAST(f AS INTEGER) AS frame_index
+    FROM d, LATERAL (SELECT unnest(range(0, max_frame + 1, 10)) AS f)
+    """,
+)
+def frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (multimodal): one row per sampled
+    frame index per payload — the explode shape a real frame sampler
+    produces (decode stubbed: frame count derived from byte length; the
+    oracle replays the same arithmetic)."""
+    docs = MM.attach_binary(_t(spark, sf_dir, "documents"), "text")
+    return MM.frame_sample_plan(
+        docs, id_col="doc_id", content_col="content", every_n=10
+    )
 
 
 # ---------------------------------------------------------------------------
