@@ -227,6 +227,49 @@ def priority_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "priority_status_rollup",
+    f"""
+    SELECT o_orderpriority, o_orderstatus,
+           count(*)                 AS n_orders,
+           {_osumr('o_totalprice')} AS total_revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def priority_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: hierarchical subtotals (priority, priority×
+    status, grand total) — the drill-down companion to CUBE."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        X.dsum_round(F.col("o_totalprice")).alias("total_revenue"),
+    )
+
+
+@register(
+    "order_price_ranks",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(ntile(4) OVER w AS INTEGER)  AS price_quartile,
+           round(percent_rank() OVER w, 6)   AS pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def order_price_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window vocabulary: ntile buckets + percent_rank per
+    status partition, (price, key)-ordered so ranks are deterministic."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@register(
     "distinct_customer_count",
     """
     SELECT o_orderstatus,
