@@ -270,6 +270,30 @@ def order_price_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lineitem_price_stats",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)        AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4)  AS qty_price_covar,
+           round(stddev_samp(l_extendedprice), 4)             AS price_stddev
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def lineitem_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr/covar/stddev): both engines use the
+    same single-pass co-moment recurrences; rounding absorbs the
+    partition-order float noise."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+    )
+
+
+@register(
     "distinct_customer_count",
     """
     SELECT o_orderstatus,
