@@ -93,6 +93,34 @@ def quality_score(
     )
 
 
+def gopher_quality(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition/diversity filters (the pre-training
+    data rules family): token-count bounds, mean-token-length bounds,
+    fraction-of-distinct-tokens floor. All ratios go through exact
+    integer division so the flags are bit-identical in any engine."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+    frac_distinct = X.ddiv_round(n_distinct, n_tokens, 4)
+    mean_len = X.ddiv_round(n_alpha, n_tokens, 2)
+    return docs.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        frac_distinct.alias("frac_distinct"),
+        mean_len.alias("mean_token_len"),
+        (
+            (n_tokens >= 50)
+            & (n_tokens <= 100_000)
+            & (mean_len >= 3)
+            & (mean_len <= 10)
+            & (frac_distinct > 0.3)
+        ).alias("passes_gopher"),
+    )
+
+
 def language_id(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

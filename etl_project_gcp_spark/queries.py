@@ -1186,6 +1186,36 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_gopher_flags",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(lower(text), '\\s+')) AS INTEGER)  AS n_tokens,
+               CAST(len(list_distinct(string_split_regex(lower(text), '\\s+')))
+                    AS INTEGER)                                               AS n_distinct,
+               length(regexp_replace(text, '\\s', '', 'g'))                   AS n_alpha
+        FROM documents
+    ), r AS (
+        SELECT doc_id, n_tokens,
+               {X.odiv_round('n_distinct', 'n_tokens', 4)} AS frac_distinct,
+               {X.odiv_round('n_alpha', 'n_tokens', 2)}    AS mean_token_len
+        FROM t
+    )
+    SELECT doc_id, n_tokens, frac_distinct, mean_token_len,
+           n_tokens >= 50 AND n_tokens <= 100000
+             AND mean_token_len >= 3 AND mean_token_len <= 10
+             AND frac_distinct > 0.3 AS passes_gopher
+    FROM r
+    """,
+)
+def doc_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules quality flags (X4): token-count and mean-token-length
+    bounds plus fraction-of-distinct-tokens repetition floor — the
+    pre-training filter family, exact across engines."""
+    return TX.gopher_quality(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "doc_quality",
     f"""
     WITH t AS (
