@@ -1186,6 +1186,30 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_stable_sample",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+          % 100 < 10
+    """,
+)
+def doc_stable_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample via md5-prefix bucketing — the
+    reproducible-sampling primitive: the same rows select in ANY engine,
+    on ANY partitioning, across reruns (rand()-based sampling guarantees
+    none of those). At 100 TB this is also join-stable: sampling both
+    sides of a key by hash(key) keeps referential integrity."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return docs.filter(bucket < 10).select("doc_id", "lang")
+
+
+@register(
     "doc_gopher_flags",
     f"""
     WITH t AS (

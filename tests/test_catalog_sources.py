@@ -94,3 +94,18 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_bronze_csv_failfast_on_jagged_rows(spark, tmp_path):
+    """The reference loads with allow_jagged_rows=false (etl_medallion.py
+    :95-97): a row with extra fields must raise, not silently truncate."""
+    import pytest
+    from pyspark.sql import types as T
+
+    p = tmp_path / "bad.csv"
+    p.write_text("id,val\n1,a\n2,b,EXTRA\n")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("val", T.StringType())]
+    )
+    with pytest.raises(Exception, match="Malformed|FAILFAST|MALFORMED"):
+        read_csv_bronze(spark, str(p), schema=schema).collect()
