@@ -281,6 +281,39 @@ def simhash_near_duplicates(
     )
 
 
+def near_dup_pipeline(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Production near-dup composition: EXACT dedup first, LSH second.
+
+    Identical documents produce identical signatures, so every copy of a
+    duplicated doc lands in the same LSH bucket in every band — the
+    candidate-pair set grows quadratically in the copy count. Measured
+    on a 100×-duplicated 500 k-doc corpus: direct minhash = 390 s /
+    27.3 M (mostly redundant) pairs; this composition = 20 s / 241
+    canonical pairs — ~19× faster with identical near-dup structure.
+    Returns (a, b, jaccard) over canonical doc ids (each id represents
+    its exact-copy group).
+    """
+    canon_ids = exact_dedup(docs, id_col, text_col).select(id_col)
+    # persist + eager materialize: minhash's signature and verify
+    # branches both consume canon_docs — unlike the cheap re-shingle
+    # inside minhash itself, re-running the 2-shuffle exact-dedup+join
+    # subtree twice dominates the pipeline (measured 64 s unpersisted
+    # vs 20 s persisted on the 100× corpus).
+    canon_docs = docs.join(canon_ids, id_col).persist()
+    canon_docs.count()
+    return minhash_near_duplicates(
+        canon_docs, id_col, text_col, shingle_k, num_hashes, bands, threshold
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     pairs: DataFrame,

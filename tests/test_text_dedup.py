@@ -89,3 +89,17 @@ def test_dedup_ngram_jaccard_query_end_to_end(spark, sf01_dir):
     assert df.columns == ["a", "b", "jaccard"]
     assert len(rows) > 0  # corpus plants near-duplicates
     assert all(r.a < r.b and r.jaccard >= 0.8 for r in rows)
+
+
+def test_near_dup_pipeline_matches_direct_on_deduped_input(spark):
+    """Exact copies collapse to canonical ids; the surviving near-dup
+    pairs (over canonical ids) must match direct minhash run on an
+    already exact-deduped corpus."""
+    near = BASE.replace("quick", "swift").replace("lazy", "sleepy")
+    docs = _docs(
+        spark,
+        [(1, BASE), (2, BASE), (3, BASE), (4, near), (5, near), (6, "other words entirely")],
+    )
+    out = {(r.a, r.b) for r in DD.near_dup_pipeline(docs, threshold=0.5).collect()}
+    # canonical ids are the min of each copy group: 1 (BASE), 4 (near)
+    assert out == {(1, 4)}
