@@ -206,6 +206,58 @@ def count_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "nation_names_by_region",
+    """
+    SELECT r.r_name AS region,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def nation_names_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG vocabulary) done
+    deterministically: collect_list is partition-order-dependent, so the
+    list is sorted before joining — same output on any partitioning."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            )
+        )
+    )
+
+
+@register(
+    "embedding_positive_dims",
+    """
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive,
+           CAST(len(embedding) AS INTEGER)                          AS n_dims,
+           list_reduce(list_transform(embedding, x -> CAST(abs(x) AS DOUBLE)),
+                       (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS max_abs
+    FROM embeddings
+    """,
+)
+def embedding_positive_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (filter/transform/reduce) over the
+    embedding column — per-vector stats without exploding rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    arr = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(arr, lambda x: x > 0)).alias("n_positive"),
+        F.size(arr).alias("n_dims"),
+        F.array_max(F.transform(arr, lambda x: F.abs(x.cast("double")))).alias(
+            "max_abs"
+        ),
+    )
+
+
+@register(
     "priority_status_cube",
     f"""
     SELECT o_orderpriority, o_orderstatus,
