@@ -1692,9 +1692,11 @@ def order_size_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-test filter over left-join output (P11/P12 — the literal
     IS NULL vocabulary of etl_spark.ipynb cell-22 / etl_medallion.py:373):
-    customers with no order above 300 000. Catalyst rewrites the pattern
-    to a left-anti join, so the executed plan never materializes the
-    unmatched-null rows."""
+    customers with no order above 300 000. Catalyst keeps the literal
+    LeftOuter+isnull plan (no anti-join rewrite) — still scale-correct
+    because the filtered side broadcasts and its predicate pushes to the
+    scan (plan-asserted in tests/test_physical_plans.py); anti_join() in
+    operators/relational.py is the explicit Spark-native form."""
     cust = _t(spark, sf_dir, "customer")
     orders = (
         _t(spark, sf_dir, "orders")

@@ -1,0 +1,79 @@
+"""Plan-shape guards: the scale properties the engine promises must be
+visible in the physical plan, not just hoped for. A regression that
+silently drops a broadcast or stops pushing a filter to the scan would
+pass value-correctness tests while destroying 100 TB behavior — these
+tests pin the plans.
+"""
+
+from __future__ import annotations
+
+from etl_project_gcp_spark import queries as Q
+
+
+def _plan(spark, name, sf_dir, mode="formatted"):
+    df = Q.queries()[name](spark, sf_dir)
+    je = df._jdf.queryExecution()
+    return je.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_pricing_summary_pushes_filter_to_scan(spark, sf01_dir):
+    plan = _plan(spark, "pricing_summary", sf01_dir)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_pricing_summary_prunes_columns(spark, sf01_dir):
+    plan = _plan(spark, "pricing_summary", sf01_dir)
+    # 7 needed columns; the 16-column lineitem scan must not read e.g. comments
+    assert "l_comment" not in plan
+    assert "l_shipinstruct" not in plan
+
+
+def test_product_metrics_broadcasts_dim_and_aggregates_below_join(spark, sf01_dir):
+    plan = _plan(spark, "product_metrics", sf01_dir)
+    assert "BroadcastHashJoin" in plan
+    # partial aggregation of the fact happens BEFORE the join output:
+    # HashAggregate node ids must appear under the join's build/stream
+    lines = plan.splitlines()
+    tree = [l for l in lines if "HashAggregate" in l or "BroadcastHashJoin" in l]
+    first_agg = next(i for i, l in enumerate(lines) if "HashAggregate" in l)
+    first_join = next(i for i, l in enumerate(lines) if "BroadcastHashJoin" in l)
+    assert first_join < first_agg, (
+        "join must sit ABOVE the aggregate in the printed tree "
+        "(aggregation-below-join)"
+    )
+
+
+def test_top5_uses_take_ordered_not_global_sort(spark, sf01_dir):
+    plan = _plan(spark, "top5_parts_by_revenue", sf01_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_join_for_exists(spark, sf01_dir):
+    plan = _plan(spark, "customers_with_open_orders", sf01_dir)
+    assert "LeftSemi" in plan
+
+
+def test_null_filter_left_join_is_broadcast_with_pushed_predicate(spark, sf01_dir):
+    # Catalyst keeps the literal LeftOuter+isnull shape (no anti rewrite),
+    # which is still scale-correct iff the filtered side broadcasts and
+    # its predicate reaches the scan.
+    plan = _plan(spark, "customers_without_big_orders", sf01_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "GreaterThan(o_totalprice,300000.0)" in plan
+
+
+def test_brands_above_avg_scans_fact_once(spark, sf01_dir):
+    plan = _plan(spark, "brands_above_avg_revenue", sf01_dir, mode="simple")
+    assert plan.count("lineitem.parquet") == 1, (
+        "scalar-subquery-style average must not duplicate the fact scan"
+    )
+
+
+def test_snowflake_rollup_never_shuffles_fact(spark, sf01_dir):
+    # nation_order_rollup: both dims broadcast; the only Exchange should be
+    # the final (tiny) aggregation exchange, never a join exchange.
+    plan = _plan(spark, "nation_order_rollup", sf01_dir, mode="simple")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
