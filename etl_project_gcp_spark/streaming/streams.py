@@ -185,6 +185,40 @@ def stateful_sessionize(
     )
 
 
+def streaming_interval_join(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    lookback_seconds: int = 300,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: for each left event, right events by
+    the same key within the preceding ``lookback_seconds`` (inclusive
+    end, exclusive start — the semantics of operators/events.range_join,
+    whose bucketed batch formulation this twins).
+
+    Both watermarks + the time-range condition bound the join state:
+    Spark retains right rows only ``lookback + watermark`` past the
+    watermark front, left rows only ``watermark`` — without the range
+    condition a stream-stream join would buffer forever.
+    """
+    l = left_stream.withWatermark(ts_col, watermark).alias("l")
+    r = right_stream.withWatermark(ts_col, watermark).alias("r")
+    cond = F.expr(
+        f"l.{key_col} = r.{key_col} "
+        f"AND r.{ts_col} <= l.{ts_col} "
+        f"AND r.{ts_col} > l.{ts_col} - interval {lookback_seconds} seconds"
+    )
+    return l.join(r, cond).select(
+        F.col(f"l.{key_col}").alias(key_col),
+        F.col("l.event_id").alias("left_id"),
+        F.col(f"l.{ts_col}").alias("left_ts"),
+        F.col("r.event_id").alias("right_id"),
+        F.col(f"r.{ts_col}").alias("right_ts"),
+    )
+
+
 def incremental_rollup(
     spark: SparkSession,
     events_path: str,

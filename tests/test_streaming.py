@@ -204,3 +204,40 @@ def test_incremental_rollup_processes_only_new_data(spark, tmp_path_factory):
     # exactly-once: no duplicated windows across refreshes
     rows = spark.read.parquet(out).collect()
     assert len(rows) == len({r.window_start for r in rows})
+
+
+def test_streaming_interval_join_matches_batch_range_join(spark, event_dir):
+    """Stream-stream interval join must produce exactly the pairs the
+    batch bucketed range_join finds on the drained data."""
+    from etl_project_gcp_spark.streaming import streaming_interval_join
+
+    left = read_event_stream(spark, event_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    right = read_event_stream(spark, event_dir).filter(
+        F.col("event_type") == "click"
+    )
+    q = run_to_memory_sink(
+        streaming_interval_join(left, right, lookback_seconds=3600),
+        "interval_join_test",
+        output_mode="append",
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.left_id, r.right_id)
+        for r in spark.sql("SELECT * FROM interval_join_test").collect()
+    }
+    ev = spark.read.parquet(event_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    want = {
+        (r.event_id, r.click_id)
+        for r in EV.range_join(
+            purchases, clicks, ("user_id",), "ts", 3600, ("click_id",)
+        ).collect()
+    }
+    assert got == want and len(want) > 0
