@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "hourly_event_counts",
     "sliding_event_counts",
     "event_sessions",
+    "purchase_last_click",
+    "errors_recent_clicks",
     "event_props_by_type",
     "dedup_exact",
     "doc_token_stats",

@@ -199,3 +199,28 @@ def test_pipeline_halts_on_failed_layer(spark, tmp_path):
     assert result["layers"]["bronze"] == {
         "employees": False, "products": False, "sales": False,
     }
+
+
+def test_sql_twin_matches_dataframe_pipeline(spark, pipeline):
+    """The SQL-first pipeline (the reference's literal interface) must
+    produce the same silver/gold contents as the DataFrame pipeline."""
+    pipe, sources, _ = pipeline
+    from etl_project_gcp_spark.plans.medallion_sql import MedallionSQL
+
+    sql_pipe = MedallionSQL(spark)
+    try:
+        result = sql_pipe.run_etl(sources)
+        assert result["success"], result
+        for layer, df_layer, tables in (
+            ("silver_sql", "silver", ("employees", "products", "sales")),
+            ("gold_sql", "gold", ("sales_analytics", "product_metrics", "sales_summary")),
+        ):
+            for t in tables:
+                got = spark.table(f"{layer}.{t}")
+                want = pipe.table(df_layer, t)
+                assert sorted(got.columns) == sorted(want.columns), (t, got.columns, want.columns)
+                g = sorted(map(str, got.select(*sorted(got.columns)).collect()))
+                w = sorted(map(str, want.select(*sorted(want.columns)).collect()))
+                assert g == w, f"{layer}.{t} differs from DataFrame pipeline"
+    finally:
+        sql_pipe.drop_all()
