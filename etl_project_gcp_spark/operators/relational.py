@@ -65,9 +65,13 @@ def left_join_dim(
 ) -> DataFrame:
     """Left-outer equi-join fact→dim (J1/J2 — etl_medallion.py:176-178).
 
-    Small dimension sides are broadcast so the (large) fact side never
-    shuffles — the 100 TB-safe default for star-schema joins. Set
-    ``broadcast_dim=False`` for large-large joins (sort-merge + AQE).
+    ``broadcast_dim=True`` pins a broadcast so the fact side never
+    shuffles — correct ONLY for dims bounded independent of data scale
+    (nation, region, a config table). For dims that grow with the fact
+    (part, customer, supplier) leave it False: Catalyst broadcasts from
+    file-size statistics and AQE re-checks at runtime, so small inputs
+    still broadcast while 100 TB inputs degrade safely to shuffle joins
+    instead of OOMing executors on a forced hint.
     """
     right = F.broadcast(dim) if broadcast_dim else dim
     return fact.join(right, on=on, how="left")
@@ -98,19 +102,25 @@ def dim_fact_rollup(
     fact_key: str,
     aggs: Sequence[Column],
     zero_fill: Sequence[str] = (),
+    broadcast_rolled: bool = True,
 ) -> DataFrame:
     """Aggregation-below-join rewrite of ``dim LEFT JOIN fact GROUP BY
     dim.*``: pre-aggregate the fact by its join key (map-side partial agg
-    reduces |fact| → |distinct keys| before any join), then broadcast the
+    reduces |fact| → |distinct keys| before any join), then join the
     rolled-up fact onto the dim. Zero-match dim rows keep NULL aggregates
     except the columns named in ``zero_fill`` (COUNT semantics: BigQuery/
     Spark COUNT over an empty group is 0, not NULL — SURVEY §2.4).
 
-    At 100 TB: the fact is touched once, shuffles only its pre-aggregated
-    form (|keys| rows), and the dim never moves.
+    At 100 TB: the fact is touched once and shuffles only its
+    pre-aggregated form (|keys| rows). ``broadcast_rolled`` pins the
+    broadcast — right when |dim| fits an executor (post-agg size
+    statistics are unreliable, so Catalyst may otherwise plan a
+    needless shuffle); pass False when the dim itself is huge, where the
+    right plan is a co-partitioned shuffle join (or bucket both sides).
     """
     rolled = fact.groupBy(F.col(fact_key).alias(dim_key)).agg(*aggs)
-    out = dim.join(F.broadcast(rolled), on=dim_key, how="left")
+    right = F.broadcast(rolled) if broadcast_rolled else rolled
+    out = dim.join(right, on=dim_key, how="left")
     for c in zero_fill:
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
     return out

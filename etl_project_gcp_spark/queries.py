@@ -596,15 +596,18 @@ def sales_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way left-join chain fact→dim→dim with qualified 12-col projection
     and NULL-propagating concat (J1/J2/P3/F3 — etl_medallion.py:161-178).
 
-    Scale: both dims broadcast — the fact table never shuffles.
+    Scale: part/supplier grow with the fact, so no pinned broadcast —
+    Catalyst broadcasts them from size stats while they fit (they do at
+    every test SF) and AQE degrades to shuffle joins when they don't.
     """
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     supp = _t(spark, sf_dir, "supplier")
     joined = R.left_join_dim(
-        R.left_join_dim(li, part, li.l_partkey == part.p_partkey),
+        R.left_join_dim(li, part, li.l_partkey == part.p_partkey, broadcast_dim=False),
         supp,
         li.l_suppkey == supp.s_suppkey,
+        broadcast_dim=False,
     )
     return R.project(
         joined,
@@ -1017,7 +1020,7 @@ def errors_recent_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("click_id").alias("n_recent_clicks")
     )
     return (
-        errors.join(F.broadcast(counts), "event_id", "left")
+        errors.join(counts, "event_id", "left")
         .select(
             "event_id",
             "user_id",
@@ -1633,7 +1636,7 @@ def brands_above_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem")
     brand_rev = (
-        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+        li.join(part.select("p_partkey", "p_brand"),
                 li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
@@ -1745,8 +1748,11 @@ def nation_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # broadcast hint ONLY on the bounded dim (25 nations). customer grows
+    # with the fact — hinting it would OOM executors at 100 TB; AQE still
+    # broadcasts it at runtime whenever it actually fits.
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
