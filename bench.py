@@ -26,6 +26,8 @@ BENCH_QUERIES = [
     "pricing_summary",
     "silver_lineitem",
     "sales_analytics",
+    "shipping_priority_top10",
+    "local_supplier_volume",
     "product_metrics",
     "sales_summary",
     "priority_rollup",
