@@ -1749,6 +1749,64 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cheapest_part_per_brand",
+    """
+    SELECT p_brand, p_partkey, p_name, p_retailprice
+    FROM (
+        SELECT p_brand, p_partkey, p_name, p_retailprice,
+               min(p_retailprice) OVER (PARTITION BY p_brand) AS mn
+        FROM part
+    ) WHERE p_retailprice = mn
+    """,
+)
+def cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin-per-group (correlated-min-subquery vocabulary, TPC-H Q2's
+    core): all parts hitting their brand's minimum price — a window min
+    + equality filter, one shuffle, keeps ties (both engines agree on
+    tie handling because no LIMIT is involved)."""
+    part = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand")
+    return (
+        part.withColumn("mn", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("mn"))
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice")
+    )
+
+
+@register(
+    "order_zscores_per_status",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           round((o_totalprice - avg(o_totalprice) OVER w)
+                 / stddev_samp(o_totalprice) OVER w, 4) AS price_z
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus)
+    """,
+)
+def order_zscores_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map via applyInPandas: per-status z-score of the order
+    price, computed group-at-a-time in Arrow batches (the third Pandas
+    API surface after mapInPandas and applyInPandasWithState). The SQL
+    oracle is the equivalent window formulation — proving the grouped
+    map agrees with the declarative plan."""
+    ship_package_to_workers(spark)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def zscore(pdf):
+        m = pdf["o_totalprice"].mean()
+        sd = pdf["o_totalprice"].std(ddof=1)
+        out = pdf[["o_orderkey", "o_orderstatus"]].copy()
+        out["price_z"] = ((pdf["o_totalprice"] - m) / sd).round(4)
+        return out
+
+    return orders.groupBy("o_orderstatus").applyInPandas(
+        zscore, "o_orderkey bigint, o_orderstatus string, price_z double"
+    )
+
+
+@register(
     "customer_max_order_gap",
     """
     WITH gaps AS (
