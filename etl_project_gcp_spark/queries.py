@@ -2008,3 +2008,353 @@ def nation_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             X.dsum_round(F.col("o_totalprice")).alias("total_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K. TPC-H query-shape breadth, batch 2 (Q4/Q6/Q7/Q14/Q15/Q17/Q19/Q22
+#    adapted to the corpus — no partsupp / l_shipmode / l_commitdate here)
+# ---------------------------------------------------------------------------
+
+@register(
+    "late_shipment_priorities",
+    """
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY 1
+    """,
+)
+def late_shipment_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): EXISTS with a
+    cross-table comparison (l_shipdate vs o_orderdate+90d) → left-semi
+    join with a non-equi conjunct on the equi-key, then count by
+    priority. The date filter prunes orders before the semi join, so
+    the shuffle carries only the window's orders; the semi join keeps
+    at most one copy per order regardless of lineitem fan-out."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@register(
+    "discounted_revenue",
+    f"""
+    SELECT {_osumr('l_extendedprice * l_discount', 4)} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): pure scan + triple
+    range predicate + ungrouped sum. All three predicates push to the
+    parquet scan (min/max row-group stats on l_shipdate make the year
+    window skip most of a date-sorted table); no shuffle at all —
+    partial sums combine in a single-row final aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        X.dsum_round(
+            F.col("l_extendedprice") * F.col("l_discount"), 4
+        ).alias("revenue")
+    )
+
+
+@register(
+    "nation_trade_volume",
+    f"""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+           {_osumr('l.l_extendedprice * (1 - l.l_discount)', 4)} AS volume
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations): the nation
+    dimension joins twice under different roles (supplier side vs
+    customer side) with a disjunctive pair condition. Both nation
+    copies broadcast (25 rows); the pair disjunction is applied after
+    both role joins, where it only sees already-joined rows — never a
+    cross product."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate",
+             "l_extendedprice", "l_discount")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            X.dsum_round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("volume")
+        )
+    )
+
+
+@register(
+    "promo_revenue_ratio",
+    """
+    WITH j AS (
+      SELECT p.p_type, l.l_extendedprice * (1 - l.l_discount) AS dp
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+        AND l.l_shipdate <  TIMESTAMP '1997-04-01')
+    SELECT 100.0
+           * CAST(sum(CAST(CASE WHEN p_type = 'PROMO' THEN dp ELSE 0 END
+                           AS DECIMAL(18,4))) AS DOUBLE)
+           / CAST(sum(CAST(dp AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue
+    FROM j
+    """,
+)
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): conditional-sum ratio in one
+    aggregate pass — a CASE inside the numerator sum, never two scans.
+    Both sums are exact decimals; the final 100*num/den runs in IEEE
+    double with the same association on both engines, so the emitted
+    quotient is bit-identical (no rounding step needed)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    dp = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    num = X.dsum(F.when(F.col("p_type") == "PROMO", dp).otherwise(F.lit(0)), 4)
+    den = X.dsum(dp, 4)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg((F.lit(100.0) * num / den).alias("promo_revenue"))
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    f"""
+    WITH rev AS (
+      SELECT s.s_suppkey, s.s_name,
+             {_osumr('l.l_extendedprice * (1 - l.l_discount)', 4)} AS total_revenue
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY 1, 2)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM (SELECT *, max(total_revenue) OVER () AS mx FROM rev) t
+    WHERE total_revenue = mx
+    """,
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): suppliers whose quarterly revenue
+    equals the global max. The max is a window over the *aggregated*
+    frame (|suppliers| rows), not a second scan+agg of lineitem — the
+    empty-window single-partition exchange moves only the tiny rollup,
+    the same trick as davg_over (exact.py)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            X.dsum_round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("total_revenue")
+        )
+    )
+    mx = F.max("total_revenue").over(W.partitionBy())
+    return (
+        rev.withColumn("mx", mx)
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .drop("mx")
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    """
+    WITH j AS (
+      SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_brand = 'Brand#3'),
+    w AS (
+      SELECT l_quantity, l_extendedprice,
+             0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                             OVER (PARTITION BY l_partkey) AS DOUBLE)
+                    / count(l_quantity) OVER (PARTITION BY l_partkey)) AS thr
+      FROM j)
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+           AS avg_yearly
+    FROM w WHERE l_quantity < thr
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): each row compared
+    against 0.2× the per-part mean quantity. The correlated scalar
+    subquery becomes a window over l_partkey — one shuffle of the
+    brand-filtered join output, instead of the self-join formulation
+    that scans and aggregates lineitem twice. The brand filter lands on
+    the broadcast part side, so the window input is already ~1/|brands|
+    of the fact. Threshold arithmetic is exact-decimal → IEEE double,
+    association-identical on both engines."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#3"
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    win = W.partitionBy("l_partkey")
+    thr = F.lit(0.2) * (
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(win).cast("double")
+        / F.count("l_quantity").over(win)
+    )
+    return (
+        j.withColumn("thr", thr)
+        .filter(F.col("l_quantity") < F.col("thr"))
+        .agg(
+            (X.dsum(F.col("l_extendedprice"), 2) / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "bracket_revenue",
+    f"""
+    SELECT {_osumr('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive brackets): an OR
+    of three (brand, size-range, quantity-range) brackets spanning both
+    join sides. Catalyst extracts the single-side residuals — the brand
+    disjunction prunes the broadcast part side and the quantity
+    disjunction (1..30 envelope) pushes to the lineitem scan — before
+    the cross-side OR is evaluated on joined rows."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    bracket = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(bracket)
+        .agg(
+            X.dsum_round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "idle_customer_balance",
+    f"""
+    WITH pos AS (
+      SELECT {_oavg('c_acctbal')} AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0),
+    idle AS (
+      SELECT c.c_mktsegment, c.c_acctbal
+      FROM customer c, pos
+      WHERE c.c_acctbal > pos.avg_bal
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey))
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           {_osumr('c_acctbal')} AS total_balance
+    FROM idle GROUP BY 1
+    """,
+)
+def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales-opportunity): wealthy customers
+    (balance above the positive-balance average) who never ordered.
+    The scalar average is a 1-row aggregate crossJoin-broadcast back
+    onto customer (never a window over the full table — that would
+    single-partition 100 TB); NOT EXISTS is a left-anti join on the
+    order key."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    avg_row = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        X.davg(F.col("c_acctbal")).alias("avg_bal")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            X.dsum_round(F.col("c_acctbal")).alias("total_balance"),
+        )
+    )
