@@ -2358,3 +2358,411 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             X.dsum_round(F.col("c_acctbal")).alias("total_balance"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L. TPC-H query-shape breadth, batch 3 (Q8/Q9/Q11/Q12/Q13/Q16/Q20/Q21
+#    adapted to the corpus — p_retailprice plays ps_supplycost, returnflag
+#    plays shipmode, shipdate-vs-orderdate lag plays receipt/commit lag)
+# ---------------------------------------------------------------------------
+
+@register(
+    "customer_order_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey)
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): double aggregation —
+    orders-per-customer via a filtered LEFT join (the non-key predicate
+    belongs to the join's right side, so zero-order customers survive
+    with c_count=0), then a histogram of those counts. The second
+    groupBy's input is |customers| rows, so the expensive shuffle
+    happens exactly once, on the join key."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "nation_market_share",
+    """
+    WITH v AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = cn.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01')
+    SELECT o_year,
+           CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                              ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+           / CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+    FROM v GROUP BY o_year
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): 8-table snowflake join,
+    then one nation's share of yearly volume as a conditional-sum ratio
+    (single pass, CASE in the numerator — never two joins). Every dim
+    is broadcast; the only shuffles are lineitem⋈orders and the final
+    tiny groupBy. Region/type filters prune the broadcast sides before
+    the fact rows fan in. Exact-decimal sums → one IEEE double divide,
+    association-identical on both engines (NOTES.md ratio rule)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_nationkey"),
+        F.col("n_regionkey").alias("cn_regionkey"),
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    v = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_nationkey"))
+        .join(F.broadcast(region), F.col("cn_regionkey") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    num = X.dsum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+            F.lit(0)
+        ),
+        4,
+    )
+    den = X.dsum(F.col("volume"), 4)
+    return v.groupBy("o_year").agg((num / den).alias("mkt_share"))
+
+
+@register(
+    "nation_profit",
+    f"""
+    SELECT sn.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           {X.osum('l.l_extendedprice * (1 - l.l_discount)'
+                   ' - 0.5 * p.p_retailprice * l.l_quantity', 4)} AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit per supplier-nation
+    per year with a cost term from the part dim (p_retailprice plays
+    ps_supplycost — the corpus has no partsupp). The p_name LIKE filter
+    prunes the broadcast part side before the fact join; profit can be
+    negative, so the sum is emitted as the UNROUNDED exact-decimal
+    double (half-up rescale differs between engines below zero)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey", "p_retailprice")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(X.dsum(profit, 4).alias("sum_profit"))
+    )
+
+
+@register(
+    "nation_supplier_value",
+    f"""
+    WITH ns AS (
+      SELECT n.n_name AS nation, {X.osum('s.s_acctbal')} AS total_balance
+      FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY 1),
+    g AS (SELECT {X.osum('s_acctbal')} AS total FROM supplier)
+    SELECT nation, total_balance
+    FROM ns, g WHERE total_balance > 0.05 * total
+    """,
+)
+def nation_supplier_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): per-nation
+    value kept only when it exceeds a fraction of the GLOBAL value.
+    The global total is a 1-row aggregate crossJoin-broadcast onto the
+    per-nation rollup (never a window over the unaggregated table);
+    both sums are exact decimals → the 0.05× threshold compare is
+    bit-deterministic."""
+    supp = _t(spark, sf_dir, "supplier").select("s_nationkey", "s_acctbal")
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    ns = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("nation")
+        .agg(X.dsum(F.col("s_acctbal")).alias("total_balance"))
+    )
+    total = supp.agg(X.dsum(F.col("s_acctbal")).alias("total"))
+    return (
+        ns.crossJoin(F.broadcast(total))
+        .filter(F.col("total_balance") > F.lit(0.05) * F.col("total"))
+        .select("nation", "total_balance")
+    )
+
+
+@register(
+    "priority_class_by_flag",
+    """
+    SELECT l.l_returnflag,
+           count(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           count(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_returnflag IN ('R', 'A')
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def priority_class_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority; l_returnflag plays
+    l_shipmode): dual conditional counts in ONE pass over the join —
+    a CASE per priority class inside count(), never two scans or a
+    pivot. The flag/date filters land on the lineitem scan; the join
+    shuffles only the year's surviving lines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+        & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "supplier_count_by_part",
+    """
+    SELECT p.p_brand, p.p_type,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#3'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45)
+    GROUP BY 1, 2
+    """,
+)
+def supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship; lineitem plays
+    partsupp as the part↔supplier bridge): COUNT(DISTINCT) per
+    (brand, type) group after a filtered dim join. Spark plans the
+    distinct as a two-phase expand/partial-agg, so the shuffle carries
+    (group, suppkey) pairs — already deduped map-side — instead of raw
+    lineitem rows. Brand/size exclusions prune the broadcast side."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45)
+    ).select("p_partkey", "p_brand", "p_type")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "bulky_part_suppliers",
+    f"""
+    WITH shipped AS (
+      SELECT l.l_suppkey, {X.osum('l.l_quantity')} AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE '%blue%'
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY 1),
+    thr AS (
+      SELECT 1.5 * (CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE)
+                    / count(*)) AS cutoff
+      FROM shipped)
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM shipped, thr
+                  WHERE shipped.l_suppkey = s.s_suppkey
+                    AND shipped.qty > thr.cutoff)
+    """,
+)
+def bulky_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers whose
+    shipped quantity of the filtered parts exceeds a threshold —
+    aggregate-subquery → filter → LEFT-SEMI back to the supplier dim.
+    The threshold (1.5× the mean per-supplier qty) is computed over the
+    aggregated frame (|suppliers| rows) and broadcast; the semi join
+    keeps supplier attributes without duplicating them per lineitem."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%blue%")
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    shipped = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(X.dsum(F.col("l_quantity")).alias("qty"))
+    )
+    thr = shipped.agg(
+        (
+            F.lit(1.5)
+            * (
+                X.dsum(F.col("qty"))
+                / F.count(F.lit(1))
+            )
+        ).alias("cutoff")
+    )
+    heavy = shipped.crossJoin(F.broadcast(thr)).filter(
+        F.col("qty") > F.col("cutoff")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    return supp.join(
+        heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi"
+    ).select("s_name", "s_acctbal")
+
+
+@register(
+    "waiting_suppliers",
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n    ON n.n_nationkey = s.s_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND n.n_name = 'NATION_1'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1
+    """,
+)
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the only
+    late supplier on a multi-supplier finished order. The two
+    correlated subqueries become a LEFT-SEMI then a LEFT-ANTI self-join
+    of lineitem — each on the order equi-key with a suppkey-inequality
+    conjunct, the anti join also correlating on the OUTER order's date
+    (o_orderdate + 60d), which rides along as a column of the left
+    side. Shuffles are all on l_orderkey, so AQE can reuse the
+    exchange; supplier/nation prune via broadcast before the heavy
+    semi/anti pair."""
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_1"
+    ).select("n_nationkey")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == nation.n_nationkey,
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    late_cut = F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    l1 = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    base = (
+        l1.join(orders, l1.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > late_cut)
+        .join(F.broadcast(supp), l1.l_suppkey == supp.s_suppkey)
+    )
+    l2 = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("l2_orderkey"),
+        F.col("l_suppkey").alias("l2_suppkey"),
+    )
+    base = base.join(
+        l2,
+        (F.col("l2_orderkey") == F.col("l_orderkey"))
+        & (F.col("l2_suppkey") != F.col("l_suppkey")),
+        "left_semi",
+    )
+    l3 = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+        F.col("l_shipdate").alias("l3_shipdate"),
+    )
+    base = base.join(
+        l3,
+        (F.col("l3_orderkey") == F.col("l_orderkey"))
+        & (F.col("l3_suppkey") != F.col("l_suppkey"))
+        & (F.col("l3_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_anti",
+    )
+    return base.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
