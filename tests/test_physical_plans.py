@@ -77,3 +77,68 @@ def test_snowflake_rollup_never_shuffles_fact(spark, sf01_dir):
     plan = _plan(spark, "nation_order_rollup", sf01_dir, mode="simple")
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 2
+
+
+def test_discounted_revenue_is_scan_plus_scalar_agg_only(spark, sf01_dir):
+    # Q6 shape: no join anywhere; the only Exchange is the SinglePartition
+    # gather of per-partition partial sums; all three predicates reach
+    # the parquet scan.
+    plan = _plan(spark, "discounted_revenue", sf01_dir, mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+    fmt = _plan(spark, "discounted_revenue", sf01_dir)
+    assert "GreaterThanOrEqual(l_shipdate" in fmt
+    assert "GreaterThanOrEqual(l_discount,0.05)" in fmt
+    assert "LessThan(l_quantity,24.0)" in fmt
+
+
+def test_nation_market_share_broadcasts_every_dim(spark, sf01_dir):
+    # Q8 shape: 7 joins; every dimension (part, customer, nation×2,
+    # region, supplier) must broadcast — no cartesian products, and the
+    # fact table is scanned exactly once.
+    plan = _plan(spark, "nation_market_share", sf01_dir, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_small_quantity_revenue_scans_fact_once(spark, sf01_dir):
+    # Q17 shape: the correlated per-part average is a window over the
+    # joined frame, never a second scan+agg of lineitem.
+    plan = _plan(spark, "small_quantity_revenue", sf01_dir, mode="simple")
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+
+
+def test_waiting_suppliers_rewrites_exists_pair_to_semi_and_anti(spark, sf01_dir):
+    # Q21 shape: EXISTS → LeftSemi, NOT EXISTS → LeftAnti, both as real
+    # join operators (never a per-row subquery loop).
+    plan = _plan(spark, "waiting_suppliers", sf01_dir, mode="simple")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_idle_customer_balance_anti_join_and_tiny_broadcast(spark, sf01_dir):
+    # Q22 shape: the scalar average must arrive as a 1-row broadcast
+    # (BroadcastNestedLoopJoin over a single-row build is O(n)), and
+    # NOT EXISTS must be a LeftAnti join.
+    plan = _plan(spark, "idle_customer_balance", sf01_dir, mode="simple")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_top_supplier_revenue_windows_aggregated_frame_only(spark, sf01_dir):
+    # Q15 shape: the global max is a window over the per-supplier rollup
+    # (|suppliers| rows), never a second scan of lineitem.
+    plan = _plan(spark, "top_supplier_revenue", sf01_dir, mode="simple")
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+
+
+def test_customer_order_distribution_single_fact_shuffle(spark, sf01_dir):
+    # Q13 shape: the first groupBy runs on the join key, so the orders
+    # table is shuffled at most once (join), and the histogram groupBy
+    # moves only |customers| rows.
+    plan = _plan(spark, "customer_order_distribution", sf01_dir, mode="simple")
+    assert plan.count("orders.parquet") == 1
+    assert plan.count("customer.parquet") == 1
