@@ -325,3 +325,86 @@ def ngram_jaccard_pairs(
     """Exact word-n-gram Jaccard for given (a, b) pairs."""
     shingled = shingle_docs(docs, id_col, text_col, n)
     return jaccard_verify(pairs, shingled, id_col, threshold)
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair graph by min-label
+    propagation: every node's label converges to the smallest node id
+    reachable from it. Returns ``(node, cluster_id)`` for every node
+    that appears in at least one pair (callers re-attach singletons).
+
+    Scale notes: each round is one shuffle-on-node join + a min
+    aggregate — no collect, no driver-side graph. Label values only
+    decrease, so the round count is bounded by the largest cluster's
+    DIAMETER, not its size; LSH dedup graphs are near-cliques (2-3
+    rounds in practice). ``localCheckpoint`` each round truncates the
+    otherwise-exponential lineage, and the convergence probe reuses the
+    checkpointed round rather than recomputing the chain. Pathological
+    long-chain graphs would want the large-star/small-star alternation
+    (Kiveris et al., O(log n) rounds); for dedup workloads the simple
+    propagation wins on constant factors.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    labels = (
+        edges.select("u").distinct().withColumn("cluster_id", F.col("u"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.select(F.col("u").alias("v"), "cluster_id"), "v"
+        ).select("u", "cluster_id")
+        new_labels = (
+            nbr.union(labels)
+            .groupBy("u")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("cluster_id", "old"), "u"
+            )
+            .filter(F.col("cluster_id") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    return labels.select(F.col("u").alias("node"), "cluster_id")
+
+
+def cluster_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Resolve near-dup pairs into clusters and pick one keeper per
+    cluster: longest text wins (ties → smallest id — deterministic,
+    NOTES.md tiebreak rule). Docs in no pair are their own singleton
+    cluster. Returns ``(doc_id, cluster_id, is_canonical)`` — the
+    downstream filter ``is_canonical`` yields the deduplicated corpus.
+    """
+    comp = connected_components(pairs, max_iter=25)
+    assigned = docs.join(
+        comp.withColumnRenamed("node", id_col), id_col, "left"
+    ).withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+    w = (
+        W.partitionBy("cluster_id")
+        .orderBy(F.length(F.col(text_col)).desc(), F.col(id_col).asc())
+    )
+    return assigned.select(
+        id_col,
+        "cluster_id",
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+    )

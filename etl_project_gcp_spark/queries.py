@@ -2766,3 +2766,52 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return base.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+
+
+# ---------------------------------------------------------------------------
+# M. Dedup cluster resolution (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_dedup_clusters",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(
+                CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
+            ), 6) >= 0.95),
+    edges AS (SELECT a AS u, b AS v FROM pairs
+              UNION SELECT b, a FROM pairs),
+    reach(node, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r)
+    SELECT node AS vec_id, min(r) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER RESOLUTION: cosine-similar pairs (≥0.95) →
+    connected components → (vec_id, cluster_id), cluster_id = smallest
+    reachable id. The iterative min-label propagation runs as
+    shuffle-on-node joins with per-round localCheckpoint (see
+    operators/dedup.py::connected_components for the scale story); the
+    oracle computes the same transitive closure with a recursive CTE —
+    a full SQL check of an iterative distributed algorithm."""
+    pairs = embedding_near_dups(spark, sf_dir).select("a", "b")
+    return DD.connected_components(pairs).select(
+        F.col("node").alias("vec_id"), "cluster_id"
+    )
+
+
+@register("dedup_cluster_canonical", None)  # iterative + LSH — rows-only
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup with CANONICAL SELECTION: exact-first near-dup
+    pairs (near_dup_pipeline) → connected components → one keeper per
+    cluster (longest text, id tiebreak). ``is_canonical`` filters to
+    the deduplicated corpus; emitted for every document including
+    singletons."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.near_dup_pipeline(docs).select("a", "b")
+    return DD.cluster_canonical(docs, pairs)

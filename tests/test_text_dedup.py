@@ -103,3 +103,49 @@ def test_near_dup_pipeline_matches_direct_on_deduped_input(spark):
     out = {(r.a, r.b) for r in DD.near_dup_pipeline(docs, threshold=0.5).collect()}
     # canonical ids are the min of each copy group: 1 (BASE), 4 (near)
     assert out == {(1, 4)}
+
+
+def test_connected_components_path_and_separate_cluster(spark):
+    # path 1-2-3-4 (worst case for propagation: converges by diameter,
+    # not size) plus disjoint pair 10-11
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], ["a", "b"]
+    )
+    got = {
+        (r.node, r.cluster_id)
+        for r in DD.connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_cluster_canonical_keeps_longest_and_singletons(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "short"),
+            (2, "the longest text of the cluster wins"),
+            (3, "medium length"),
+            (7, "unpaired doc is its own cluster"),
+        ],
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["a", "b"])
+    rows = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in DD.cluster_canonical(docs, pairs).collect()
+    }
+    assert rows == {
+        1: (1, False),
+        2: (1, True),   # longest text
+        3: (1, False),
+        7: (7, True),   # singleton keeps itself
+    }
+
+
+def test_cluster_canonical_tiebreak_is_smallest_id(spark):
+    docs = _docs(spark, [(5, "same length!"), (4, "same length!")])
+    pairs = spark.createDataFrame([(4, 5)], ["a", "b"])
+    rows = {
+        r.doc_id: r.is_canonical
+        for r in DD.cluster_canonical(docs, pairs).collect()
+    }
+    assert rows == {4: True, 5: False}
