@@ -175,3 +175,152 @@ def word_frequencies(
     if top is not None:
         freq = freq.orderBy(F.desc("n"), F.asc("word")).limit(top)
     return freq
+
+
+def tfidf_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_term_len: int = 3,
+) -> DataFrame:
+    """Per-(doc, term) TF-IDF with the log-free rational idf ``N/df``
+    (a monotone transform of the classic log idf — same ranking, but
+    every score is one integer-ratio division in IEEE double, so the
+    values are bit-deterministic cross-engine; ln() is not).
+
+    Scale: tf is a (doc, term)-keyed aggregate, df a term-keyed rollup
+    of tf (already one row per (doc, term) — no second pass over raw
+    tokens), N a 1-row broadcast. The only fact-sized shuffles are the
+    two aggregates; the df join is term-keyed on the aggregated frame.
+    """
+    tok = docs.select(
+        id_col, F.explode(tokens(text_col)).alias("term")
+    ).filter(F.length("term") >= min_term_len)
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            (
+                F.col("tf")
+                * (F.col("n_docs").cast("double") / F.col("dfreq"))
+            ).alias("tfidf"),
+        )
+    )
+
+
+def stable_bucket(col: Column | str, modulus: int = 100) -> Column:
+    """Deterministic engine/partitioning-independent hash bucket from
+    the md5 prefix of the stringified key (same recipe as
+    doc_stable_sample — reproducible in any SQL engine)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % modulus
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    rates: dict[str, int],
+    default_rate: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its stable
+    hash bucket (0-99) falls under its stratum's percentage — the
+    language-rebalancing primitive for pre-training mixes (downsample
+    dominant languages, keep the tail). No shuffle: the rate lookup is
+    a CASE ladder evaluated in the scan."""
+    rate = F.lit(default_rate)
+    for value, pct in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(pct)).otherwise(rate)
+    return docs.filter(stable_bucket(id_col) < rate)
+
+
+# Regex constructs restricted to what Java regex (Spark) and RE2
+# (DuckDB) interpret identically — no backrefs, no lookaround.
+EMAIL_PATTERN = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+URL_PATTERN = r"https?://[^\s]+"
+
+
+def pattern_counts(
+    docs: DataFrame,
+    patterns: dict[str, str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document non-overlapping match counts for each named regex —
+    the PII / boilerplate detection primitive. One projection over the
+    scan, JVM-side regex, no shuffle."""
+    return docs.select(
+        id_col,
+        *[
+            F.size(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(p), 0)
+            ).alias(name)
+            for name, p in patterns.items()
+        ],
+    )
+
+
+def pack_into_bins(
+    docs: DataFrame,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_size: int = 10_000,
+) -> DataFrame:
+    """Contiguous sequence packing for training batches: docs in id
+    order are assigned to fixed token-budget bins by their exclusive
+    running token count (``bin_id = cum_before // budget`` — the
+    concat-and-chunk shape).
+
+    The global running sum is a DISTRIBUTED PREFIX SUM, never a
+    single-partition window: within-shard cumulative sums (shuffle on
+    ``id // shard_size``) plus an exclusive scan over the per-shard
+    totals (|shards| rows, broadcast back). At 100 TB the big window
+    runs fully parallel per shard; only the tiny shard-total scan is
+    serial."""
+    from pyspark.sql import Window as W
+
+    n_tok = token_count(text_col)
+    shard = (F.col(id_col) / shard_size).cast("long")
+    t = docs.select(
+        id_col, n_tok.alias("n_tok"), shard.alias("shard")
+    )
+    in_shard = (
+        W.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    within = t.withColumn(
+        "cum_in_shard", F.coalesce(F.sum("n_tok").over(in_shard), F.lit(0))
+    )
+    shard_scan = (
+        W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = (
+        t.groupBy("shard")
+        .agg(F.sum("n_tok").alias("shard_total"))
+        .withColumn(
+            "shard_offset",
+            F.coalesce(F.sum("shard_total").over(shard_scan), F.lit(0)),
+        )
+        .select("shard", "shard_offset")
+    )
+    cum_before = F.col("shard_offset") + F.col("cum_in_shard")
+    return (
+        within.join(F.broadcast(offsets), "shard")
+        .select(
+            id_col,
+            F.col("n_tok"),
+            F.floor(cum_before / budget).cast("long").alias("bin_id"),
+        )
+    )

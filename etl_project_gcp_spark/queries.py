@@ -2815,3 +2815,114 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = DD.near_dup_pipeline(docs).select("a", "b")
     return DD.cluster_canonical(docs, pairs)
+
+
+# ---------------------------------------------------------------------------
+# N. Text-curation breadth: TF-IDF, stratified sampling, pattern counts,
+#    sequence packing (X4 extensions — training-data pipeline staples)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '\\s+')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM tok WHERE length(term) >= 3 GROUP BY 1, 2),
+    dfr AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT t.doc_id, t.term, t.tf,
+           t.tf * (CAST(n.n_docs AS DOUBLE) / d.dfreq) AS tfidf
+    FROM tf t JOIN dfr d USING (term) CROSS JOIN n
+    ORDER BY tfidf DESC, term ASC, doc_id ASC LIMIT 20
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scoring (X4): top-20 (doc, term) pairs by the log-free
+    rational idf (same ranking as log-idf, bit-deterministic values —
+    see operators/text.py::tfidf_scores). Explicit (term, doc_id)
+    tiebreak keeps the top-k partition-independent (NOTES.md rule)."""
+    scored = TX.tfidf_scores(_t(spark, sf_dir, "documents"))
+    return scored.orderBy(
+        F.desc("tfidf"), F.asc("term"), F.asc("doc_id")
+    ).limit(20)
+
+
+@register(
+    "lang_stratified_sample",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+          % 100 < CASE lang WHEN 'en' THEN 10 ELSE 40 END
+    """,
+)
+def lang_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling (X4): rebalance the language
+    mix by keeping 10% of dominant-language (en) docs and 40% of the
+    tail — hash-bucket selection, so the sample is engine-,
+    partitioning-, and rerun-stable."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.stratified_sample(
+        docs, "lang", {"en": 10}, default_rate=40
+    ).select("doc_id", "lang")
+
+
+@register(
+    "doc_pattern_counts",
+    """
+    SELECT source,
+           CAST(sum(len(regexp_extract_all(lower(text),
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))) AS BIGINT) AS n_emails,
+           CAST(sum(len(regexp_extract_all(lower(text),
+               'https?://[^\\s]+'))) AS BIGINT)                        AS n_urls,
+           CAST(sum(len(regexp_extract_all(lower(text),
+               'spark'))) AS BIGINT)                                   AS n_spark
+    FROM documents GROUP BY 1
+    """,
+)
+def doc_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / pattern detection counts (X4): per-source totals of
+    email-, URL-, and content-pattern matches. Regex constructs
+    restricted to the Java-regex ∩ RE2 common subset so counts are
+    oracle-checkable; the per-doc extraction is one JVM-side projection
+    in the scan, aggregated on the tiny source key."""
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = TX.pattern_counts(
+        docs,
+        {"e": TX.EMAIL_PATTERN, "u": TX.URL_PATTERN, "s": "spark"},
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    return per_doc.groupBy("source").agg(
+        F.sum("e").alias("n_emails"),
+        F.sum("u").alias("n_urls"),
+        F.sum("s").alias("n_spark"),
+    )
+
+
+@register(
+    "token_budget_packing",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tok,
+             COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM t)
+    SELECT doc_id, n_tok, cum_before // 2048 AS bin_id FROM c
+    """,
+)
+def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (X4): contiguous concat-and-chunk assignment of
+    docs (in id order) to 2048-token training bins. The oracle's global
+    running sum is a single window; the engine computes the identical
+    prefix sum DISTRIBUTED — per-shard cumulative + exclusive scan over
+    shard totals (operators/text.py::pack_into_bins) — because a
+    global ORDER BY window single-partitions 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.pack_into_bins(docs, budget=2048)

@@ -142,3 +142,16 @@ def test_customer_order_distribution_single_fact_shuffle(spark, sf01_dir):
     plan = _plan(spark, "customer_order_distribution", sf01_dir, mode="simple")
     assert plan.count("orders.parquet") == 1
     assert plan.count("customer.parquet") == 1
+
+
+def test_token_budget_packing_big_window_is_sharded(spark, sf01_dir):
+    # The doc-sized window must be partitioned by shard; only the
+    # |shards|-row total scan may run single-partition. A regression to
+    # one global ORDER BY window would serialize 100 TB through one task.
+    df = Q.queries()["token_budget_packing"](spark, sf01_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    import re
+    windows = re.findall(r"Window \[.*?\]", plan)
+    assert any("shard" in w and "partitionBy" not in w for w in windows) or (
+        "windowspecdefinition(shard" in plan
+    ), plan

@@ -149,3 +149,38 @@ def test_cluster_canonical_tiebreak_is_smallest_id(spark):
         for r in DD.cluster_canonical(docs, pairs).collect()
     }
     assert rows == {4: True, 5: False}
+
+
+def test_pack_into_bins_matches_serial_prefix_sum(spark):
+    # irregular token counts, shard boundary crossed (shard_size=3)
+    rows = [(i, " ".join(["tok"] * (i % 7 + 1))) for i in range(1, 21)]
+    docs = _docs(spark, rows)
+    got = {
+        r.doc_id: (r.n_tok, r.bin_id)
+        for r in TX.pack_into_bins(
+            docs, budget=10, shard_size=3
+        ).collect()
+    }
+    cum = 0
+    for i in range(1, 21):
+        n = i % 7 + 1
+        assert got[i] == (n, cum // 10), f"doc {i}"
+        cum += n
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 5 else "de") for i in range(1000)],
+        ["doc_id", "lang"],
+    )
+    s1 = TX.stratified_sample(docs, "lang", {"en": 10}, default_rate=50)
+    s2 = TX.stratified_sample(
+        docs.repartition(13), "lang", {"en": 10}, default_rate=50
+    )
+    ids1 = {r.doc_id for r in s1.collect()}
+    ids2 = {r.doc_id for r in s2.collect()}
+    assert ids1 == ids2, "sample must be partitioning-independent"
+    en = sum(1 for i in ids1 if i % 5)
+    de = sum(1 for i in ids1 if not i % 5)
+    assert 0.05 < en / 800 < 0.15
+    assert 0.35 < de / 200 < 0.65
