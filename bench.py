@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "cosine_topk_arrow",
     "ann_ivf_topk",
     "binary_meta",
+    "embedding_dedup_clusters",
+    "tfidf_top_terms",
+    "token_budget_packing",
 ]
 
 

@@ -1471,12 +1471,15 @@ def cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE round(list_cosine_similarity(
               CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
-          ), 6) >= 0.95
+          ), 6) >= 0.40
     """,
 )
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup family, exact form).
-    All-pairs — correctness baseline; use ann_lsh for the scale path."""
+    All-pairs — correctness baseline; use ann_lsh for the scale path.
+    Threshold 0.40 (not a production 0.95): the corpus embeddings are
+    near-orthogonal random vectors (max pairwise cosine ≈0.51 at
+    sf0.01), so 0.95 would make this oracle check trivially empty."""
     emb = _t(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").cast("array<double>").alias("va"))
     b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").cast("array<double>").alias("vb"))
@@ -1484,7 +1487,7 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.crossJoin(b)
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", F.round(VX.cosine(F.col("va"), F.col("vb")), 6).alias("cosine"))
-        .filter(F.col("cosine") >= 0.95)
+        .filter(F.col("cosine") >= 0.40)
     )
 
 
@@ -2780,7 +2783,7 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       WHERE round(list_cosine_similarity(
                 CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
-            ), 6) >= 0.95),
+            ), 6) >= 0.40),
     edges AS (SELECT a AS u, b AS v FROM pairs
               UNION SELECT b, a FROM pairs),
     reach(node, r) AS (
@@ -2792,14 +2795,22 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTER RESOLUTION: cosine-similar pairs (≥0.95) →
+    """Near-dup CLUSTER RESOLUTION: cosine-similar pairs (≥0.40 — the
+    corpus embeddings are near-orthogonal random vectors, max pairwise
+    cosine ≈0.51 at sf0.01, so a production-style 0.95 threshold would
+    make this check trivially empty; 0.40 yields a real multi-component
+    graph: 59 edges/sf0.01, 920/sf0.1) →
     connected components → (vec_id, cluster_id), cluster_id = smallest
     reachable id. The iterative min-label propagation runs as
     shuffle-on-node joins with per-round localCheckpoint (see
     operators/dedup.py::connected_components for the scale story); the
     oracle computes the same transitive closure with a recursive CTE —
-    a full SQL check of an iterative distributed algorithm."""
-    pairs = embedding_near_dups(spark, sf_dir).select("a", "b")
+    a full SQL check of an iterative distributed algorithm. Pair
+    generation runs the BLOCKED numpy path (cosine_pairs_blocked —
+    O(N·B) shuffle, SIMD matmul per block pair) rather than the
+    expression crossJoin: identical pair set, ~16× faster at sf0.1."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = VX.cosine_pairs_blocked(emb, threshold=0.40).select("a", "b")
     return DD.connected_components(pairs).select(
         F.col("node").alias("vec_id"), "cluster_id"
     )

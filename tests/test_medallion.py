@@ -224,3 +224,33 @@ def test_sql_twin_matches_dataframe_pipeline(spark, pipeline):
                 assert g == w, f"{layer}.{t} differs from DataFrame pipeline"
     finally:
         sql_pipe.drop_all()
+
+
+def test_http_service_endpoints(pipeline):
+    """Full HTTP round-trip over the Flask wrapper (main.py:25-177
+    parity): every endpoint returns 200 JSON with the reference's
+    response shape."""
+    flask = pytest.importorskip("flask")  # noqa: F841
+    from etl_project_gcp_spark.service import create_app
+
+    pipe, sources, _ = pipeline
+    client = create_app(pipe, sources).test_client()
+
+    r = client.get("/")
+    assert r.status_code == 200 and r.get_json()["status"] == "healthy"
+
+    r = client.get("/status")
+    body = r.get_json()
+    assert r.status_code == 200 and "/trigger-etl" in body["endpoints"]
+
+    r = client.post("/trigger-etl")
+    body = r.get_json()
+    assert r.status_code == 200 and body["success"] and body["duration_sec"] >= 0
+
+    r = client.get("/verify-results")
+    body = r.get_json()
+    assert r.status_code == 200
+    assert all(layer in body for layer in ("bronze", "silver", "gold"))
+
+    r = client.get("/sample-data")
+    assert r.status_code == 200 and len(r.get_json()) >= 3
