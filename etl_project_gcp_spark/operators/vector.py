@@ -242,6 +242,123 @@ def ivf_assign(
     return centroids, corpus.join(assigned, id_col)
 
 
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+    tol: float = 1e-4,
+) -> tuple[DataFrame, DataFrame, list[float]]:
+    """Distributed spherical k-means (Lloyd) over an ``array<double>``
+    column — the trained coarse quantizer for IVF.
+
+    Per iteration: centroids (k·d doubles, tiny) broadcast-join against
+    the corpus; per-vector argmax-cosine via a single partial-aggregable
+    ``max(struct(sim, -list_id))`` groupBy (no window); centroid update
+    = normalized mean of members, computed as a (list_id, dim) groupBy
+    over posexploded components — k·d rows collected to the driver per
+    iteration, never the vectors themselves. Empty clusters keep their
+    previous centroid. Deterministic init: the k vectors with the lowest
+    ``xxhash64(id)`` (pseudo-random spread, no RNG state).
+
+    Objective = mean cosine of each vector to its assigned centroid;
+    Lloyd on the sphere is non-decreasing in it (tested). Returns
+    (centroids ``(list_id, centroid)``, assignment ``(id, list_id)``,
+    per-iteration objective history).
+
+    Scale: each iteration is one broadcast join + two shuffles of
+    (N rows, k·d groups); nothing driver-side grows with N.
+    """
+    import math
+
+    spark = corpus.sparkSession
+    vn = corpus.select(
+        F.col(id_col).alias("_id"), _as_double(vec_col).alias("_raw")
+    ).select(
+        "_id",
+        F.transform(
+            "_raw", lambda x: x / F.sqrt(F.aggregate("_raw", F.lit(0.0), lambda a, y: a + y * y))
+        ).alias("v"),
+    )
+    vn = vn.persist()
+    try:
+        init = (
+            vn.select("_id", "v", F.xxhash64(F.col("_id").cast("string")).alias("_h"))
+            .orderBy("_h", "_id")
+            .limit(k)
+            .collect()
+        )
+        cents: list[list[float]] = [list(r["v"]) for r in init]
+        history: list[float] = []
+        assigned = None
+        cents_used = cents  # the centroid set the final `assigned` refers to
+        for _ in range(max_iter):
+            cents_used = cents
+            cdf = spark.createDataFrame(
+                [(i, cents[i]) for i in range(len(cents))],
+                "list_id int, centroid array<double>",
+            )
+            scored = vn.crossJoin(F.broadcast(cdf)).select(
+                "_id",
+                "v",
+                F.col("list_id"),
+                _dot(F.col("v"), F.col("centroid")).alias("sim"),
+            )
+            assigned = scored.groupBy("_id").agg(
+                F.max(F.struct(F.col("sim"), (-F.col("list_id")).alias("nl"))).alias("m")
+            ).select(
+                "_id",
+                (-F.col("m.nl")).cast("int").alias("list_id"),
+                F.col("m.sim").alias("sim"),
+            )
+            stats = (
+                assigned.join(vn, "_id")
+                .select("list_id", "sim", F.posexplode("v").alias("pos", "x"))
+                .groupBy("list_id", "pos")
+                .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"), F.sum("sim").alias("ssim"))
+                .collect()
+            )
+            by_list: dict[int, dict[int, float]] = {}
+            counts: dict[int, int] = {}
+            total_sim = 0.0
+            total_n = 0
+            for r in stats:
+                by_list.setdefault(r["list_id"], {})[r["pos"]] = r["sx"]
+                counts[r["list_id"]] = r["n"]
+                if r["pos"] == 0:
+                    total_sim += r["ssim"]
+                    total_n += r["n"]
+            history.append(total_sim / max(total_n, 1))
+            shift = 0.0
+            new_cents = []
+            for i in range(len(cents)):
+                if i not in by_list:
+                    new_cents.append(cents[i])  # empty cluster keeps its centroid
+                    continue
+                mean = [by_list[i][p] / counts[i] for p in range(len(cents[i]))]
+                nrm = math.sqrt(sum(x * x for x in mean)) or 1.0
+                nc = [x / nrm for x in mean]
+                shift = max(shift, 1.0 - sum(a * b for a, b in zip(cents[i], nc)))
+                new_cents.append(nc)
+            cents = new_cents
+            if shift < tol:
+                break
+        # Return the centroids that PRODUCED the final assignment: probing
+        # the post-update centroids against a pre-update assignment would
+        # route queries to lists their true neighbors were not filed under.
+        centroids = spark.createDataFrame(
+            [(i, cents_used[i]) for i in range(len(cents_used))],
+            "list_id int, centroid array<double>",
+        )
+        out_assigned = corpus.join(
+            assigned.select(F.col("_id").alias(id_col), "list_id"), id_col
+        )
+        return centroids, out_assigned, history
+    finally:
+        vn.unpersist()
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -250,10 +367,25 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantizer: str = "seed",
 ) -> DataFrame:
     """IVF search: probe the ``nprobe`` nearest lists per query, exact
-    cosine within the probed lists only."""
-    centroids, assigned = ivf_assign(corpus, n_lists, id_col, vec_col)
+    cosine within the probed lists only. ``quantizer='seed'`` uses the
+    deterministic seed-vector coarse quantizer (``ivf_assign``);
+    ``'kmeans'`` trains centroids with :func:`kmeans_fit` first.
+
+    Measured on the sf0.01 corpus (k=10, 20 queries): seed recall
+    0.805/0.87/0.92 at nprobe 4/6/8; kmeans 0.50/0.675/0.785. The
+    corpus embeddings are near-orthogonal random vectors — no cluster
+    structure to learn, and mean-of-members centroids have flatter
+    assignment margins than sharp corpus-vector seeds. On real
+    (clustered) embedding distributions the trained quantizer is the
+    standard choice; both paths are recall-tested so a distribution
+    change shows up as a test failure, not silent recall loss."""
+    if quantizer == "kmeans":
+        centroids, assigned, _ = kmeans_fit(corpus, n_lists, id_col, vec_col)
+    else:
+        centroids, assigned = ivf_assign(corpus, n_lists, id_col, vec_col)
     qv = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
     probe_scored = qv.crossJoin(F.broadcast(centroids)).select(
         "query_id", "list_id", cosine(F.col("qv"), F.col("centroid")).alias("sim")

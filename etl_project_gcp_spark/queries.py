@@ -378,6 +378,22 @@ def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("approx_price_quartiles", None)  # sketch — rows-only check
+def approx_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via ``percentile_approx`` (KLL-style
+    quantile sketch): the 100 TB twin of ``price_quartiles_by_status``
+    — fixed-size mergeable sketch per group instead of shipping every
+    value to one reducer for exact interpolation. accuracy=10000 bounds
+    rank error at 1/10000 of the group. Rows-only check; the unit test
+    bounds the value error against the exact quartiles."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.expr(
+            "percentile_approx(o_totalprice, array(0.25, 0.5, 0.75), 10000)"
+        ).alias("quartiles")
+    )
+
+
 @register(
     "price_quartiles_by_status",
     """
@@ -1503,6 +1519,21 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10: probe 4 of 16 coarse lists (X3 scale path)."""
     emb = _t(spark, sf_dir, "embeddings")
     return VX.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@register("ann_ivf_kmeans_topk", None)  # iterative training — rows-only
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a TRAINED coarse quantizer: distributed spherical
+    k-means (Lloyd — broadcast centroids, partial-agg argmax assignment,
+    k·d-row centroid update per iteration; operators/vector.py::
+    kmeans_fit) replaces the seed-vector quantizer. Recall-tested vs
+    brute force; on this corpus's unclustered random embeddings the
+    seed quantizer measures higher (see ivf_topk docstring) — the
+    trained path is the production choice for real distributions."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return VX.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, quantizer="kmeans"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -65,6 +65,29 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """JSON-Lines reader — the interchange format LLM text corpora ship
+    in (one document object per line; e.g. Dolma/C4-style dumps).
+
+    Pin ``schema`` in production: schema inference costs a full extra
+    pass over 100 TB and silently widens types on dirty lines. Without a
+    pinned schema the reader infers (the bronze-parity behavior);
+    malformed lines land in ``_corrupt_record`` (PERMISSIVE) instead of
+    failing the whole ingest — curation pipelines filter them, they
+    don't abort on them. ``multiLine`` stays False: one line = one row
+    is what makes JSONL splittable — a 100 TB dump splits at line
+    boundaries into parallel tasks with no coordination.
+    """
+    reader = spark.read.option("multiLine", False)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def read_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = CORPUS_TABLES
 ) -> dict[str, DataFrame]:

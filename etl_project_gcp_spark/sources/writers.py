@@ -34,6 +34,19 @@ def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
     df.write.mode("overwrite").option("header", header).csv(path)
 
 
+def write_jsonl(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """JSON-Lines sink (one object per line, UTF-8, overwrite) — the
+    export format downstream tokenizer/training jobs consume. Spark's
+    json sink is line-delimited by construction, so the output is
+    splittable on re-read."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)
+
+
 def write_table_overwrite(
     df: DataFrame,
     table: str,

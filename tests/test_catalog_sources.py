@@ -109,3 +109,45 @@ def test_bronze_csv_failfast_on_jagged_rows(spark, tmp_path):
     )
     with pytest.raises(Exception, match="Malformed|FAILFAST|MALFORMED"):
         read_csv_bronze(spark, str(p), schema=schema).collect()
+
+
+def test_jsonl_roundtrip_and_corrupt_line_capture(spark, tmp_path):
+    """JSONL sink→source roundtrip with a pinned schema, plus the
+    PERMISSIVE contract: a malformed line becomes a _corrupt_record row
+    for downstream filtering, never an ingest failure."""
+    from pyspark.sql import types as T
+
+    from etl_project_gcp_spark.sources import read_jsonl, write_jsonl
+
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "hola mundo", "es")],
+        ["doc_id", "text", "lang"],
+    )
+    write_jsonl(docs, str(tmp_path / "out"))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    back = read_jsonl(spark, str(tmp_path / "out"), schema=schema)
+    assert sorted((r.doc_id, r.text, r.lang) for r in back.collect()) == [
+        (1, "hello world", "en"),
+        (2, "hola mundo", "es"),
+    ]
+
+    bad = tmp_path / "dirty.jsonl"
+    bad.write_text('{"doc_id": 1, "text": "ok"}\nNOT JSON AT ALL\n')
+    dirty_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    rows = read_jsonl(spark, str(bad), schema=dirty_schema).collect()
+    good = [r for r in rows if r._corrupt_record is None]
+    corrupt = [r for r in rows if r._corrupt_record is not None]
+    assert len(good) == 1 and good[0].doc_id == 1
+    assert len(corrupt) == 1 and "NOT JSON" in corrupt[0]._corrupt_record

@@ -133,6 +133,27 @@ def test_approx_distinct_within_rsd_bound(spark, sf01_dir):
         assert abs(approx[k] - exact[k]) <= 0.05 * exact[k], (k, approx[k], exact[k])
 
 
+def test_approx_quartiles_near_exact(spark, sf01_dir):
+    """The KLL-style quantile sketch at accuracy=10000 must land within
+    0.5% of each exact interpolated quartile (rank error 1e-4 of the
+    group ⇒ value error bounded by the local density; 0.5% is ~50× the
+    observed error on this corpus)."""
+    from etl_project_gcp_spark import queries as Q
+
+    approx = {
+        r.o_orderstatus: list(r.quartiles)
+        for r in Q.queries()["approx_price_quartiles"](spark, sf01_dir).collect()
+    }
+    exact = {
+        r.o_orderstatus: [r.p25, r.p50, r.p75]
+        for r in Q.queries()["price_quartiles_by_status"](spark, sf01_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        for a, e in zip(approx[k], exact[k]):
+            assert abs(a - e) <= 0.005 * e, (k, approx[k], exact[k])
+
+
 def test_asof_join_semantics(spark):
     """Inclusive ties (ts equal → match), strictly-later rights excluded,
     no match → NULL payload."""

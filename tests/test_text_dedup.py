@@ -118,6 +118,20 @@ def test_connected_components_path_and_separate_cluster(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
 
 
+def test_connected_components_distributed_matches_driver_path(spark):
+    """Forcing the distributed min-label loop (threshold=0) must produce
+    the same components as the driver union-find shortcut."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], ["a", "b"]
+    )
+    want = {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+    dist = {
+        (r.node, r.cluster_id)
+        for r in DD.connected_components(pairs, small_graph_threshold=0).collect()
+    }
+    assert dist == want
+
+
 def test_cluster_canonical_keeps_longest_and_singletons(spark):
     docs = _docs(
         spark,

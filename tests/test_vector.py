@@ -44,6 +44,31 @@ def test_brute_force_topk_is_total_order(spark, sf01_dir):
         assert sims == sorted(sims, reverse=True)
 
 
+def test_kmeans_objective_nondecreasing_and_partition(spark, sf01_dir):
+    """Lloyd on the sphere must not decrease the mean-cosine objective,
+    and the output must be a total assignment into k lists."""
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    cents, assigned, hist = VX.kmeans_fit(emb, k=8, max_iter=5)
+    assert len(hist) >= 2
+    assert all(b >= a - 1e-9 for a, b in zip(hist, hist[1:]))
+    assert cents.count() == 8
+    n = emb.count()
+    assert assigned.count() == n
+    assert assigned.select("vec_id").distinct().count() == n
+    lists = {r.list_id for r in assigned.select("list_id").distinct().collect()}
+    assert lists <= set(range(8))
+
+
+def test_ivf_kmeans_recall_beats_floor(spark, sf01_dir):
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    truth = VX.brute_force_topk(emb, q, k=10).collect()
+    km = VX.ivf_topk(emb, q, k=10, quantizer="kmeans").collect()
+    # measured 0.50 at nprobe=4 on this corpus (near-orthogonal random
+    # vectors — no cluster structure; see ivf_topk docstring)
+    assert _recall(truth, km) >= 0.45
+
+
 def test_arrow_brute_force_matches_expression_version(spark, sf01_dir):
     """The numpy/mapInPandas formulation must select the identical
     (query, neighbor, rank) set as the array-expression formulation."""
