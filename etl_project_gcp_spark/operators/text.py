@@ -270,6 +270,38 @@ def pattern_counts(
     )
 
 
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text normalization for dedup/curation: lowercase,
+    collapse whitespace runs to one space, trim. All built-in (JVM
+    regex, codegen) — one projection, no shuffle. Unicode NFC
+    normalization is deliberately NOT here: Spark has no built-in for
+    it, and a per-row Python UDF in a 100 TB scan is the wrong trade;
+    corpora needing NFC should normalize at ingest (e.g. in the JSONL
+    producer)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def redact_text(
+    col: Column | str, rules: dict[str, str] | None = None
+) -> Column:
+    """PII-style redaction: each regex replaced by its tag, applied in
+    insertion order (JVM regexp_replace replaces ALL matches; the DuckDB
+    oracle twin needs the 'g' flag). Default rules cover emails and
+    digit runs; patterns restricted to the Java∩RE2 subset like
+    ``pattern_counts``."""
+    c = F.col(col) if isinstance(col, str) else col
+    if rules is None:
+        rules = {
+            r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}": "<EMAIL>",
+            r"[0-9]+": "<NUM>",
+        }
+    out = c
+    for pattern, tag in rules.items():
+        out = F.regexp_replace(out, pattern, tag)
+    return out
+
+
 def pack_into_bins(
     docs: DataFrame,
     budget: int = 2048,

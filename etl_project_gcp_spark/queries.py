@@ -2945,6 +2945,44 @@ def doc_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_normalized",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+)
+def doc_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (X4): lowercase + whitespace
+    collapse + trim, one built-in projection over the scan (the
+    pre-pass every dedup/fingerprint stage keys on). Oracle: the same
+    regexp_replace with DuckDB's 'g' flag (Spark replaces all matches
+    by default)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.normalize_text("text").alias("norm_text"))
+
+
+@register(
+    "doc_redacted",
+    r"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+               '[0-9]+', '<NUM>', 'g') AS redacted
+    FROM documents
+    """,
+)
+def doc_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction (X4): emails then digit runs replaced by
+    tags, sequential JVM regexp_replace in one projection — the
+    write-side twin of ``doc_pattern_counts`` detection. Patterns stay
+    in the Java∩RE2 subset so the oracle's 'g'-flag regexp_replace is
+    byte-identical."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.redact_text("text").alias("redacted"))
+
+
+@register(
     "token_budget_packing",
     """
     WITH t AS (

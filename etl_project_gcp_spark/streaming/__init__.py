@@ -1,5 +1,6 @@
 from etl_project_gcp_spark.streaming.streams import (
     incremental_rollup,
+    streaming_dedup,
     streaming_interval_join,
     read_event_stream,
     run_to_memory_sink,
@@ -10,6 +11,7 @@ from etl_project_gcp_spark.streaming.streams import (
 
 __all__ = [
     "incremental_rollup",
+    "streaming_dedup",
     "streaming_interval_join",
     "read_event_stream",
     "streaming_tumbling_agg",

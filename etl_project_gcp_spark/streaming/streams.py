@@ -264,6 +264,27 @@ def incremental_rollup(
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps each seen key only until the
+    watermark passes it, so state size tracks the watermark horizon ×
+    arrival rate — not the full stream history (plain streaming
+    ``dropDuplicates`` grows without bound; at 100 TB/day that is the
+    difference between a working job and an OOM). Duplicates arriving
+    within the watermark window are suppressed; a duplicate arriving
+    later than the watermark delay is by contract no longer
+    distinguishable — the at-most-once-per-horizon semantics every
+    at-scale event pipeline settles on."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def run_to_memory_sink(
     plan: DataFrame,
     query_name: str,

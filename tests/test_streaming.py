@@ -241,3 +241,33 @@ def test_streaming_interval_join_matches_batch_range_join(spark, event_dir):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_dedup_bounded_state_drops_in_window_dupes(spark, tmp_path_factory):
+    """dropDuplicatesWithinWatermark must suppress duplicate keys that
+    arrive inside the watermark horizon: the drained output carries each
+    event_id exactly once, matching batch dropDuplicates."""
+    from etl_project_gcp_spark.streaming import streaming_dedup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .limit(500)
+    )
+    dup = ev.union(ev.limit(200))  # 200 in-window duplicates
+    out = str(tmp_path_factory.mktemp("dedup_stream") / "events")
+    dup.coalesce(2).write.mode("overwrite").parquet(out)
+
+    stream = read_event_stream(spark, out)
+    q = run_to_memory_sink(
+        streaming_dedup(stream, keys=("event_id",), watermark="1 hour"),
+        "dedup_test",
+        output_mode="append",
+    )
+    q.awaitTermination(120)
+    got = [r.event_id for r in spark.sql("SELECT event_id FROM dedup_test").collect()]
+    want = {r.event_id for r in ev.select("event_id").distinct().collect()}
+    assert len(got) == len(set(got)), "duplicate event_id in deduped stream"
+    assert set(got) == want
