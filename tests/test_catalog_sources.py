@@ -151,3 +151,53 @@ def test_jsonl_roundtrip_and_corrupt_line_capture(spark, tmp_path):
     corrupt = [r for r in rows if r._corrupt_record is not None]
     assert len(good) == 1 and good[0].doc_id == 1
     assert len(corrupt) == 1 and "NOT JSON" in corrupt[0]._corrupt_record
+
+
+def test_compact_parquet_hits_target_file_count(spark, tmp_path):
+    """64 tiny files compact into the byte-computed target count; data
+    survives the rewrite intact."""
+    from etl_project_gcp_spark.sources.layout import compact_parquet
+
+    df = spark.range(100_000).selectExpr("id", "id * 2 AS v")
+    src = str(tmp_path / "small_files")
+    df.repartition(64).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*")) == 64
+    dst = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, dst, target_mb=1)
+    files = glob.glob(f"{dst}/part-*")
+    assert len(files) == n < 64
+    back = spark.read.parquet(dst)
+    assert back.count() == 100_000
+    assert back.agg({"v": "sum"}).collect()[0][0] == df.agg({"v": "sum"}).collect()[0][0]
+
+
+def test_sorted_parquet_layout_prunes_on_sort_key(spark, tmp_path):
+    """Range-partitioned sorted layout: files carry non-overlapping key
+    ranges (checked via per-file min/max) and a selective key filter
+    reads fewer rows than the full scan (row-group pruning visible in
+    the scan metrics would need a cluster; here we assert layout)."""
+    from etl_project_gcp_spark.sources.layout import write_sorted_parquet
+
+    df = spark.range(50_000).selectExpr(
+        "cast(id * 7919 % 50000 AS long) AS k", "id AS payload"
+    )
+    path = str(tmp_path / "sorted")
+    write_sorted_parquet(df, path, ["k"], n_files=8)
+
+    import glob
+
+    from pyspark.sql import functions as F
+
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    assert len(files) == 8
+    ranges = []
+    for f in files:
+        r = spark.read.parquet(f).agg(F.min("k"), F.max("k")).collect()[0]
+        ranges.append((r[0], r[1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {(lo1,hi1)} vs {(lo2,hi2)}"
+    # correctness through the rewrite
+    assert spark.read.parquet(path).count() == 50_000
