@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "doc_quality",
     "word_counts_top20",
     "doc_fingerprint",
+    "doc_normalized",
+    "doc_redacted",
     "dedup_minhash",
     "dedup_simhash",
     "cosine_topk",

@@ -1,0 +1,99 @@
+"""Property-based checks (hypothesis) on the two components where a
+hand-picked example can miss the failure: exact cross-engine money
+aggregation (exact.py) and connected-components resolution.
+
+Examples are capped low — each example runs real Spark jobs — but the
+generators aim straight at the hazards: values landing on .005 rounding
+boundaries, single-partition vs multi-partition summation order, random
+graph topologies (chains, cliques, forests) for CC.
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_project_gcp_spark import exact as X
+from etl_project_gcp_spark.operators import dedup as DD
+
+# money values with exactly 2 decimals, including .005-boundary bait
+money = st.integers(min_value=0, max_value=10_000_00).map(
+    lambda c: Decimal(c) / 100
+)
+
+
+def _reference_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Plain-Python BFS transitive closure → min reachable id."""
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    out: dict[int, int] = {}
+    seen: set[int] = set()
+    for start in adj:
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        seen.add(start)
+        while stack:
+            n = stack.pop()
+            comp.append(n)
+            for m in adj[n] - seen:
+                seen.add(m)
+                stack.append(m)
+        label = min(comp)
+        for n in comp:
+            out[n] = label
+    return out
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vals=st.lists(money, min_size=1, max_size=40), parts=st.integers(1, 5))
+def test_dsum_round_and_davg_match_decimal_reference(spark, vals, parts):
+    """dsum_round/davg must equal single-threaded Decimal arithmetic
+    (half-up) REGARDLESS of how many partitions the sum runs over —
+    the order-independence claim exact.py makes."""
+    df = spark.createDataFrame(
+        [(float(v),) for v in vals], "v double"
+    ).repartition(parts)
+    got = df.agg(
+        X.dsum_round(F.col("v")).alias("s"), X.davg(F.col("v")).alias("a")
+    ).collect()[0]
+    want_sum = sum(vals).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+    want_avg = (sum(vals) / len(vals)).quantize(
+        Decimal("0.01"), rounding=ROUND_HALF_UP
+    )
+    assert Decimal(str(got.s)) == want_sum, (vals, got.s, want_sum)
+    assert Decimal(str(got.a)) == want_avg, (vals, got.a, want_avg)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_union_find_cc_matches_bfs_reference(spark, edges):
+    """Driver union-find on arbitrary graph shapes must equal the BFS
+    transitive-closure reference (same min-reachable-id contract)."""
+    pairs = spark.createDataFrame(edges, ["a", "b"])
+    got = {
+        (r.node, r.cluster_id) for r in DD.connected_components(pairs).collect()
+    }
+    want = set(_reference_components(edges).items())
+    assert got == want, (edges,)
