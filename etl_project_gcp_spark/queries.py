@@ -279,6 +279,33 @@ def priority_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "priority_status_grouping_sets",
+    f"""
+    SELECT o_orderpriority, o_orderstatus,
+           count(*)                 AS n_orders,
+           {_osumr('o_totalprice')} AS total_revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    """,
+)
+def priority_status_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither cube nor rollup): exactly the two
+    single-key marginals in ONE pass over the fact — the hand-picked
+    subset a reporting layer asks for when the full cube would explode
+    the shuffle. DataFrame ``groupingSets`` API; same expansion
+    machinery as cube (map-side expand, one shuffle)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderpriority"], ["o_orderstatus"]],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        X.dsum_round(F.col("o_totalprice")).alias("total_revenue"),
+    )
+
+
+@register(
     "priority_status_rollup",
     f"""
     SELECT o_orderpriority, o_orderstatus,

@@ -155,3 +155,30 @@ def test_token_budget_packing_big_window_is_sharded(spark, sf01_dir):
     assert any("shard" in w and "partitionBy" not in w for w in windows) or (
         "windowspecdefinition(shard" in plan
     ), plan
+
+
+def test_text_normalize_and_redact_are_shuffle_free_projections(spark, sf01_dir):
+    """One projection over the scan, no Exchange: per-row text ops must
+    never shuffle (at 100 TB a stray exchange on the documents scan is
+    the whole job cost)."""
+    for name in ("doc_normalized", "doc_redacted"):
+        plan = _plan(spark, name, sf01_dir)
+        assert "Exchange" not in plan, f"{name} plan has a shuffle:\n{plan}"
+        assert "WholeStageCodegen" in _plan(spark, name, sf01_dir, "simple") or \
+            "Project" in plan
+
+
+def test_jsonl_reader_pushes_schema_not_inference(spark, tmp_path):
+    """With a pinned schema the JSONL scan must not run an inference
+    pass (no extra job): reading a path that would fail inference-time
+    parsing still builds the plan lazily."""
+    from pyspark.sql import types as T
+
+    from etl_project_gcp_spark.sources import read_jsonl
+
+    p = tmp_path / "x.jsonl"
+    p.write_text('{"a": 1}\n')
+    schema = T.StructType([T.StructField("a", T.LongType())])
+    df = read_jsonl(spark, str(p), schema=schema)
+    # schema available without any job having scanned the file
+    assert df.schema == schema
