@@ -1107,6 +1107,54 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_view_to_purchase",
+    """
+    WITH f AS (
+        SELECT ts, event_type,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                   RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING
+               ) AS saw_view
+        FROM events
+    )
+    SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+           count(*)                                 AS n_purchases,
+           CAST(sum(saw_view) AS BIGINT)            AS n_converted
+    FROM f
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event funnel: purchases preceded by a view from the same user
+    within the past hour. The scalable shape is a RANGE-frame window
+    over event time per user (one shuffle on user_id, state = one flag
+    per frame) — NOT a self-join, whose time-bounded pair blow-up is
+    quadratic in events-per-user. Frame bounds are exact microsecond
+    longs on both engines (strictly-earlier upper bound -1 µs excludes
+    simultaneous events deterministically)."""
+    ev = _events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, -1)
+    )
+    flagged = ev.withColumn(
+        "saw_view",
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).over(w),
+    )
+    return (
+        flagged.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("saw_view").cast("bigint").alias("n_converted"),
+        )
+    )
+
+
+@register(
     "event_props_by_type",
     f"""
     WITH ex AS (
