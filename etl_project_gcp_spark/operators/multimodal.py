@@ -90,6 +90,93 @@ def extract_media_meta(
     return df.select(id_col, content_col).mapInPandas(featurize, MEDIA_META_SCHEMA)
 
 
+RESIZED_SCHEMA = "id bigint, resized binary, width int, height int"
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    id_col: str = "id",
+    content_col: str = "content",
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Image-resize PLUMBING (the preprocessing step in front of every
+    vision encoder): Arrow-batched ``mapInPandas``, binary in → binary
+    out with pinned (id, resized, width, height) schema, so the rewrite
+    runs embarrassingly parallel over the scan with no shuffle. The
+    pixel work is STUBBED (no PIL in this container): the fake "resize"
+    emits a deterministic digest-derived payload of len ∝ target area;
+    a real deployment swaps `_fake_resize` for PIL/cv2 inside the same
+    batch loop — the Spark plan does not change."""
+
+    def _fake_resize(b: bytes) -> bytes:
+        if not b:
+            return b""
+        seed = hashlib.sha256(b).digest()
+        need = max(1, (target_w * target_h) // 64)
+        return (seed * (need // len(seed) + 1))[:need]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(payload) if payload is not None else b""
+                if not decode_stub:
+                    raise NotImplementedError(
+                        "real image resize requires PIL/cv2 — not in this container"
+                    )
+                rows.append(
+                    {
+                        "id": int(_id),
+                        "resized": _fake_resize(b),
+                        "width": target_w,
+                        "height": target_h,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["id", "resized", "width", "height"])
+
+    return df.select(id_col, content_col).mapInPandas(run, RESIZED_SCHEMA)
+
+
+def extract_features(
+    df: DataFrame,
+    dim: int = 16,
+    id_col: str = "id",
+    content_col: str = "content",
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Feature extraction PLUMBING (binary → embedding): emits a pinned
+    ``array<float>`` column per payload, the handoff between multimodal
+    ingest and the vector operators (operators/vector.py consumes the
+    output unchanged — integration-tested). The encoder is STUBBED with
+    a deterministic digest-derived unit vector; a real deployment runs
+    the model inside the same Arrow batch loop (optionally batching to
+    the GPU per pandas batch), same schema, same plan."""
+
+    def _fake_embed(b: bytes) -> list[float]:
+        seed = hashlib.sha256(b).digest()
+        raw = [(seed[i % len(seed)] - 127.5) / 127.5 for i in range(dim)]
+        nrm = sum(x * x for x in raw) ** 0.5 or 1.0
+        return [x / nrm for x in raw]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(payload) if payload is not None else b""
+                if not decode_stub:
+                    raise NotImplementedError(
+                        "real feature extraction requires a vision/audio model"
+                    )
+                rows.append({"id": int(_id), "embedding": _fake_embed(b)})
+            yield pd.DataFrame(rows, columns=["id", "embedding"])
+
+    return df.select(id_col, content_col).mapInPandas(
+        run, "id bigint, embedding array<float>"
+    )
+
+
 def frame_sample_plan(
     df: DataFrame,
     id_col: str = "id",

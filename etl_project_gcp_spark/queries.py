@@ -1662,6 +1662,35 @@ def frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("binary_resize_meta", None)  # stub pixel work — rows-only
+def binary_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (multimodal): binary in → binary out
+    through Arrow-batched mapInPandas with a pinned schema; emits the
+    per-payload output dims + resized byte length (payload itself is
+    digest-derived — no codec libs in this container)."""
+    docs = MM.attach_binary(_t(spark, sf_dir, "documents"), "text")
+    out = MM.resize_images(docs, 224, 224, id_col="doc_id")
+    return out.select(
+        "id", "width", "height", F.length("resized").alias("n_resized_bytes")
+    )
+
+
+@register("binary_embed_topk", None)  # stub encoder — rows-only
+def binary_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal→similarity handoff: binary payloads → (stub) encoder
+    embeddings → exact cosine top-5, the end-to-end shape of an
+    image-dedup / retrieval pipeline. The encoder is a deterministic
+    digest-derived unit vector (no model in this container); the vector
+    stage is the real, recall-tested operator."""
+    docs = MM.attach_binary(
+        _t(spark, sf_dir, "documents").limit(200), "text"
+    )
+    emb = MM.extract_features(docs, dim=16, id_col="doc_id")
+    return VX.brute_force_topk(
+        emb, emb.filter(F.col("id") < 5), k=5, id_col="id", vec_col="embedding"
+    )
+
+
 # ---------------------------------------------------------------------------
 # K. Additional relational shapes (semi/anti joins, HAVING, CASE WHEN —
 #    rounding out the query vocabulary a reference user would expect)
