@@ -49,19 +49,61 @@ def _rot(h: F.Column, bits: int) -> F.Column:
 def shingle_docs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
 ) -> DataFrame:
-    """(id, shingle_hash) pairs — distinct per doc.
+    """(id, shingle_hash) pairs — distinct per doc, SHUFFLE-FREE until
+    the final distinct.
 
-    Each token is hashed ONCE (posexplode → xxhash64), then k consecutive
-    token hashes combine into a shingle hash via position-rotated XOR
-    over window ``lead``s — a single linear pass. No shingle strings are
-    built, and no array lambda is used: Catalyst inlines lambda-bound
-    arrays into every element_at, which turns the obvious
-    transform/element_at formulation into O(n²·k) per document (measured
-    30s vs 1s on the sf0.1 corpus).
+    Each token is hashed once into an ``array<bigint>`` column
+    (``transform`` + xxhash64) in its own projection; shingle hashes
+    are then position-rotated XORs of k consecutive entries, indexed
+    with ``F.get`` over that materialized attribute — linear work per
+    document, no window, so the token stream never shuffles on doc id
+    (the window formulation's per-doc sort is the data-dependent term
+    at 100 TB; see ``_shingle_docs_window``, kept as the
+    equality-tested reference).
 
-    Docs shorter than k tokens emit one partial shingle (missing leads
-    coalesce to 0, the XOR identity).
+    History: an earlier element_at-over-inline-alias formulation went
+    O(n²·k) per doc via Catalyst lambda inlining. Projecting the hashed
+    array as a concrete attribute first and indexing with ``F.get``
+    (0-based, NULL out-of-bounds — ANSI-safe) measures linear
+    (1.7 s vs 30 s on the sf0.1 corpus).
+
+    Docs shorter than k tokens emit one partial shingle (missing
+    positions coalesce to 0, the XOR identity).
     """
+    tok = docs.select(
+        F.col(id_col),
+        F.transform(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t)
+        ).alias("th"),
+    )
+    n = F.size(F.col("th"))
+    m = F.greatest(n - (k - 1), F.lit(1))
+
+    def shingle_at(i):
+        acc = F.coalesce(F.get(F.col("th"), i), F.lit(0))
+        for j in range(1, k):
+            acc = acc.bitwiseXOR(
+                _rot(F.coalesce(F.get(F.col("th"), i + j), F.lit(0)), (j * 7) % 64)
+            )
+        return acc
+
+    return (
+        tok.select(
+            id_col,
+            F.explode(F.transform(F.sequence(F.lit(0), m - 1), shingle_at)).alias(
+                "sh"
+            ),
+        )
+        .distinct()
+    )
+
+
+def _shingle_docs_window(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Window-lead formulation of ``shingle_docs`` (posexplode → per-doc
+    sort → k-1 leads). Same output set; kept as the equality oracle for
+    the shuffle-free array formulation."""
     tok = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "tok"),

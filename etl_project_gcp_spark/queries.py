@@ -1596,6 +1596,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VX.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+@register("ann_quantized_topk", None)  # quantization error — rows-only
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized cosine top-10 (X3 scale path): 4× less scan IO
+    than float32 at 0.9+ recall (recall-tested) — the first stage of
+    two-stage retrieval (quantized scan → exact rerank)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return VX.quantized_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
 @register("ann_ivf_kmeans_topk", None)  # iterative training — rows-only
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a TRAINED coarse quantizer: distributed spherical

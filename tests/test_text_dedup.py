@@ -198,3 +198,26 @@ def test_stratified_sample_rates_and_determinism(spark):
     de = sum(1 for i in ids1 if not i % 5)
     assert 0.05 < en / 800 < 0.15
     assert 0.35 < de / 200 < 0.65
+
+
+def test_shingle_array_formulation_matches_window_reference(spark, sf01_dir):
+    """The shuffle-free array-indexed shingle pipeline must emit exactly
+    the window formulation's (doc, shingle) set — including short-doc
+    partial shingles."""
+    docs = spark.read.parquet(f"{sf01_dir}/documents.parquet").limit(200)
+    short = spark.createDataFrame(
+        [(900001, "one two"), (900002, "solo"), (900003, "")],
+        ["doc_id", "text"],
+    )
+    both = docs.select("doc_id", "text").union(short)
+    a = {(r.doc_id, r.sh) for r in DD.shingle_docs(both).collect()}
+    b = {(r.doc_id, r.sh) for r in DD._shingle_docs_window(both).collect()}
+    assert a == b
+
+
+def test_shingle_docs_plan_has_no_window_exchange(spark, sf01_dir):
+    """The array formulation's promise: no per-doc shuffle before the
+    distinct (the window version sorts every token stream by doc id)."""
+    docs = spark.read.parquet(f"{sf01_dir}/documents.parquet")
+    plan = DD.shingle_docs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan

