@@ -206,6 +206,51 @@ def count_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_column_profile",
+    """
+    SELECT 'o_custkey'    AS column_name,
+           count(*) - count(o_custkey) AS n_nulls,
+           CAST(min(o_custkey) AS VARCHAR) AS min_value,
+           CAST(max(o_custkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           count(*) - count(o_orderstatus),
+           CAST(min(o_orderstatus) AS VARCHAR),
+           CAST(max(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate',
+           count(*) - count(o_orderdate),
+           CAST(min(o_orderdate) AS VARCHAR),
+           CAST(max(o_orderdate) AS VARCHAR)
+    FROM orders
+    """,
+)
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profile: per-column null count + min/max
+    (stringified), the audit every silver layer runs before trusting a
+    load — extends the reference's row-count verification
+    (etl_medallion.py:220-296) to column level. ONE pass over the scan
+    (all aggregates partial-agg'd together), unpivoted to one row per
+    column; string min/max are stable because both engines compare
+    binary/codepoint order on ASCII keys."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def prof(c):
+        return F.struct(
+            F.lit(c).alias("column_name"),
+            (F.count(F.lit(1)) - F.count(F.col(c))).alias("n_nulls"),
+            F.min(F.col(c)).cast("string").alias("min_value"),
+            F.max(F.col(c)).cast("string").alias("max_value"),
+        )
+
+    cols = ["o_custkey", "o_orderstatus", "o_orderdate"]
+    one_row = orders.agg(F.array(*[prof(c) for c in cols]).alias("p"))
+    return one_row.select(F.explode("p").alias("p")).select("p.*")
+
+
+@register(
     "nation_names_by_region",
     """
     SELECT r.r_name AS region,
