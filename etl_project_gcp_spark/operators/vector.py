@@ -1,6 +1,11 @@
 """Embedding similarity search (SURVEY §2.12 X3 [EXT]).
 
-Three tiers, all DataFrame-native:
+Retrieval tiers, all DataFrame-native — pick by corpus size and recall
+target: exact brute force (correctness baseline) → int8-quantized scan
+(4× IO, ≥0.9 recall) → two-stage (quantized overfetch + exact rerank,
+exact scores) → LSH / IVF / k-means-IVF (sub-linear probing). Measured
+recalls per path live in the respective docstrings; every approximate
+path is recall-tested against brute force.
 
 - **Brute-force top-k** (the correctness baseline): broadcast the query
   vectors against the corpus, cosine via JVM-side array expressions
