@@ -270,6 +270,42 @@ def pattern_counts(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 256,
+    stride: int = 192,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window chunking: each document split into overlapping
+    token windows of ``chunk_tokens`` advancing by ``stride`` (overlap =
+    chunk − stride) — the standard prep for embedding/training jobs with
+    a fixed context budget. One row per (doc, chunk_index) with the
+    chunk text and its token count.
+
+    All expression-level (split → sequence over window starts → slice →
+    array_join): shuffle-free, linear in total tokens. Short docs emit
+    exactly one chunk; the final window is allowed to be short rather
+    than dropped (training pipelines keep tails)."""
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks)  # split never yields an empty array → n ≥ 1
+    # window starts: 0, stride, …, stride·floor((n-1)/stride) — the last
+    # multiple of stride strictly below n, so every chunk is non-empty
+    last_start = (F.floor((n - 1) / stride) * stride).cast("long")
+    starts = F.sequence(F.lit(0).cast("long"), last_start, F.lit(stride).cast("long"))
+    t = docs.select(F.col(id_col), toks.alias("_toks"), starts.alias("_starts"))
+    ch = t.select(
+        id_col, "_toks", F.posexplode("_starts").alias("chunk_index", "start")
+    )
+    piece = F.slice(F.col("_toks"), F.col("start") + 1, chunk_tokens)
+    return ch.select(
+        id_col,
+        "chunk_index",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("n_chunk_tokens"),
+    )
+
+
 def normalize_text(col: Column | str) -> Column:
     """Canonical text normalization for dedup/curation: lowercase,
     collapse whitespace runs to one space, trim. All built-in (JVM

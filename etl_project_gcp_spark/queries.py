@@ -3151,6 +3151,89 @@ def doc_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_common_token_ratio",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents),
+    v AS (
+        SELECT tok FROM (
+            SELECT tok, count(*) AS c FROM tok
+            GROUP BY tok ORDER BY c DESC, tok LIMIT 100)),
+    j AS (
+        SELECT t.doc_id,
+               CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM tok t LEFT JOIN v ON t.tok = v.tok)
+    SELECT doc_id,
+           count(*)                    AS n_tok,
+           CAST(sum(hit) AS BIGINT)    AS n_common,
+           {X.odiv_round('sum(hit)', 'count(*)', 4)} AS common_ratio
+    FROM j GROUP BY doc_id
+    """,
+)
+def doc_common_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage quality signal: fraction of a document's
+    tokens that fall in the corpus top-100 vocabulary (low coverage ⇒
+    boilerplate/code/noise — a Gopher-style curation feature computed
+    against the corpus itself, no external model). Deterministic by
+    construction: vocabulary cut has a total-order tiebreak (count
+    desc, token asc) and the ratio is exact integer arithmetic
+    (ddiv_round), never a double sum. The vocabulary is tiny →
+    broadcast to the token stream; two shuffles total (vocab count +
+    per-doc aggregate) regardless of corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+    # top-100 via orderBy+limit → TakeOrderedAndProject (each partition
+    # keeps its local top-100, driver merges 100·P rows) — NOT a global
+    # row_number window, which would single-partition the whole distinct
+    # vocabulary
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(100)
+        .select("tok", F.lit(1).alias("hit"))
+    )
+    j = tok.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id", F.coalesce(F.col("hit"), F.lit(0)).alias("hit")
+    )
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum("hit").cast("bigint").alias("n_common"),
+        X.ddiv_round(F.sum("hit"), F.count(F.lit(1)), 4).alias("common_ratio"),
+    )
+
+
+@register(
+    "doc_chunks",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(text, '\s+') AS toks,
+               len(string_split_regex(text, '\s+')) AS n
+        FROM documents),
+    s AS (
+        SELECT doc_id, toks, n,
+               unnest(range(0, ((n - 1) // 48) * 48 + 1, 48)) AS start
+        FROM t)
+    SELECT doc_id,
+           CAST(start // 48 AS INTEGER)                    AS chunk_index,
+           array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text,
+           CAST(least(64, n - start) AS INTEGER)           AS n_chunk_tokens
+    FROM s
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (X4): overlapping 64-token windows with
+    stride 48 (16-token overlap) — the fixed-context prep step for
+    embedding/training jobs. Shuffle-free expression pipeline
+    (split → sequence → slice → array_join); the oracle replays the
+    same slicing with DuckDB list functions."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.chunk_documents(docs, chunk_tokens=64, stride=48)
+
+
+@register(
     "token_budget_packing",
     """
     WITH t AS (

@@ -221,3 +221,28 @@ def test_shingle_docs_plan_has_no_window_exchange(spark, sf01_dir):
     docs = spark.read.parquet(f"{sf01_dir}/documents.parquet")
     plan = DD.shingle_docs(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_chunk_documents_boundaries_and_overlap(spark):
+    """Chunk math: 10 tokens at chunk=4/stride=3 -> starts 0,3,6,9;
+    final chunk short but kept; overlap = chunk - stride; short and
+    single-token docs emit exactly one chunk."""
+    docs = _docs(
+        spark,
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),
+            (2, "single"),
+            (3, "a b c"),
+        ],
+    )
+    out = {
+        (r.doc_id, r.chunk_index): (r.chunk_text, r.n_chunk_tokens)
+        for r in TX.chunk_documents(docs, chunk_tokens=4, stride=3).collect()
+    }
+    assert out[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert out[(1, 1)] == ("t3 t4 t5 t6", 4)
+    assert out[(1, 2)] == ("t6 t7 t8 t9", 4)
+    assert out[(1, 3)] == ("t9", 1)
+    assert out[(2, 0)] == ("single", 1)
+    assert out[(3, 0)] == ("a b c", 3)
+    assert len([k for k in out if k[0] == 1]) == 4
