@@ -206,6 +206,40 @@ def count_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_supplier_nation_balance",
+    """
+    WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_customers
+               FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers
+               FROM supplier GROUP BY 1)
+    SELECT COALESCE(c.nk, s.nk)          AS nationkey,
+           COALESCE(c.n_customers, 0)    AS n_customers,
+           COALESCE(s.n_suppliers, 0)    AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def customer_supplier_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER equi-join (vocabulary completeness — the reference
+    uses only left joins, SURVEY §2.3): per-nation customer vs supplier
+    counts, preserving nations present on either side only. Aggregated
+    BEFORE the join, so the full-join inputs are |nations|-sized — the
+    join itself never touches fact-scale data."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    c = cust.groupBy(F.col("c_nationkey").alias("nk_c")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    s = supp.groupBy(F.col("s_nationkey").alias("nk_s")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return c.join(s, c["nk_c"] == s["nk_s"], "full_outer").select(
+        F.coalesce(F.col("nk_c"), F.col("nk_s")).alias("nationkey"),
+        F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+        F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@register(
     "orders_column_profile",
     """
     SELECT 'o_custkey'    AS column_name,
