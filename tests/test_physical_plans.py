@@ -182,3 +182,9 @@ def test_jsonl_reader_pushes_schema_not_inference(spark, tmp_path):
     df = read_jsonl(spark, str(p), schema=schema)
     # schema available without any job having scanned the file
     assert df.schema == schema
+
+
+def test_doc_chunks_is_shuffle_free(spark, sf01_dir):
+    """Chunking promises a pure scan→explode pipeline: no Exchange."""
+    plan = _plan(spark, "doc_chunks", sf01_dir)
+    assert "Exchange" not in plan, plan

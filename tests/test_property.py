@@ -97,3 +97,31 @@ def test_union_find_cc_matches_bfs_reference(spark, edges):
     }
     want = set(_reference_components(edges).items())
     assert got == want, (edges,)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), max_size=80
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_normalize_text_is_idempotent(spark, texts):
+    """normalize(normalize(x)) == normalize(x) for arbitrary unicode —
+    the fixed-point property every canonicalization step needs (dedup
+    keys must not change if the pipeline runs twice)."""
+    from etl_project_gcp_spark.operators import text as TX
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    once = df.select("i", TX.normalize_text("t").alias("n"))
+    twice = once.select("i", TX.normalize_text("n").alias("n"))
+    a = {r.i: r.n for r in once.collect()}
+    b = {r.i: r.n for r in twice.collect()}
+    assert a == b
