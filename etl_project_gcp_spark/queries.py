@@ -471,32 +471,95 @@ def distinct_customer_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_customers", None)  # sketch — rows-only check
+@register(
+    "approx_distinct_customers",
+    """
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS exact_customers,
+           true                      AS sketch_within_5pct
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct sketch (approx_count_distinct, 1% rsd):
     the 100 TB path for cardinality — one fixed-size sketch per group
     merges associatively, where exact COUNT(DISTINCT) must shuffle every
-    distinct value. Rows-only check; the unit test bounds the error vs
-    the exact count."""
+    distinct value.
+
+    The HLL register values are engine-specific, so the cross-engine
+    contract is a tolerance check evaluated in-query: we emit the exact
+    count plus a boolean asserting the sketch landed within 5% of it
+    (1% rsd → 5% is a ≥5σ bound; deterministic, seed-free). The DuckDB
+    oracle emits the same exact count with a literal ``true``, so the
+    driver's value hash matches iff the sketch is in tolerance. The
+    production form drops the exact twin and keeps only the sketch."""
     orders = _t(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers")
+        F.count_distinct("o_custkey").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey", 0.01).alias("_approx"),
+    ).select(
+        "o_orderstatus",
+        "exact_customers",
+        (
+            F.abs(F.col("_approx") - F.col("exact_customers"))
+            <= 0.05 * F.col("exact_customers")
+        ).alias("sketch_within_5pct"),
     )
 
 
-@register("approx_price_quartiles", None)  # sketch — rows-only check
+@register(
+    "approx_price_quartiles",
+    """
+    SELECT o_orderstatus, 25 AS quartile,
+           round(CAST(quantile_cont(o_totalprice, 0.25) AS DOUBLE), 2) AS exact_value,
+           true AS sketch_within_1pct
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT o_orderstatus, 50 AS quartile,
+           round(CAST(quantile_cont(o_totalprice, 0.50) AS DOUBLE), 2) AS exact_value,
+           true AS sketch_within_1pct
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT o_orderstatus, 75 AS quartile,
+           round(CAST(quantile_cont(o_totalprice, 0.75) AS DOUBLE), 2) AS exact_value,
+           true AS sketch_within_1pct
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def approx_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles via ``percentile_approx`` (KLL-style
     quantile sketch): the 100 TB twin of ``price_quartiles_by_status``
     — fixed-size mergeable sketch per group instead of shipping every
     value to one reducer for exact interpolation. accuracy=10000 bounds
-    rank error at 1/10000 of the group. Rows-only check; the unit test
-    bounds the value error against the exact quartiles."""
+    rank error at 1/10000 of the group.
+
+    Output is flattened to one scalar row per (status, quartile) —
+    never an array column, which order-insensitive hashers can't
+    digest. Cross-engine contract mirrors ``approx_distinct_customers``:
+    emit the exact interpolated quantile (both engines agree on it)
+    plus an in-query boolean asserting the sketch value is within 1% —
+    the sketch returns a real data point near the target rank, so a
+    relative bound is the right tolerance. Production form keeps only
+    the sketch column."""
     orders = _t(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
+    wide = orders.groupBy("o_orderstatus").agg(
         F.expr(
             "percentile_approx(o_totalprice, array(0.25, 0.5, 0.75), 10000)"
-        ).alias("quartiles")
+        ).alias("_approx"),
+        F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").alias("_exact"),
+    )
+    return wide.select(
+        "o_orderstatus",
+        F.posexplode(F.arrays_zip("_approx", "_exact")).alias("_pos", "_pair"),
+    ).select(
+        "o_orderstatus",
+        F.element_at(F.array(F.lit(25), F.lit(50), F.lit(75)), F.col("_pos") + 1)
+            .alias("quartile"),
+        F.round(F.col("_pair._exact"), 2).alias("exact_value"),
+        (
+            F.abs(F.col("_pair._approx") - F.col("_pair._exact"))
+            <= 0.01 * F.abs(F.col("_pair._exact"))
+        ).alias("sketch_within_1pct"),
     )
 
 
