@@ -160,16 +160,16 @@ class MedallionPipeline:
             .select(
                 F.col("s.transaction_id"),
                 F.col("s.sale_date"),
-                F.col("s.product_id"),
+                F.col("s.quantity"),
+                F.col("s.total_amount"),
                 F.col("p.product_name"),
                 F.col("p.category"),
                 F.col("p.price").alias("unit_price"),
-                F.col("s.quantity"),
-                F.col("s.total_amount"),
-                F.col("s.channel"),
-                F.col("s.region"),
                 full_name(F.col("e.first_name"), F.col("e.last_name")).alias("sales_rep"),
                 F.col("e.department"),
+                F.col("s.customer_segment"),
+                F.col("s.channel"),
+                F.col("s.region"),
             )
         )
 

@@ -55,16 +55,16 @@ GOLD_STATEMENTS = {
     "sales_analytics": """
         SELECT s.transaction_id,
                s.sale_date,
-               s.product_id,
+               s.quantity,
+               s.total_amount,
                p.product_name,
                p.category,
                p.price AS unit_price,
-               s.quantity,
-               s.total_amount,
-               s.channel,
-               s.region,
                e.first_name || ' ' || e.last_name AS sales_rep,
-               e.department
+               e.department,
+               s.customer_segment,
+               s.channel,
+               s.region
         FROM silver_sql.sales s
         LEFT JOIN silver_sql.products p  ON s.product_id = p.product_id
         LEFT JOIN silver_sql.employees e ON s.sales_rep_id = e.employee_id

