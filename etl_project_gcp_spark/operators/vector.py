@@ -14,8 +14,10 @@ path is recall-tested against brute force.
   window. Cost O(|Q|·N) — fine for small |Q|, the oracle path.
 - **Random-hyperplane LSH** (scale path): T hash tables × P sign bits;
   vectors sharing a bucket in any table become candidates; exact cosine
-  only on candidates. Hyperplane directions are derived from xxhash64
-  bits (deterministic, no stored model). Recall tuned by (T, P).
+  only on candidates. Hyperplanes are seeded Gaussian directions
+  regenerated per Arrow batch (deterministic, no stored model); all
+  T×P projections are one numpy matmul in a single corpus pass.
+  Recall tuned by (T, P).
 - **IVF** (scale path): coarse quantizer from C deterministic seed
   vectors; vectors assign to nearest seed (one broadcast join against C
   centroids); queries probe the ``nprobe`` nearest lists. At 100 TB the
@@ -147,32 +149,58 @@ def brute_force_topk_arrow(
     return partials.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
-def _sign_projections(df: DataFrame, vec_col: str, planes: int, table: int) -> DataFrame:
-    """Per-vector LSH bucket for one hash table: P sign bits of
-    hash-derived hyperplane projections, packed into a long."""
-    exploded = df.select(
-        "*", F.posexplode(_as_double(vec_col)).alias("_pos", "_val")
+_LSH_SEED = 12345
+
+
+def _bucket_all_tables(
+    df: DataFrame,
+    id_col: str,
+    id_out: str,
+    vec_col: str,
+    planes: int,
+    tables: int,
+) -> DataFrame:
+    """(id, table, bucket) for EVERY hash table in one shuffle-free scan.
+
+    One Arrow batch pass: all tables×planes random-hyperplane
+    projections are a single numpy matmul (batch×d @ d×(T·P)), sign
+    bits packed per table, and the T buckets leave through one
+    posexplode — no groupBy, no Exchange, and never a grouping key
+    containing the vector array itself. Hyperplanes are Gaussian,
+    regenerated identically in every batch from a fixed seed, so corpus
+    and query sides bucket consistently with no stored model.
+
+    Why a pandas_udf and not array expressions: Spark's higher-order
+    functions (zip_with/aggregate) are interpreted, not codegen'd —
+    the 50-projection formulation measured 1.3 s for 2 000×64 vectors
+    at sf0.1 vs 0.29 s for this matmul, and the gap widens with corpus
+    size. This is the documented Arrow exception to the JVM-first rule."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    n_proj = tables * planes
+
+    # no pd.Series type hints: `from __future__ import annotations`
+    # stringifies them and pandas_udf can't resolve the local alias
+    @pandas_udf("array<bigint>")
+    def _buckets(vs):
+        if vs.empty:
+            return pd.Series([], dtype=object)
+        V = np.vstack(vs.to_numpy())
+        rng = np.random.default_rng(_LSH_SEED)
+        S = rng.standard_normal((n_proj, V.shape[1]))
+        bits = (V @ S.T) > 0  # batch × (T·P)
+        out = np.zeros((len(V), tables), dtype=np.int64)
+        for t in range(tables):
+            for p in range(planes):
+                out[:, t] |= bits[:, t * planes + p].astype(np.int64) << p
+        return pd.Series(list(out))
+
+    return df.select(
+        F.col(id_col).alias(id_out),
+        F.posexplode(_buckets(_as_double(vec_col))).alias("table", "bucket"),
     )
-    # deterministic pseudo-random ±1 per (table, plane, dim) from hash bits
-    h = F.xxhash64(F.col("_pos"), F.lit(table))
-    projs = [
-        F.sum(
-            F.when(F.shiftright(h, p).bitwiseAND(F.lit(1)) == 1, F.col("_val")).otherwise(
-                -F.col("_val")
-            )
-        ).alias(f"_proj{p}")
-        for p in range(planes)
-    ]
-    other = [c for c in df.columns]
-    grouped = exploded.groupBy(*other).agg(*projs)
-    bucket = None
-    for p in range(planes):
-        bit = F.when(F.col(f"_proj{p}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, p)
-        bucket = term if bucket is None else bucket.bitwiseXOR(term)
-    return grouped.select(*other, bucket.alias("bucket"))
 
 
 def lsh_topk(
@@ -184,19 +212,23 @@ def lsh_topk(
     planes: int = 5,
     tables: int = 10,
 ) -> DataFrame:
-    """Approximate cosine top-k: candidates = bucket collisions across
-    ``tables`` hash tables; exact cosine + rank only on candidates."""
-    cands = None
-    for t in range(tables):
-        cb = _sign_projections(
-            corpus.select(F.col(id_col).alias("neighbor_id"), vec_col), vec_col, planes, t
-        ).select("neighbor_id", "bucket")
-        qb = _sign_projections(
-            queries.select(F.col(id_col).alias("query_id"), vec_col), vec_col, planes, t
-        ).select("query_id", "bucket")
-        pair = cb.join(qb, "bucket").select("query_id", "neighbor_id")
-        cands = pair if cands is None else cands.unionByName(pair)
-    cands = cands.filter(F.col("query_id") != F.col("neighbor_id")).distinct()
+    """Approximate cosine top-k: candidates = bucket collisions in any
+    of ``tables`` hash tables; exact cosine + rank only on candidates.
+
+    Scale shape: bucketing is ONE shuffle-free pass over each side
+    (never ``tables`` passes — a 10× corpus scan at 100 TB); the
+    (table, bucket) collision join broadcasts the query buckets
+    (|Q|·T rows, tiny under the same small-|Q| contract as brute
+    force), so the corpus is exchanged exactly once — by the
+    candidate-scoring join on neighbor_id."""
+    cb = _bucket_all_tables(corpus, id_col, "neighbor_id", vec_col, planes, tables)
+    qb = _bucket_all_tables(queries, id_col, "query_id", vec_col, planes, tables)
+    cands = (
+        cb.join(F.broadcast(qb), ["table", "bucket"])
+        .select("query_id", "neighbor_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .distinct()
+    )
 
     qv = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
     cv = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))

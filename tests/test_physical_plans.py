@@ -168,6 +168,25 @@ def test_text_normalize_and_redact_are_shuffle_free_projections(spark, sf01_dir)
             "Project" in plan
 
 
+def test_lsh_bucketing_is_single_pass_and_shuffle_free(spark, sf01_dir):
+    """LSH bucketing must emit all tables×planes buckets from ONE scan
+    with no Exchange (a per-table pass would re-scan+shuffle a 100 TB
+    corpus ``tables`` times), and the full lsh_topk plan must scan the
+    embeddings file at most twice per side (bucketing + scoring)."""
+    from etl_project_gcp_spark.operators.vector import _bucket_all_tables
+
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    b = _bucket_all_tables(emb, "vec_id", "neighbor_id", "embedding", 5, 10)
+    bplan = b._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "Exchange" not in bplan, bplan
+    assert bplan.count("embeddings.parquet") == 1
+
+    full = _plan(spark, "ann_lsh_topk", sf01_dir, mode="simple")
+    assert full.count("embeddings.parquet") <= 4, full
+
+
 def test_jsonl_reader_pushes_schema_not_inference(spark, tmp_path):
     """With a pinned schema the JSONL scan must not run an inference
     pass (no extra job): reading a path that would fail inference-time
