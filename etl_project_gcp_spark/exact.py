@@ -17,7 +17,10 @@ how AQE re-partitions), and (b) decimal→decimal rescaling rounds
 half-away-from-zero identically in Spark, DuckDB, and BigQuery (the
 reference's engine). Averages use exact integer arithmetic:
 ``round_half_up(S / (10^s · n))`` computed as ``(2·S·10^out + d) div
-(2·d)`` with ``d = n·10^s`` — all in BIGINT, exact in every engine.
+(2·d)`` with ``d = n·10^s`` — carried in DECIMAL(38,0) on the Spark
+side and HUGEINT (int128) in the DuckDB oracle, so the scaled sum can
+reach 10^38/10^32 before overflow (a BIGINT carrier would overflow at
+a raw sum of ~4.6e14 — real at 100 TB for near-global money averages).
 
 Assumes non-negative aggregated values for the half-up averages (all
 money/quantity columns here; matches the reference whose ROUND only ever
@@ -49,10 +52,14 @@ def dsum_round(col: Column, scale: int = 2, out: int = 2) -> Column:
 
 
 def _avg_expr(s_int: Column, n: Column, scale: int, out: int) -> Column:
-    d = n * (10**scale)
-    num = F.lit(2) * s_int * (10**out) + d
-    den = F.lit(2) * d
-    r = (num - num % den) / den  # exact: value < 2^53
+    # DECIMAL(38,0) carriers: exact up to 10^38, where a BIGINT num
+    # (= 2·S·10^(scale+out)) would overflow at raw sums ≈ 4.6e14
+    d = n.cast("decimal(38,0)") * (10**scale)
+    num = s_int * (2 * 10**out) + d
+    den = d * 2
+    # exact integer quotient (num - num%den is divisible by den), small
+    # enough for a long; the final /10^out division is exact in double
+    r = ((num - num % den) / den).cast("long")
     return F.when(n > 0, r / (10**out))
 
 
@@ -60,11 +67,14 @@ def davg(col: Column, scale: int = 2, out: int = 2) -> Column:
     """Exact average rounded half-up to ``out`` decimals, as double.
 
     Integer arithmetic: S = sum·10^scale (exact), d = n·10^scale,
-    result = ((2·S·10^out + d) div (2·d)) / 10^out.
+    result = ((2·S·10^out + d) div (2·d)) / 10^out — carried in
+    DECIMAL(38,0), so safe for near-global 100 TB money sums.
     NULL when the group has no non-null values (COUNT=0) — preserves the
     reference's NULL-on-empty-group semantics (etl_medallion.py:188-190).
     """
-    s_int = (F.sum(col.cast(f"decimal(18,{scale})")) * (10**scale)).cast("long")
+    s_int = (
+        F.sum(col.cast(f"decimal(18,{scale})")) * (10**scale)
+    ).cast("decimal(38,0)")
     return _avg_expr(s_int, F.count(col), scale, out)
 
 
@@ -77,7 +87,7 @@ def davg_over(col: Column, window, scale: int = 2, out: int = 2) -> Column:
     scan+aggregate subtree."""
     s_int = (
         F.sum(col.cast(f"decimal(18,{scale})")).over(window) * (10**scale)
-    ).cast("long")
+    ).cast("decimal(38,0)")
     return _avg_expr(s_int, F.count(col).over(window), scale, out)
 
 
@@ -129,8 +139,9 @@ def oround(expr: str, scale: int = 4, out: int = 2) -> str:
 
 
 def oavg(expr: str, scale: int = 2, out: int = 2) -> str:
-    s_int = f"CAST(sum(CAST({expr} AS DECIMAL(18,{scale}))) * {10**scale} AS BIGINT)"
-    d = f"(count({expr}) * {10**scale})"
+    # HUGEINT (int128) carriers — the oracle twin of davg's DECIMAL(38,0)
+    s_int = f"CAST(sum(CAST({expr} AS DECIMAL(18,{scale}))) * {10**scale} AS HUGEINT)"
+    d = f"(CAST(count({expr}) AS HUGEINT) * {10**scale})"
     num = f"(2 * {s_int} * {10**out} + {d})"
     den = f"(2 * {d})"
     return (

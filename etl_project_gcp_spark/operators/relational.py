@@ -197,11 +197,17 @@ def salted_skew_join(
     side feeds a co-grouped/stateful op, or the join is produced by an
     API that pins the partitioning). Replication costs |small| ×
     salt_buckets — keep the salted side the big one. Deterministic salt
-    (hash of the full row via monotonically-increasing id would be
-    nondeterministic under retries; pmod of xxhash64 over all columns is
-    stable), so speculative re-execution is safe.
+    (monotonically-increasing id would be nondeterministic under
+    retries): pmod of xxhash64 over all columns PLUS the input
+    partition id, so fully-identical rows — the common shape of extreme
+    key skew — spread across buckets instead of re-colliding on one
+    reducer. Residual: identical rows within ONE input partition still
+    share a salt, but that group is bounded by the scan partition size
+    (maxPartitionBytes), not by the hot key's global count.
     """
-    salt = F.pmod(F.xxhash64(*skewed.columns), F.lit(salt_buckets))
+    salt = F.pmod(
+        F.xxhash64(*skewed.columns, F.spark_partition_id()), F.lit(salt_buckets)
+    )
     left = skewed.withColumn("_salt", salt)
     right = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
@@ -226,7 +232,12 @@ def salted_grouped_agg(
     ``sum(c) AS n``. (Spark's own HashAggregate already does
     partial→final within a shuffle; salting adds the extra key so the
     *reduce* side also parallelizes per hot key.)
+
+    Salt mixes in the input partition id so fully-identical rows (the
+    worst skew shape) spread across buckets — see salted_skew_join.
     """
-    salt = F.pmod(F.xxhash64(*df.columns), F.lit(salt_buckets))
+    salt = F.pmod(
+        F.xxhash64(*df.columns, F.spark_partition_id()), F.lit(salt_buckets)
+    )
     partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*partial_aggs)
     return partial.groupBy(*keys).agg(*final_aggs)

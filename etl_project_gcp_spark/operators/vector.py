@@ -102,6 +102,7 @@ def brute_force_topk_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_scores: int = 6,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Arrow-vectorized twin of ``brute_force_topk``: one numpy matmul
     per Arrow batch instead of per-row array expressions.
@@ -112,9 +113,22 @@ def brute_force_topk_arrow(
     final window merges the partials — the shuffle carries k·|Q|·
     partitions rows, never N. Same rounding + id tiebreak as the
     expression version, so both return the identical set.
+
+    The small-|Q| contract is ENFORCED: collecting an unbounded query
+    set would OOM the driver and bloat every task closure, so more than
+    ``max_queries`` rows fails fast (checked with a limit-probe, not a
+    full count). For query sets beyond that, batch the calls or use the
+    LSH/IVF paths.
     """
     import numpy as np
 
+    probe = queries.select(id_col).limit(max_queries + 1).count()
+    if probe > max_queries:
+        raise ValueError(
+            f"brute_force_topk_arrow collects the query set to the driver; "
+            f"got > {max_queries} query rows. Batch the queries or use "
+            f"lsh_topk/ivf_topk for large query sets."
+        )
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows])
     qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
@@ -310,12 +324,17 @@ def kmeans_fit(
     import math
 
     spark = corpus.sparkSession
+    # norm must NOT sit inside the per-element lambda (Catalyst inlines
+    # it into every element → O(d²), the shingle_docs trap), and a
+    # plain projected alias referenced once gets collapsed right back
+    # in. array_repeat evaluates its argument once per row regardless,
+    # so the zip_with divides by a materialized d-array of the norm.
+    raw = _as_double(vec_col)
+    nrm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, y: a + y * y))
     vn = corpus.select(
-        F.col(id_col).alias("_id"), _as_double(vec_col).alias("_raw")
-    ).select(
-        "_id",
-        F.transform(
-            "_raw", lambda x: x / F.sqrt(F.aggregate("_raw", F.lit(0.0), lambda a, y: a + y * y))
+        F.col(id_col).alias("_id"),
+        F.zip_with(
+            raw, F.array_repeat(nrm, F.size(raw)), lambda x, n: x / n
         ).alias("v"),
     )
     vn = vn.persist()

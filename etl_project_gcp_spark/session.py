@@ -41,9 +41,13 @@ def ship_package_to_workers(spark: SparkSession) -> None:
     if sid in _PKG_SHIPPED:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_path = os.path.join(
-        tempfile.gettempdir(), "etl_project_gcp_spark_pkg.zip"
+    # per-session file, not a fixed shared name: concurrent drivers (or
+    # different users) on one host would clobber each other's zip and
+    # ship stale code to executors
+    fd, zip_path = tempfile.mkstemp(
+        prefix="etl_project_gcp_spark_pkg_", suffix=".zip"
     )
+    os.close(fd)
     with zipfile.ZipFile(zip_path, "w") as zf:
         for root, _dirs, files in os.walk(pkg_dir):
             if "__pycache__" in root:

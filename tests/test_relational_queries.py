@@ -115,6 +115,25 @@ def test_exact_decimal_aggregation_matches_python_decimal(spark):
     assert Decimal(str(gb.a)) == Decimal("0.02")
 
 
+def test_davg_survives_huge_sums(spark):
+    """The 100 TB bound: davg's scaled numerator 2·S·10^(scale+out)
+    exceeds int64 once the raw sum passes ~4.6e14. With DECIMAL(38,0)
+    carriers a 1000-row sum of 1e12-sized money values (raw sum 1e15)
+    must still compute the exact half-up average, not NULL/overflow."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as F
+
+    from etl_project_gcp_spark import exact as X
+
+    v = Decimal("1000000000000.01")  # cents exact in double at 1e12
+    df = spark.createDataFrame([(float(v),)] * 1000, "v double").coalesce(4)
+    got = df.agg(X.davg(F.col("v")).alias("a")).collect()[0]
+    exp = v.quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+    assert got.a is not None
+    assert Decimal(str(got.a)) == exp
+
+
 def test_approx_distinct_within_rsd_bound(spark, sf01_dir):
     """HLL++ sketch at 1% rsd must land within 5% of the exact distinct
     count for every group (5 sigma — deterministic for a fixed input).

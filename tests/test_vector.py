@@ -89,6 +89,16 @@ def test_arrow_brute_force_matches_expression_version(spark, sf01_dir):
     assert expr == arrow
 
 
+def test_arrow_brute_force_rejects_large_query_set(spark, sf01_dir):
+    """The driver-collect contract must fail fast, not OOM: a query set
+    larger than max_queries raises before any collect."""
+    import pytest
+
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="query rows"):
+        VX.brute_force_topk_arrow(emb, emb, k=5, max_queries=10)
+
+
 def test_quantized_topk_recall_and_memory_shape(spark, sf01_dir):
     """int8 quantization must keep high recall vs the exact double path
     (measured 0.97+ on this corpus) and actually store tinyint arrays."""
