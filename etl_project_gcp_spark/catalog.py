@@ -50,3 +50,36 @@ def register_corpus_views(spark: SparkSession, sf_dir: str, names: tuple[str, ..
     catalog introspection work over it."""
     for n in names:
         spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
+
+
+# --- INFORMATION_SCHEMA-style DataFrames (M1/M2 as queryable rows) ---------
+#
+# The reference's metadata queries return *rows* that downstream SQL can
+# filter and sort (INFORMATION_SCHEMA.TABLES at etl_medallion.py:228-233,
+# .COLUMNS with ordinal_position at :280-286). The list_* helpers above
+# return Python lists for driver convenience; these twins return the same
+# facts as DataFrames so metadata composes with every relational operator.
+# Building them is a driver-side createDataFrame over catalog metadata —
+# O(tables × columns) rows, no data scan — exactly how INFORMATION_SCHEMA
+# behaves in the delegated engines.
+
+def information_schema_columns(spark: SparkSession, tables: list[str]) -> DataFrame:
+    """INFORMATION_SCHEMA.COLUMNS over registered tables/views
+    (etl_medallion.py:280-286): one row per column with its 1-based
+    ordinal_position and Spark simpleString data_type, ordered
+    (table_name, ordinal_position)."""
+    rows = [
+        (t, f.name, i + 1, f.dataType.simpleString())
+        for t in sorted(tables)
+        for i, f in enumerate(spark.table(t).schema.fields)
+    ]
+    return spark.createDataFrame(
+        rows, "table_name string, column_name string, ordinal_position long, data_type string"
+    )
+
+
+def information_schema_tables(spark: SparkSession, tables: list[str]) -> DataFrame:
+    """INFORMATION_SCHEMA.TABLES analog (etl_medallion.py:228-233): one
+    row per table with its column count, ordered by table_name."""
+    rows = [(t, len(spark.table(t).schema.fields)) for t in sorted(tables)]
+    return spark.createDataFrame(rows, "table_name string, column_count long")

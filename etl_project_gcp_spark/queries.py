@@ -3354,3 +3354,74 @@ def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     global ORDER BY window single-partitions 100 TB."""
     docs = _t(spark, sf_dir, "documents")
     return TX.pack_into_bins(docs, budget=2048)
+
+
+# ---------------------------------------------------------------------------
+# M. Catalog introspection as queryable rows (M1/M2 — etl_medallion.py:228-233,
+#    :280-286: the reference's INFORMATION_SCHEMA queries return rows that
+#    downstream SQL filters/sorts; these twins do the same on Spark)
+# ---------------------------------------------------------------------------
+
+from etl_project_gcp_spark import catalog as CAT  # noqa: E402
+
+_CORPUS = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# DuckDB type vocabulary → Spark simpleString vocabulary. events.ts is the
+# one honest divergence: the file stores TIMESTAMP(NANOS), which this engine
+# reads as long nanos (spark.sql.legacy.parquet.nanosAsLong — see _events),
+# so its declared type IS bigint on the Spark side.
+_ORACLE_TYPE_MAP = """
+       CASE
+         WHEN table_name = 'events' AND column_name = 'ts' THEN 'bigint'
+         WHEN data_type = 'INTEGER'  THEN 'int'
+         WHEN data_type = 'BIGINT'   THEN 'bigint'
+         WHEN data_type = 'VARCHAR'  THEN 'string'
+         WHEN data_type = 'DOUBLE'   THEN 'double'
+         WHEN data_type = 'FLOAT'    THEN 'float'
+         WHEN data_type = 'FLOAT[]'  THEN 'array<float>'
+         WHEN data_type LIKE 'TIMESTAMP%' THEN 'timestamp_ntz'
+         ELSE lower(data_type)
+       END"""
+
+_CORPUS_IN = ", ".join(f"'{t}'" for t in _CORPUS)
+
+
+@register(
+    "catalog_columns",
+    f"""
+    SELECT table_name, column_name,
+           CAST(ordinal_position AS BIGINT) AS ordinal_position,
+           {_ORACLE_TYPE_MAP} AS data_type
+    FROM information_schema.columns
+    WHERE table_name IN ({_CORPUS_IN})
+    """,
+)
+def catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INFORMATION_SCHEMA.COLUMNS as a DataFrame (M2): every corpus
+    column with its 1-based ordinal_position and data_type, filterable
+    and sortable with the same relational operators as any table.
+    Metadata-only — O(tables × columns) rows, no data scan."""
+    _ensure_session_confs(spark)
+    CAT.register_corpus_views(spark, sf_dir, _CORPUS)
+    return CAT.information_schema_columns(spark, list(_CORPUS))
+
+
+@register(
+    "catalog_tables",
+    f"""
+    SELECT table_name, CAST(count(*) AS BIGINT) AS column_count
+    FROM information_schema.columns
+    WHERE table_name IN ({_CORPUS_IN})
+    GROUP BY table_name
+    """,
+)
+def catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INFORMATION_SCHEMA.TABLES analog (M1): per-table row with column
+    count, the reference's table-existence audit shape
+    (etl_medallion.py:228-233) as queryable rows."""
+    _ensure_session_confs(spark)
+    CAT.register_corpus_views(spark, sf_dir, _CORPUS)
+    return CAT.information_schema_tables(spark, list(_CORPUS))

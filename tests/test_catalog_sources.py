@@ -201,3 +201,27 @@ def test_sorted_parquet_layout_prunes_on_sort_key(spark, tmp_path):
         assert hi1 <= lo2, f"overlapping file ranges: {(lo1,hi1)} vs {(lo2,hi2)}"
     # correctness through the rewrite
     assert spark.read.parquet(path).count() == 50_000
+
+
+def test_information_schema_dataframes_compose(spark, sf_dir):
+    """M1/M2 as DataFrames: metadata rows filter/sort with the same
+    relational operators as any table (etl_medallion.py:228-233,:280-286)."""
+    from pyspark.sql import functions as F
+
+    C.register_corpus_views(spark, sf_dir, ("nation", "region", "orders"))
+    cols = C.information_schema_columns(spark, ["nation", "region", "orders"])
+    # ordinal contract: first column of each table has position 1
+    firsts = cols.filter(F.col("ordinal_position") == 1).orderBy("table_name")
+    assert [r.column_name for r in firsts.collect()] == [
+        "n_nationkey", "o_orderkey", "r_regionkey"
+    ]
+    # LIMIT-5-by-ordinal shape from the reference's column sample
+    top = (cols.filter(F.col("table_name") == "orders")
+               .orderBy("ordinal_position").limit(5))
+    assert [r.column_name for r in top.collect()] == [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    ]
+    tbls = C.information_schema_tables(spark, ["nation", "region", "orders"])
+    assert {(r.table_name, r.column_count) for r in tbls.collect()} == {
+        ("nation", 3), ("region", 2), ("orders", 6)
+    }

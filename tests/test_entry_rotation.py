@@ -1,0 +1,35 @@
+"""Registry rotation in __spark_entry__: the verify harness checks a
+bounded prefix of queries() per round, so the dict must order
+least-driver-checked entries first and stay a faithful permutation."""
+
+from __future__ import annotations
+
+import json
+
+import __spark_entry__ as E
+
+
+def test_rotation_is_permutation_and_prioritizes_unchecked():
+    E._self_check()
+
+
+def test_rounds_green_counts_clean_rows(tmp_path):
+    rows = {
+        "green_q": {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},
+        "err_q": {"rows_match": None, "schema_match": None, "hash_match": None, "err": "boom"},
+        "rows_only_q": {"rows_match": None, "schema_match": None, "hash_match": None,
+                        "spark_rows": 5, "err": None},
+    }
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(rows))
+    greens = E._rounds_green(["green_q", "err_q", "rows_only_q", "new_q"], here=str(tmp_path))
+    assert greens == {"green_q": 1, "err_q": 0, "rows_only_q": 1, "new_q": 0}
+
+
+def test_rotation_orders_by_green_count(tmp_path):
+    names = ["a", "b", "c"]
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"a": {"hash_match": True, "err": None}})
+    )
+    greens = E._rounds_green(names, here=str(tmp_path))
+    order = sorted(names, key=lambda n: (greens[n], names.index(n)))
+    assert order == ["b", "c", "a"]

@@ -1,0 +1,91 @@
+"""Full-registry oracle sweep mirroring the driver's verify pass.
+
+Imports ``__spark_entry__`` the way the driver does (spec_from_file_location,
+neutral cwd), builds a plain SparkSession, then runs every ``queries()``
+entry at sf0.01 against its ``oracle_sql()`` twin via tests/oracle.compare.
+Entries without an oracle get a rows-only smoke check (``count()`` +
+``toPandas()`` to prove the result is hashable scalar data).
+
+Usage: python tools/sweep.py [--first N] [--names a,b,c] [--sf-dir DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import json
+import os
+import sys
+import time
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--first", type=int, default=None)
+    ap.add_argument("--names", type=str, default=None)
+    ap.add_argument("--sf-dir", type=str, default="/root/testdata/sf0.01")
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args()
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_under_sweep", os.path.join(REPO, "__spark_entry__.py")
+    )
+    entry_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry_mod)
+
+    import oracle  # tests/oracle.py
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+        .appName("sweep")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    names = list(qs)
+    if args.names:
+        names = [n for n in args.names.split(",") if n in qs]
+    if args.first:
+        names = names[: args.first]
+
+    results: dict[str, dict] = {}
+    n_pass = n_fail = 0
+    for i, name in enumerate(names):
+        t0 = time.time()
+        try:
+            df = qs[name](spark, args.sf_dir)
+            if name in oracles:
+                oracle.compare(df, oracles[name], args.sf_dir)
+                status = "pass"
+            else:
+                pdf = df.toPandas()
+                # the driver's rows-only hash dies on unhashable cells
+                for col in pdf.columns:
+                    pdf[col].map(hash)
+                status = f"rows_only_pass({len(pdf)})"
+            n_pass += 1
+        except Exception as exc:  # noqa: BLE001 — report and continue
+            status = f"FAIL: {exc}"
+            traceback.print_exc()
+            n_fail += 1
+        dt = time.time() - t0
+        results[name] = {"status": status, "sec": round(dt, 2)}
+        print(f"[{i + 1}/{len(names)}] {name}: {status} ({dt:.1f}s)", flush=True)
+
+    print(f"\n{n_pass} pass, {n_fail} fail, total {sum(r['sec'] for r in results.values()):.0f}s")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
