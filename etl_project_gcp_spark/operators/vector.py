@@ -660,3 +660,87 @@ def cosine_pairs_blocked(
     return tagged.groupBy("ba", "bb").applyInPandas(
         block_pairs, "a long, b long, cosine double"
     )
+
+
+# --- Persisted IVF index: build once, search many --------------------------
+
+def ivf_build_index(
+    corpus: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    quantizer: str = "seed",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF index on disk: ``{path}/centroids`` (n_lists
+    rows) plus ``{path}/vectors`` PARTITIONED BY list_id.
+
+    This is the production ANN lifecycle the in-memory ``ivf_topk``
+    can't give: the coarse quantizer runs ONCE at build time, and every
+    subsequent search reads only the probed partitions — partition
+    pruning makes search I/O nprobe/n_lists of the corpus instead of a
+    full scan per query batch. At 100 TB, n_lists scales to O(√N) lists
+    and each list lands as its own parquet directory.
+    """
+    if quantizer == "kmeans":
+        centroids, assigned, _ = kmeans_fit(corpus, n_lists, id_col, vec_col)
+    else:
+        centroids, assigned = ivf_assign(corpus, n_lists, id_col, vec_col)
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    (
+        assigned.select(id_col, vec_col, "list_id")
+        .repartition("list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(f"{path}/vectors")
+    )
+
+
+def ivf_search_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scores: int = 6,
+) -> DataFrame:
+    """Search a persisted IVF index (:func:`ivf_build_index`): probe the
+    ``nprobe`` nearest lists per query, exact cosine inside probed lists
+    only.
+
+    The probed list-id set (≤ n_lists ints) is collected to the driver
+    and pushed into the vectors scan as a literal IN filter, so Spark's
+    partition pruning skips the unprobed directories entirely — the only
+    corpus I/O is the probed fraction (plan-tested via inputFiles).
+    Centroids are a broadcast-size side input by construction.
+    """
+    centroids = spark.read.parquet(f"{path}/centroids")
+    qv = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    probe_scored = qv.crossJoin(F.broadcast(centroids)).select(
+        "query_id", "list_id", cosine(F.col("qv"), F.col("centroid")).alias("sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("list_id"))
+    probes = (
+        probe_scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= nprobe)
+        .select("query_id", "list_id")
+    )
+    probed_lists = [r["list_id"] for r in probes.select("list_id").distinct().collect()]
+    vectors = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("list_id").isin(probed_lists)
+    )
+    cand = probes.join(
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"), "list_id", _as_double(vec_col).alias("cv")
+        ),
+        "list_id",
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.join(F.broadcast(qv), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), round_scores).alias("cosine"),
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w2)).filter(F.col("rk") <= k)

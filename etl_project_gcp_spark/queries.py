@@ -1772,6 +1772,24 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_index_topk", None)  # approximate — rows-only; equality+pruning tested
+def ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF search (X3 production lifecycle): build the index
+    ONCE (centroids + vectors partitioned by list_id on disk), then
+    search reads only the probed partitions — partition pruning makes
+    per-search I/O nprobe/n_lists of the corpus. Results are
+    equality-tested against the in-memory IVF path and the pruning is
+    plan-tested (tests/test_vector.py)."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_index_")
+    VX.ivf_build_index(emb, path, n_lists=16)
+    return VX.ivf_search_index(
+        spark, path, emb.filter(F.col("vec_id") < 5), k=10, nprobe=4
+    ).drop("list_id")
+
+
 # ---------------------------------------------------------------------------
 # J. Multimodal column plumbing (driver mandate — stubbed decode)
 # ---------------------------------------------------------------------------

@@ -129,3 +129,25 @@ def test_two_stage_topk_recall_at_least_quantized(spark, sf01_dir):
     for r in two:
         if (r.query_id, r.neighbor_id) in exact_scores:
             assert r.cosine == exact_scores[(r.query_id, r.neighbor_id)]
+
+
+def test_ivf_persisted_index_matches_in_memory_and_prunes(spark, sf01_dir, tmp_path):
+    """Build-once/search-many: the persisted index returns the same
+    results as the in-memory IVF path with the same quantizer, and the
+    vectors scan touches ONLY the probed list partitions."""
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    path = str(tmp_path / "ivf_index")
+    VX.ivf_build_index(emb, path, n_lists=8)
+
+    got = VX.ivf_search_index(spark, path, q, k=10, nprobe=4).collect()
+    want = VX.ivf_topk(emb, q, k=10, n_lists=8, nprobe=4).collect()
+    key = lambda rows: sorted((r.query_id, r.neighbor_id, r.cosine) for r in rows)
+    assert key(got) == key(want)
+
+    # partition pruning: the literal IN filter must land in the scan's
+    # PartitionFilters so unprobed list dirs are never read
+    vectors = spark.read.parquet(f"{path}/vectors").filter(F.col("list_id").isin([0, 1]))
+    plan = vectors._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "list_id" in plan.split("PartitionFilters")[1].split("]")[0]
