@@ -392,3 +392,81 @@ def pack_into_bins(
             F.floor(cum_before / budget).cast("long").alias("bin_id"),
         )
     )
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Array of space-joined word n-grams of ``col``'s whitespace tokens
+    (lowered). Shuffle-free expression: sequence → slice → concat_ws,
+    no window, no explode until the caller asks for one."""
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination — the training-pipeline step that flags
+    corpus documents sharing any word n-gram with an evaluation set
+    (the GPT-3/PaLM-style overlap rule).
+
+    Plan shape for 100 TB: the BENCHMARK side is the small one by
+    definition (eval suites are ~1e5 items), so its distinct n-grams
+    broadcast; the corpus side explodes its n-grams shuffle-free and
+    hash-joins against the broadcast — rows survive the join only on a
+    hit, so the per-doc hit count aggregates over matches (tiny), never
+    the full corpus gram stream. The final flag attaches with one join
+    of corpus keys against the small hit table.
+
+    Returns the corpus with ``n_hit_grams`` and ``contaminated``.
+    """
+    grams = F.explode(word_ngrams(text_col, n)).alias("gram")
+    corpus_grams = corpus.select(F.col(id_col), grams)
+    bench_grams = benchmark.select(grams).distinct()
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_hit_grams"))
+    )
+    return (
+        corpus.join(hits, id_col, "left")
+        .withColumn("n_hit_grams", F.coalesce("n_hit_grams", F.lit(0)))
+        .withColumn("contaminated", F.col("n_hit_grams") > 0)
+    )
+
+
+def repetition_signals(
+    corpus: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the
+    fraction of word n-grams that are repeats (1 - distinct/total) and
+    the fraction claimed by the single most frequent n-gram. High
+    values mark boilerplate/spam — standard pre-training filters.
+
+    Two-level aggregation: per-(doc, gram) counts partial-aggregate
+    map-side, then one per-doc rollup — the canonical Spark shape for
+    nested grouping; no window, no driver state. Ratios are IEEE
+    double divisions of exact longs (cross-engine deterministic,
+    emitted unrounded — see NOTES.md on ratio queries).
+    """
+    grams = F.explode(word_ngrams(text_col, n)).alias("gram")
+    per_gram = (
+        corpus.select(F.col(id_col), grams)
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_gram.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct_grams"),
+        (F.lit(1.0) - F.count(F.lit(1)) / F.sum("c")).alias("dup_gram_ratio"),
+        (F.max("c") / F.sum("c")).alias("top_gram_ratio"),
+    )

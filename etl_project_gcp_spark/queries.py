@@ -3443,3 +3443,70 @@ def catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_session_confs(spark)
     CAT.register_corpus_views(spark, sf_dir, _CORPUS)
     return CAT.information_schema_tables(spark, list(_CORPUS))
+
+
+# ---------------------------------------------------------------------------
+# N. Decontamination + repetition quality (X4 [EXT] — training-pipeline ops)
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_decontaminate",
+    r"""
+    WITH tok AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                 FROM documents),
+    g AS (
+      SELECT doc_id, array_to_string(toks[i : i + 2], ' ') AS gram
+      FROM tok, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 7),
+    hits AS (
+      SELECT g.doc_id, count(DISTINCT g.gram) AS n_hit_grams
+      FROM g JOIN bench USING (gram)
+      WHERE g.doc_id % 50 <> 7
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+           COALESCE(h.n_hit_grams, 0) > 0             AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 50 <> 7
+    """,
+)
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (X4): flag corpus docs sharing any word
+    3-gram with the held-out benchmark slice (doc_id % 50 = 7 stands in
+    for an eval suite). Broadcast the benchmark's distinct grams; only
+    HITS flow through the shuffle (operators/text.py::decontaminate)."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 50 != 7)
+    benchmark = docs.filter(F.col("doc_id") % 50 == 7)
+    return TX.decontaminate(corpus, benchmark, n=3).select(
+        "doc_id", "n_hit_grams", "contaminated"
+    )
+
+
+@register(
+    "doc_repetition",
+    r"""
+    WITH tok AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                 FROM documents),
+    g AS (
+      SELECT doc_id, array_to_string(toks[i : i + 2], ' ') AS gram
+      FROM tok, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
+    ),
+    gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT)                            AS n_grams,
+           count(*)                                          AS n_distinct_grams,
+           1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_gram_ratio,
+           CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)   AS top_gram_ratio
+    FROM gc GROUP BY doc_id
+    """,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (X4): per-doc duplicate-3-gram
+    fraction and top-3-gram fraction — boilerplate/spam filters. Ratios
+    are unrounded IEEE divisions of exact longs (cross-engine
+    deterministic; see NOTES.md)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.repetition_signals(docs, n=3)
