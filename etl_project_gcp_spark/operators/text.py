@@ -399,8 +399,13 @@ def word_ngrams(col: Column | str, n: int = 3) -> Column:
     (lowered). Shuffle-free expression: sequence → slice → concat_ws,
     no window, no explode until the caller asks for one."""
     toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    # sequence(1, 0) yields a DESCENDING [1, 0] in Spark, not an empty
+    # array, so docs with fewer than n tokens must short-circuit to [].
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        starts,
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
 

@@ -246,3 +246,53 @@ def test_chunk_documents_boundaries_and_overlap(spark):
     assert out[(2, 0)] == ("single", 1)
     assert out[(3, 0)] == ("a b c", 3)
     assert len([k for k in out if k[0] == 1]) == 4
+
+
+def test_word_ngrams_short_docs_yield_empty_not_crash(spark):
+    """Docs with fewer than n tokens must produce ZERO n-grams.
+    Regression: sequence(1, 0) in Spark yields a descending [1, 0]
+    (not an empty array), so an unguarded range made slice() throw
+    INVALID_PARAMETER_VALUE.START on any <n-token doc — and DuckDB's
+    generate_series(1, 0) IS empty, so the oracle diverged too."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(
+        spark,
+        [
+            (1, "one"),
+            (2, "two words"),
+            (3, "exactly three tokens"),
+            (4, ""),
+            (5, "a b c d"),
+        ],
+    )
+    out = {
+        r.doc_id: r.grams
+        for r in docs.select(
+            "doc_id", TX.word_ngrams("text", n=3).alias("grams")
+        ).collect()
+    }
+    assert out[1] == [] and out[2] == [] and out[4] == []
+    assert out[3] == ["exactly three tokens"]
+    assert out[5] == ["a b c", "b c d"]
+
+
+def test_decontaminate_and_repetition_handle_short_docs(spark):
+    """End-to-end on a corpus containing sub-n docs: decontaminate keeps
+    them (n_hit_grams=0, uncontaminated); repetition_signals drops them
+    (no grams to aggregate), matching the oracle's generate_series."""
+    corpus = _docs(
+        spark,
+        [(1, "aa bb cc dd aa bb cc"), (2, "xx"), (3, "yy zz"), (4, BASE)],
+    )
+    bench = _docs(spark, [(100, "aa bb cc")])
+    dec = {r.doc_id: (r.n_hit_grams, r.contaminated)
+           for r in TX.decontaminate(corpus, bench, n=3).collect()}
+    assert dec[1] == (1, True)       # shares "aa bb cc"
+    assert dec[2] == (0, False)      # 1 token: no grams, still present
+    assert dec[3] == (0, False)      # 2 tokens: no grams, still present
+    assert dec[4] == (0, False)
+    rep = {r.doc_id: r.n_grams
+           for r in TX.repetition_signals(corpus, n=3).collect()}
+    assert 2 not in rep and 3 not in rep  # sub-n docs emit no gram rows
+    assert rep[1] == 5
