@@ -1708,20 +1708,17 @@ def cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (dedup family, exact form).
-    All-pairs — correctness baseline; use ann_lsh for the scale path.
-    Threshold 0.40 (not a production 0.95): the corpus embeddings are
-    near-orthogonal random vectors (max pairwise cosine ≈0.51 at
-    sf0.01), so 0.95 would make this oracle check trivially empty."""
+    """Embedding-cosine near-duplicate pairs (dedup family, exact
+    semantics on the BLOCKED O(N·B) pair path — cosine_pairs_blocked
+    runs one numpy matmul per block pair instead of materializing the
+    N² crossJoin row-wise; identical pair set and scores, plan-tested
+    free of CartesianProduct). Threshold 0.40 (not a production 0.95):
+    the corpus embeddings are near-orthogonal random vectors (max
+    pairwise cosine ≈0.51 at sf0.01), so 0.95 would make this oracle
+    check trivially empty."""
+    ship_package_to_workers(spark)
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").cast("array<double>").alias("va"))
-    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").cast("array<double>").alias("vb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", F.round(VX.cosine(F.col("va"), F.col("vb")), 6).alias("cosine"))
-        .filter(F.col("cosine") >= 0.40)
-    )
+    return VX.cosine_pairs_blocked(emb, threshold=0.40)
 
 
 @register("ann_lsh_topk", None)  # approximate — rows-only; recall tested in tests/
