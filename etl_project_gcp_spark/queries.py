@@ -66,11 +66,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events table with ts restored to TimestampType: the file stores
-    TIMESTAMP(NANOS) (read as long nanos), truncated to micros exactly
-    like DuckDB's nanos→micros conversion."""
+    """events table with ts normalized to a timestamp type, adapting to
+    the file's physical layout: older corpora stored TIMESTAMP(NANOS)
+    (surfaced as long nanos under nanosAsLong), which we truncate to
+    micros exactly like DuckDB's nanos→micros conversion; current corpora
+    store timestamp[us] (read as timestamp/timestamp_ntz), kept as-is."""
     ev = _t(spark, sf_dir, "events")
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # timestamp_ntz → timestamp: session tz is UTC so the instant is
+    # unchanged, and downstream range windows (unix_micros) require
+    # TIMESTAMP — same type the nanos branch produces.
+    if ts_type == "timestamp_ntz":
+        return ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return ev
 
 
 # ---------------------------------------------------------------------------
@@ -3350,14 +3360,14 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
       SELECT doc_id,
-             CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tok
+             CAST(len(string_split_regex(lower(text), '\\s+')) AS INTEGER) AS n_tok
       FROM documents),
     c AS (
       SELECT doc_id, n_tok,
              COALESCE(sum(n_tok) OVER (ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
       FROM t)
-    SELECT doc_id, n_tok, cum_before // 2048 AS bin_id FROM c
+    SELECT doc_id, n_tok, CAST(cum_before // 2048 AS BIGINT) AS bin_id FROM c
     """,
 )
 def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3384,13 +3394,12 @@ _CORPUS = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
-# DuckDB type vocabulary → Spark simpleString vocabulary. events.ts is the
-# one honest divergence: the file stores TIMESTAMP(NANOS), which this engine
-# reads as long nanos (spark.sql.legacy.parquet.nanosAsLong — see _events),
-# so its declared type IS bigint on the Spark side.
+# DuckDB type vocabulary → Spark simpleString vocabulary. Both engines read
+# the corpus's timestamp[us] columns as tz-naive timestamps (Spark:
+# timestamp_ntz; DuckDB: TIMESTAMP), so the TIMESTAMP% branch covers
+# events.ts too.
 _ORACLE_TYPE_MAP = """
        CASE
-         WHEN table_name = 'events' AND column_name = 'ts' THEN 'bigint'
          WHEN data_type = 'INTEGER'  THEN 'int'
          WHEN data_type = 'BIGINT'   THEN 'bigint'
          WHEN data_type = 'VARCHAR'  THEN 'string'

@@ -19,13 +19,12 @@ from etl_project_gcp_spark.streaming import (
 def event_dir(spark, tmp_path_factory):
     """Events from the driver corpus, re-landed as clean micro-batch
     parquet (micros timestamps — streaming sources need a pinned
-    schema, and the corpus file's TIMESTAMP(NANOS) isn't one)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema; _events adapts to whichever physical ts layout the corpus
+    file carries)."""
+    from etl_project_gcp_spark.queries import _events
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = (
-        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    ev = _events(spark, "/root/testdata/sf0.001")
     out = str(tmp_path_factory.mktemp("stream") / "events")
     ev.coalesce(2).write.mode("overwrite").parquet(out)
     return out
@@ -248,14 +247,10 @@ def test_streaming_dedup_bounded_state_drops_in_window_dupes(spark, tmp_path_fac
     arrive inside the watermark horizon: the drained output carries each
     event_id exactly once, matching batch dropDuplicates."""
     from etl_project_gcp_spark.streaming import streaming_dedup
+    from etl_project_gcp_spark.queries import _events
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = (
-        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .limit(500)
-    )
+    ev = _events(spark, "/root/testdata/sf0.001").limit(500)
     dup = ev.union(ev.limit(200))  # 200 in-window duplicates
     out = str(tmp_path_factory.mktemp("dedup_stream") / "events")
     dup.coalesce(2).write.mode("overwrite").parquet(out)
