@@ -65,36 +65,75 @@ def _rounds_green(names: list[str], here: str = _HERE) -> dict[str, int]:
     return greens
 
 
+# Verify-prefix slots reserved each round for re-checking entries that are
+# already driver-green. Least-checked-first alone lets an old green rot
+# unnoticed when the engine or testdata changes (round 3: the events.ts
+# layout change broke 8 r1-green queries for a full round); a rotating
+# re-check window walks the green set across rounds so every green gets
+# periodically re-proven.
+_RECHECK_SLOTS = 10
+
+
+def _round_index(here: str = _HERE) -> int:
+    """Rounds completed so far = CORRECTNESS_r*.json files present.
+    Deterministic within a round, advances between rounds — the rotation
+    phase for the re-check window."""
+    return len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+
+
 def _rotation_order(names: list[str]) -> list[str]:
-    """Order the registry least-driver-checked first.
+    """Order the registry: a rotating slice of previously-green entries
+    first (stale-green guard), then least-driver-checked first.
 
     The verify harness walks ``queries()`` in dict order and checks a
     bounded prefix per round (round 1 covered exactly the first 50 of
     111). Rotating by past CORRECTNESS results steers each round's
     budget at the entries with the fewest green rows, so the whole
     registry converges to driver-green across rounds without manual
-    reordering; brand-new queries start at zero and are checked next.
+    reordering; brand-new queries start at zero and are checked right
+    after the re-check slice. The slice itself advances by
+    ``_RECHECK_SLOTS`` per round, cycling through all greens.
     """
     greens = _rounds_green(names)
     prio = {n: i for i, n in enumerate(_PRIORITY)}
     base = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (greens[n], prio.get(n, len(prio)), base[n]))
+    ordered = sorted(
+        names, key=lambda n: (greens[n], prio.get(n, len(prio)), base[n])
+    )
+    green_pool = [n for n in sorted(names, key=base.get) if greens[n] > 0]
+    if not green_pool:
+        return ordered
+    start = (_round_index() * _RECHECK_SLOTS) % len(green_pool)
+    recheck = [
+        green_pool[(start + i) % len(green_pool)]
+        for i in range(min(_RECHECK_SLOTS, len(green_pool)))
+    ]
+    taken = set(recheck)
+    return recheck + [n for n in ordered if n not in taken]
 
 
 def _self_check() -> None:
     """Invariants the rotation must hold: a permutation of the registry,
-    oracle keys a subset, never-checked entries ahead of checked ones."""
+    oracle keys a subset, a re-check slice of previously-green entries at
+    the head (when any greens exist), then never-checked entries ahead of
+    checked ones."""
     qs = Q.queries()
     rotated = _rotation_order(list(qs))
     assert sorted(rotated) == sorted(qs), "rotation must be a permutation"
     assert set(Q.oracle_sql()) <= set(qs), "oracle keys must be registered"
     greens = _rounds_green(list(qs))
+    n_green = sum(1 for g in greens.values() if g > 0)
+    slice_len = min(_RECHECK_SLOTS, n_green)
+    head, tail = rotated[:slice_len], rotated[slice_len:]
+    assert all(greens[n] > 0 for n in head), (
+        "re-check slice must hold previously-green entries"
+    )
     seen_checked = False
-    for n in rotated:
+    for n in tail:
         if greens[n] > 0:
             seen_checked = True
         assert not (seen_checked and greens[n] == 0), (
-            "never-checked entries must precede checked ones"
+            "never-checked entries must precede checked ones after the re-check slice"
         )
 
 

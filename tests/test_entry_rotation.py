@@ -33,3 +33,27 @@ def test_rotation_orders_by_green_count(tmp_path):
     greens = E._rounds_green(names, here=str(tmp_path))
     order = sorted(names, key=lambda n: (greens[n], names.index(n)))
     assert order == ["b", "c", "a"]
+
+
+def test_recheck_slice_heads_rotation_with_greens():
+    """Stale-green guard: when past rounds recorded greens, the first
+    min(_RECHECK_SLOTS, n_green) rotation entries must all be previously
+    green, so the driver's bounded verify prefix re-proves them."""
+    qs = list(E.Q.queries())
+    greens = E._rounds_green(qs)
+    n_green = sum(1 for g in greens.values() if g > 0)
+    assert n_green >= E._RECHECK_SLOTS  # corpus has 100+ green rows by now
+    rotated = E._rotation_order(qs)
+    head = rotated[: E._RECHECK_SLOTS]
+    assert all(greens[n] > 0 for n in head)
+
+
+def test_recheck_slice_rotates_across_rounds(monkeypatch):
+    """The slice must advance with the round counter so successive rounds
+    walk different parts of the green set."""
+    qs = list(E.Q.queries())
+    monkeypatch.setattr(E, "_round_index", lambda here=None: 0)
+    r0 = E._rotation_order(qs)[: E._RECHECK_SLOTS]
+    monkeypatch.setattr(E, "_round_index", lambda here=None: 1)
+    r1 = E._rotation_order(qs)[: E._RECHECK_SLOTS]
+    assert r0 != r1
