@@ -744,3 +744,92 @@ def ivf_search_index(
     )
     w2 = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w2)).filter(F.col("rk") <= k)
+
+
+# --- Recall measurement: the approximate paths' correctness claim ----------
+
+# Per-method recall@10 floors vs exact brute force, measured on the driver
+# corpus (sf0.001: lsh .56 / ivf .88 / kmeans .62 / int8 1.0 / two_stage
+# 1.0; sf0.01: .66 / .92 / .52 / 1.0 / 1.0) with safety margin. The
+# persisted-index path is result-equal to ivf, so it shares ivf's floor.
+RECALL_FLOORS = {
+    "lsh": 0.50,
+    "ivf": 0.70,
+    "ivf_index": 0.70,
+    "ivf_kmeans": 0.45,
+    "int8": 0.90,
+    "two_stage": 0.95,
+}
+
+
+def recall_report(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    floors: dict[str, float] | None = None,
+    index_path: str | None = None,
+) -> DataFrame:
+    """``(method, recall_floor, meets_floor)`` for every approximate
+    retrieval path, recall@k measured against exact ``brute_force_topk``
+    on the same (corpus, queries).
+
+    This turns the approximate paths' recall — otherwise only a local
+    pytest claim — into a driver-checkable result: all hashing/seeding
+    is deterministic per dataset, so ``meets_floor`` is stable and an
+    oracle can assert the expected row set exactly.
+
+    Scale: truth and every approximate result are ``|Q|·k``-row
+    DataFrames; the union-join-aggregate below shuffles only those tiny
+    sets. The expensive part is running the searches themselves, which
+    is exactly the per-path cost documented on each operator.
+    """
+    floors = dict(RECALL_FLOORS if floors is None else floors)
+    truth = brute_force_topk(corpus, queries, k=k).select("query_id", "neighbor_id")
+
+    runs: dict[str, DataFrame] = {
+        "lsh": lsh_topk(corpus, queries, k=k),
+        "ivf": ivf_topk(corpus, queries, k=k),
+        "ivf_kmeans": ivf_topk(corpus, queries, k=k, quantizer="kmeans"),
+        "int8": quantized_topk(corpus, queries, k=k),
+        "two_stage": two_stage_topk(corpus, queries, k=k),
+    }
+    if index_path is not None:
+        runs["ivf_index"] = ivf_search_index(
+            corpus.sparkSession, index_path, queries, k=k
+        )
+    else:
+        floors.pop("ivf_index", None)
+
+    approx = None
+    for method, df in runs.items():
+        tagged = df.select(
+            F.lit(method).alias("method"), "query_id", "neighbor_id"
+        )
+        approx = tagged if approx is None else approx.unionByName(tagged)
+
+    n_truth = truth.count()  # bounded: exactly |Q|·k rows
+    hits = (
+        approx.join(truth, ["query_id", "neighbor_id"])
+        .groupBy("method")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    floor_col = F.element_at(
+        F.create_map(*[F.lit(x) for kv in floors.items() for x in kv]),
+        F.col("method"),
+    )
+    # Left-join against the full method list so a path that returns ZERO
+    # overlapping rows still reports (meets_floor = false), not absence.
+    methods_df = corpus.sparkSession.createDataFrame(
+        [(m,) for m in sorted(runs)], "method string"
+    )
+    return (
+        methods_df.join(hits, "method", "left")
+        .select(
+            "method",
+            floor_col.cast("double").alias("recall_floor"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(n_truth))
+                >= floor_col
+            ).alias("meets_floor"),
+        )
+    )

@@ -1779,22 +1779,84 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_index_path(sf_dir: str, n_lists: int) -> str:
+    """Deterministic on-disk location for the persisted IVF index of a
+    given (corpus, n_lists): keyed by the embeddings file's absolute
+    path + size + mtime, so repeat invocations REUSE the index (the
+    production build-once/search-many lifecycle) and a corpus refresh
+    (new mtime) transparently re-keys instead of serving stale lists.
+    No mkdtemp: the path is stable across calls, nothing leaks per
+    invocation."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.abspath(f"{sf_dir}/embeddings.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{src}|{n_lists}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        sig = f"{src}|{n_lists}"
+    key = hashlib.sha1(sig.encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), "etl_gcp_spark_ivf", key)
+
+
+def _ivf_index_ready(path: str) -> bool:
+    import os
+
+    return os.path.exists(f"{path}/centroids/_SUCCESS") and os.path.exists(
+        f"{path}/vectors/_SUCCESS"
+    )
+
+
 @register("ann_ivf_index_topk", None)  # approximate — rows-only; equality+pruning tested
 def ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted-IVF search (X3 production lifecycle): build the index
-    ONCE (centroids + vectors partitioned by list_id on disk), then
-    search reads only the probed partitions — partition pruning makes
-    per-search I/O nprobe/n_lists of the corpus. Results are
-    equality-tested against the in-memory IVF path and the pruning is
-    plan-tested (tests/test_vector.py)."""
-    import tempfile
-
+    ONCE (centroids + vectors partitioned by list_id on disk, under a
+    deterministic per-(corpus, n_lists) path — see _ivf_index_path),
+    then every search reads only the probed partitions — partition
+    pruning makes per-search I/O nprobe/n_lists of the corpus. Results
+    are equality-tested against the in-memory IVF path and the pruning
+    is plan-tested (tests/test_vector.py)."""
     emb = _t(spark, sf_dir, "embeddings")
-    path = tempfile.mkdtemp(prefix="ivf_index_")
-    VX.ivf_build_index(emb, path, n_lists=16)
+    path = _ivf_index_path(sf_dir, n_lists=16)
+    if not _ivf_index_ready(path):
+        VX.ivf_build_index(emb, path, n_lists=16)
     return VX.ivf_search_index(
         spark, path, emb.filter(F.col("vec_id") < 5), k=10, nprobe=4
     ).drop("list_id")
+
+
+@register(
+    "ann_recall_report",
+    """
+    SELECT * FROM (VALUES
+        ('int8',       CAST(0.90 AS DOUBLE), TRUE),
+        ('ivf',        CAST(0.70 AS DOUBLE), TRUE),
+        ('ivf_index',  CAST(0.70 AS DOUBLE), TRUE),
+        ('ivf_kmeans', CAST(0.45 AS DOUBLE), TRUE),
+        ('lsh',        CAST(0.50 AS DOUBLE), TRUE),
+        ('two_stage',  CAST(0.95 AS DOUBLE), TRUE)
+    ) AS t(method, recall_floor, meets_floor)
+    """,
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifiable recall claim for EVERY approximate retrieval
+    path (X3): measure recall@10 vs exact brute force on the corpus's
+    vec_id<5 queries and emit (method, recall_floor, meets_floor). All
+    hashing/seeding is deterministic per dataset, so the oracle asserts
+    the exact expected rows — an approximate path silently regressing
+    below its floor flips meets_floor and hash-fails the round. Floors
+    carry safety margin under the measured recalls (vector.py::
+    RECALL_FLOORS; sf0.001 and sf0.01 both verified)."""
+    ship_package_to_workers(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _ivf_index_path(sf_dir, n_lists=16)
+    if not _ivf_index_ready(path):
+        VX.ivf_build_index(emb, path, n_lists=16)
+    return VX.recall_report(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, index_path=path
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -151,3 +151,62 @@ def test_ivf_persisted_index_matches_in_memory_and_prunes(spark, sf01_dir, tmp_p
     plan = vectors._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "list_id" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_recall_report_all_methods_meet_floor(spark, sf01_dir, tmp_path):
+    """The driver-facing recall claim: every approximate path reports
+    meets_floor=True on the corpus, and the report covers exactly the
+    methods in RECALL_FLOORS."""
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    VX.ivf_build_index(emb, idx, n_lists=16)
+    rep = VX.recall_report(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, index_path=idx
+    ).collect()
+    got = {r.method: (r.recall_floor, r.meets_floor) for r in rep}
+    assert set(got) == set(VX.RECALL_FLOORS)
+    for method, (floor, ok) in got.items():
+        assert floor == VX.RECALL_FLOORS[method]
+        assert ok is True, f"{method} fell below recall floor {floor}"
+
+
+def test_recall_report_flags_a_degraded_method(spark, sf01_dir):
+    """Raising a floor above a path's true recall must flip meets_floor
+    to False — the report actually measures, not hardcodes."""
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    rep = VX.recall_report(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        floors={"lsh": 1.01, "ivf": 0.70, "ivf_kmeans": 0.45,
+                "int8": 0.90, "two_stage": 0.95},
+    ).collect()
+    got = {r.method: r.meets_floor for r in rep}
+    assert got["lsh"] is False
+    assert got["ivf"] is True
+
+
+def test_ivf_index_path_is_deterministic_and_reused(spark, sf01_dir):
+    """Production lifecycle guard: repeat invocations of the persisted-
+    index query hit the SAME path and skip the rebuild (no per-call
+    mkdtemp leak)."""
+    import os
+
+    from etl_project_gcp_spark.queries import (
+        _ivf_index_path,
+        _ivf_index_ready,
+        ann_ivf_index_topk,
+    )
+
+    p1 = _ivf_index_path(sf01_dir, n_lists=16)
+    p2 = _ivf_index_path(sf01_dir, n_lists=16)
+    assert p1 == p2
+    assert _ivf_index_path(sf01_dir, n_lists=8) != p1
+
+    first = ann_ivf_index_topk(spark, sf01_dir).collect()
+    assert _ivf_index_ready(p1)
+    mtime = os.path.getmtime(f"{p1}/vectors/_SUCCESS")
+    second = ann_ivf_index_topk(spark, sf01_dir).collect()
+    # unchanged _SUCCESS mtime == the second call reused, not rebuilt
+    assert os.path.getmtime(f"{p1}/vectors/_SUCCESS") == mtime
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
