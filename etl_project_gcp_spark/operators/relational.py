@@ -196,18 +196,23 @@ def salted_skew_join(
     The tool for when AQE's skew-join split can't apply (e.g. the skewed
     side feeds a co-grouped/stateful op, or the join is produced by an
     API that pins the partitioning). Replication costs |small| ×
-    salt_buckets — keep the salted side the big one. Deterministic salt
-    (monotonically-increasing id would be nondeterministic under
-    retries): pmod of xxhash64 over all columns PLUS the input
-    partition id, so fully-identical rows — the common shape of extreme
-    key skew — spread across buckets instead of re-colliding on one
-    reducer. Residual: identical rows within ONE input partition still
-    share a salt, but that group is bounded by the scan partition size
-    (maxPartitionBytes), not by the hot key's global count.
+    salt_buckets — keep the salted side the big one.
+
+    The salt is CONTENT-DERIVED ONLY: pmod of xxhash64 over all columns.
+    Any per-row positional source (monotonically_increasing_id,
+    spark_partition_id, rand) is nondeterministic under task retries —
+    after a fetch failure, a recomputed stage can assign different salts
+    to rows whose earlier attempt was already partially consumed, and
+    the join double-reads or drops rows. A pure function of row content
+    recomputes identically on every attempt, so correctness survives
+    retries at cluster scale. Residual: FULLY-identical rows share a
+    salt and re-collide on one reducer; if that degenerate shape matters
+    (mass-duplicated rows under one hot key), materialize a
+    distinguishing column first (a line number from the source, a
+    pre-assigned row uid) and include it in the hash — don't reach for
+    spark_partition_id().
     """
-    salt = F.pmod(
-        F.xxhash64(*skewed.columns, F.spark_partition_id()), F.lit(salt_buckets)
-    )
+    salt = F.pmod(F.xxhash64(*skewed.columns), F.lit(salt_buckets))
     left = skewed.withColumn("_salt", salt)
     right = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
@@ -233,11 +238,11 @@ def salted_grouped_agg(
     partial→final within a shuffle; salting adds the extra key so the
     *reduce* side also parallelizes per hot key.)
 
-    Salt mixes in the input partition id so fully-identical rows (the
-    worst skew shape) spread across buckets — see salted_skew_join.
+    Salt is content-derived only (retry-deterministic — see
+    salted_skew_join for why positional sources are unsafe); fully-
+    identical rows share a bucket, so partial groups stay bounded by
+    duplicate-row count rather than hot-key count.
     """
-    salt = F.pmod(
-        F.xxhash64(*df.columns, F.spark_partition_id()), F.lit(salt_buckets)
-    )
+    salt = F.pmod(F.xxhash64(*df.columns), F.lit(salt_buckets))
     partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*partial_aggs)
     return partial.groupBy(*keys).agg(*final_aggs)

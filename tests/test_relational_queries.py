@@ -226,3 +226,41 @@ def test_range_join_boundaries(spark):
         ).collect()
     )
     assert got == [10, 11]
+
+
+def test_salt_is_content_derived_and_deterministic(spark, sf01_dir):
+    """Retry-safety contract: the salt must be a pure function of row
+    content — no spark_partition_id / rand / monotonic id — so a task
+    retry recomputes identical salts. Repartitioning the input (which
+    permutes partition ids, the thing a fetch-failure retry does) must
+    leave every row's salt unchanged, and the analyzed plans must carry
+    no nondeterministic expression."""
+    from pyspark.sql import functions as F
+
+    from etl_project_gcp_spark.operators import relational as R
+
+    li = spark.read.parquet(f"{sf01_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+    salt = F.pmod(F.xxhash64(*li.columns), F.lit(16))
+    a = sorted(map(tuple, li.withColumn("_salt", salt).collect()))
+    b = sorted(map(tuple, li.repartition(7).withColumn("_salt", salt).collect()))
+    assert a == b  # same multiset of (row content, salt) either layout
+
+    part = (
+        spark.read.parquet(f"{sf01_dir}/part.parquet")
+        .select("p_partkey", "p_brand")
+        .withColumnRenamed("p_partkey", "l_partkey")
+    )
+    for df in (
+        R.salted_skew_join(li, part, "l_partkey", salt_buckets=8),
+        R.salted_grouped_agg(
+            li, ["l_partkey"],
+            partial_aggs=[F.count(F.lit(1)).alias("c")],
+            final_aggs=[F.sum("c").alias("n")],
+        ),
+    ):
+        plan = df._jdf.queryExecution().analyzed().toString()
+        for banned in ("spark_partition_id", "SPARK_PARTITION_ID",
+                       "monotonically_increasing_id", "rand("):
+            assert banned not in plan, f"nondeterministic salt source: {banned}"
