@@ -5,12 +5,15 @@ typed metadata, processed by Arrow-batched ``mapInPandas`` — the real
 100 TB pattern: bytes never leave the executor, Python sees columnar
 batches, and the output schema is pinned so Catalyst plans around it.
 
-The media codecs (PIL/librosa/av) are NOT in this container, so the
-decode step is STUBBED: ``decode_stub=True`` (default) derives
-deterministic fake dimensions from the payload bytes; ``False`` raises
-NotImplementedError where a real decoder would be called. Everything
-around the decode — schema, batch iteration, partitioning, metadata
-struct — is real and tested.
+Decode has two tiers. ``decode_stub=True`` (default for the legacy
+callers) derives deterministic fake dimensions from payload bytes.
+``decode_stub=False`` runs a REAL decode via the stdlib codecs in
+``operators/media.py``: PNG chunk/IHDR parse + zlib inflate +
+filter-reverse, WAV RIFF headers via ``wave``, nearest-neighbor
+resize with spec-valid re-encode — no PIL/cv2/av needed. Formats
+beyond PNG/WAV still raise NotImplementedError (jpeg etc. genuinely
+need codec libs). Everything around the decode — schema, batch
+iteration, partitioning, metadata struct — is identical in both tiers.
 """
 
 from __future__ import annotations
@@ -59,9 +62,13 @@ def extract_media_meta(
     decode_stub: bool = True,
 ) -> DataFrame:
     """Per-payload metadata via Arrow-batched mapInPandas: byte length,
-    sha256, and (stub-)decoded format/dimensions."""
+    sha256, and decoded format/dimensions (real stdlib decode when
+    ``decode_stub=False``: PNG IHDR dims; WAV channels×framerate mapped
+    to width×height=(NULL, NULL) — audio has no pixel dims)."""
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etl_project_gcp_spark.operators import media as M
+
         for pdf in batches:
             rows = []
             for _id, payload in zip(pdf[id_col], pdf[content_col]):
@@ -69,9 +76,16 @@ def extract_media_meta(
                 if decode_stub:
                     fmt, w, h = _fake_decode(b)
                 else:
-                    raise NotImplementedError(
-                        "real media decode requires PIL/av — not in this container"
-                    )
+                    fmt = M.sniff_format(b)
+                    if fmt == "png":
+                        w, h = M.png_meta(b)
+                    elif fmt == "wav":
+                        w, h = None, None
+                    else:
+                        raise NotImplementedError(
+                            f"no stdlib decoder for format {fmt!r} — "
+                            "jpeg/webp/video need codec libs"
+                        )
                 rows.append(
                     {
                         "id": int(_id),
@@ -101,14 +115,17 @@ def resize_images(
     content_col: str = "content",
     decode_stub: bool = True,
 ) -> DataFrame:
-    """Image-resize PLUMBING (the preprocessing step in front of every
-    vision encoder): Arrow-batched ``mapInPandas``, binary in → binary
-    out with pinned (id, resized, width, height) schema, so the rewrite
-    runs embarrassingly parallel over the scan with no shuffle. The
-    pixel work is STUBBED (no PIL in this container): the fake "resize"
-    emits a deterministic digest-derived payload of len ∝ target area;
-    a real deployment swaps `_fake_resize` for PIL/cv2 inside the same
-    batch loop — the Spark plan does not change."""
+    """Image resize (the preprocessing step in front of every vision
+    encoder): Arrow-batched ``mapInPandas``, binary in → binary out with
+    pinned (id, resized, width, height) schema, so the rewrite runs
+    embarrassingly parallel over the scan with no shuffle.
+
+    ``decode_stub=False`` performs a REAL resize for PNG payloads:
+    stdlib decode (media.png_decode) → nearest-neighbor resample →
+    spec-valid re-encode — the output opens in any PNG viewer. The
+    stub tier keeps the old digest-derived fake for callers that only
+    exercise the plumbing. A production deployment swaps in PIL/cv2
+    inside the same batch loop — the Spark plan does not change."""
 
     def _fake_resize(b: bytes) -> bytes:
         if not b:
@@ -118,18 +135,20 @@ def resize_images(
         return (seed * (need // len(seed) + 1))[:need]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etl_project_gcp_spark.operators import media as M
+
         for pdf in batches:
             rows = []
             for _id, payload in zip(pdf[id_col], pdf[content_col]):
                 b = bytes(payload) if payload is not None else b""
-                if not decode_stub:
-                    raise NotImplementedError(
-                        "real image resize requires PIL/cv2 — not in this container"
-                    )
+                if decode_stub:
+                    resized = _fake_resize(b)
+                else:
+                    resized = M.png_resize_nearest(b, target_w, target_h)
                 rows.append(
                     {
                         "id": int(_id),
-                        "resized": _fake_resize(b),
+                        "resized": resized,
                         "width": target_w,
                         "height": target_h,
                     }
@@ -146,13 +165,20 @@ def extract_features(
     content_col: str = "content",
     decode_stub: bool = True,
 ) -> DataFrame:
-    """Feature extraction PLUMBING (binary → embedding): emits a pinned
+    """Feature extraction (binary → embedding): emits a pinned
     ``array<float>`` column per payload, the handoff between multimodal
     ingest and the vector operators (operators/vector.py consumes the
-    output unchanged — integration-tested). The encoder is STUBBED with
-    a deterministic digest-derived unit vector; a real deployment runs
-    the model inside the same Arrow batch loop (optionally batching to
-    the GPU per pandas batch), same schema, same plan."""
+    output unchanged — integration-tested).
+
+    ``decode_stub=False`` computes REAL handcrafted features from the
+    decoded content: PNG → per-channel mean/std + luminance histogram
+    over actual pixels; WAV → PCM sample mean/std/extremes + coarse
+    amplitude histogram. Deterministic and content-sensitive (two
+    images differing in pixels get different vectors) — not a learned
+    encoder; a production deployment runs the model inside the same
+    Arrow batch loop (optionally batching to the GPU per pandas batch),
+    same schema, same plan. The stub tier keeps the digest-derived
+    vector for plumbing-only callers."""
 
     def _fake_embed(b: bytes) -> list[float]:
         seed = hashlib.sha256(b).digest()
@@ -160,16 +186,65 @@ def extract_features(
         nrm = sum(x * x for x in raw) ** 0.5 or 1.0
         return [x / nrm for x in raw]
 
+    def _unit(raw: list[float]) -> list[float]:
+        raw = (raw + [0.0] * dim)[:dim]
+        nrm = sum(x * x for x in raw) ** 0.5 or 1.0
+        return [x / nrm for x in raw]
+
+    def _real_embed(b: bytes) -> list[float]:
+        import struct as _struct
+
+        from etl_project_gcp_spark.operators import media as M
+
+        fmt = M.sniff_format(b)
+        if fmt == "png":
+            w, h, rows = M.png_decode(b)
+            n = w * h or 1
+            chans = [[p[c] for row in rows for p in row] for c in range(3)]
+            feats = []
+            for vals in chans:
+                mean = sum(vals) / n
+                var = sum((v - mean) ** 2 for v in vals) / n
+                feats += [mean / 255.0, var**0.5 / 255.0]
+            hist = [0.0] * max(1, dim - 6)
+            for row in rows:
+                for r, g, bch in row:
+                    lum = (r + 2 * g + bch) // 4  # 0..255 luminance proxy
+                    hist[(lum * len(hist)) // 256] += 1.0 / n
+            return _unit(feats + hist)
+        if fmt == "wav":
+            nch, sw, rate, nframes = M.wav_meta(b)
+            import io as _io
+            import wave as _wave
+
+            with _wave.open(_io.BytesIO(b), "rb") as wv:
+                frames = wv.readframes(nframes)
+            if sw != 2:
+                raise NotImplementedError("only 16-bit PCM features")
+            vals = [
+                s / 32768.0
+                for (s,) in _struct.iter_unpack("<h", frames)
+            ] or [0.0]
+            n = len(vals)
+            mean = sum(vals) / n
+            var = sum((v - mean) ** 2 for v in vals) / n
+            feats = [mean, var**0.5, min(vals), max(vals), nch / 8.0, rate / 48000.0]
+            hist = [0.0] * max(1, dim - 6)
+            for v in vals:
+                idx = int((v + 1.0) / 2.0 * (len(hist) - 1e-9))
+                hist[min(max(idx, 0), len(hist) - 1)] += 1.0 / n
+            return _unit(feats + hist)
+        raise NotImplementedError(
+            f"no stdlib feature path for format {fmt!r}"
+        )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _id, payload in zip(pdf[id_col], pdf[content_col]):
                 b = bytes(payload) if payload is not None else b""
-                if not decode_stub:
-                    raise NotImplementedError(
-                        "real feature extraction requires a vision/audio model"
-                    )
-                rows.append({"id": int(_id), "embedding": _fake_embed(b)})
+                emb = _fake_embed(b) if decode_stub else _real_embed(b)
+                rows.append({"id": int(_id), "embedding": emb})
             yield pd.DataFrame(rows, columns=["id", "embedding"])
 
     return df.select(id_col, content_col).mapInPandas(
@@ -193,4 +268,108 @@ def frame_sample_plan(
         F.col(id_col),
         F.sha2(F.col(content_col), 256).alias("payload_sha256"),
         F.explode(idx).alias("frame_index"),
+    )
+
+
+def synthesize_media(
+    df: DataFrame, id_col: str = "doc_id", kind: str = "png"
+) -> DataFrame:
+    """Deterministic REAL media fixtures from an id column: a spec-valid
+    PNG (dims and gradient pixels are formulas of the id) or a PCM WAV
+    (channels/rate/frames likewise). The formulas are intentionally
+    simple enough for a SQL oracle to recompute, so a decode of these
+    payloads is checkable end-to-end: synth(id) → bytes → decode →
+    fields must equal the formula — proving the codec round-trip, not
+    just the plumbing. Runs as shuffle-free mapInPandas over the scan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etl_project_gcp_spark.operators import media as M
+
+        for pdf in batches:
+            rows = []
+            for _id in pdf[id_col]:
+                i = int(_id)
+                if kind == "png":
+                    w, h = 8 + i % 13, 8 + i % 7
+                    px = [
+                        [
+                            ((x * 7 + i) % 256, (y * 11 + i) % 256, (x + y + i) % 256)
+                            for x in range(w)
+                        ]
+                        for y in range(h)
+                    ]
+                    payload = M.png_encode(px)
+                elif kind == "wav":
+                    nch = 1 + i % 2
+                    rate = 8000 + 1000 * (i % 3)
+                    nframes = 100 + i % 50
+                    sample = ((i % 251) - 125) * 200
+                    frames = (
+                        int(sample).to_bytes(2, "little", signed=True)
+                        * nch
+                        * nframes
+                    )
+                    payload = M.wav_encode(
+                        frames, n_channels=nch, sampwidth=2, framerate=rate
+                    )
+                else:
+                    raise ValueError(f"unknown media kind {kind!r}")
+                rows.append({"id": i, "content": payload})
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    return df.select(id_col).mapInPandas(run, "id bigint, content binary")
+
+
+def png_roundtrip_meta(
+    media_df: DataFrame, target_w: int = 16, target_h: int = 16
+) -> DataFrame:
+    """REAL decode → resize → re-decode in one Arrow pass: emits
+    (id, orig_w, orig_h, res_w, res_h) where orig_* come from parsing
+    the input PNG's IHDR and res_* from fully decoding the RESIZED
+    output (so a bad re-encode cannot pass). No shuffle: one
+    mapInPandas over the payload scan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etl_project_gcp_spark.operators import media as M
+
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf["id"], pdf["content"]):
+                b = bytes(payload)
+                ow, oh = M.png_meta(b)
+                rw, rh, _ = M.png_decode(M.png_resize_nearest(b, target_w, target_h))
+                rows.append(
+                    {"id": int(_id), "orig_w": ow, "orig_h": oh,
+                     "res_w": rw, "res_h": rh}
+                )
+            yield pd.DataFrame(
+                rows, columns=["id", "orig_w", "orig_h", "res_w", "res_h"]
+            )
+
+    return media_df.mapInPandas(
+        run, "id bigint, orig_w int, orig_h int, res_w int, res_h int"
+    )
+
+
+def wav_meta_table(media_df: DataFrame) -> DataFrame:
+    """(id, n_channels, sample_rate, n_frames) via the stdlib wave
+    reader — a real RIFF parse per payload, Arrow-batched, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etl_project_gcp_spark.operators import media as M
+
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf["id"], pdf["content"]):
+                nch, _sw, rate, nframes = M.wav_meta(bytes(payload))
+                rows.append(
+                    {"id": int(_id), "n_channels": nch,
+                     "sample_rate": rate, "n_frames": nframes}
+                )
+            yield pd.DataFrame(
+                rows, columns=["id", "n_channels", "sample_rate", "n_frames"]
+            )
+
+    return media_df.mapInPandas(
+        run, "id bigint, n_channels int, sample_rate int, n_frames int"
     )

@@ -1910,17 +1910,51 @@ def frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("binary_resize_meta", None)  # stub pixel work — rows-only
+@register(
+    "binary_resize_meta",
+    """
+    SELECT doc_id AS id,
+           CAST(8 + doc_id % 13 AS INTEGER) AS orig_w,
+           CAST(8 + doc_id % 7  AS INTEGER) AS orig_h,
+           CAST(16 AS INTEGER) AS res_w,
+           CAST(16 AS INTEGER) AS res_h
+    FROM documents
+    """,
+)
 def binary_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-resize plumbing (multimodal): binary in → binary out
-    through Arrow-batched mapInPandas with a pinned schema; emits the
-    per-payload output dims + resized byte length (payload itself is
-    digest-derived — no codec libs in this container)."""
-    docs = MM.attach_binary(_t(spark, sf_dir, "documents"), "text")
-    out = MM.resize_images(docs, 224, 224, id_col="doc_id")
-    return out.select(
-        "id", "width", "height", F.length("resized").alias("n_resized_bytes")
-    )
+    """REAL image decode+resize (multimodal): each doc id synthesizes a
+    spec-valid PNG (dims are formulas of the id — operators/multimodal
+    ::synthesize_media), which is then DECODED, nearest-neighbor
+    resized to 16×16, RE-ENCODED, and decoded again, all with the
+    stdlib codec (operators/media.py — zlib inflate + filter reverse,
+    no PIL). orig_* come from parsing the input IHDR and res_* from
+    fully decoding the resized output, so a broken encoder or decoder
+    cannot hash-match the oracle's formula replay. One shuffle-free
+    mapInPandas pass over the scan."""
+    ship_package_to_workers(spark)
+    media = MM.synthesize_media(_t(spark, sf_dir, "documents"), "doc_id", kind="png")
+    return MM.png_roundtrip_meta(media, target_w=16, target_h=16)
+
+
+@register(
+    "wav_audio_meta",
+    """
+    SELECT doc_id AS id,
+           CAST(1 + doc_id % 2 AS INTEGER)           AS n_channels,
+           CAST(8000 + 1000 * (doc_id % 3) AS INTEGER) AS sample_rate,
+           CAST(100 + doc_id % 50 AS INTEGER)        AS n_frames
+    FROM documents
+    """,
+)
+def wav_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (multimodal): each doc id synthesizes a PCM
+    WAV (channels/rate/frames are formulas of the id), which is parsed
+    back with the stdlib ``wave`` RIFF reader — the oracle replays the
+    formulas, so a header-encoding or parse bug hash-fails. Arrow-
+    batched, shuffle-free."""
+    ship_package_to_workers(spark)
+    media = MM.synthesize_media(_t(spark, sf_dir, "documents"), "doc_id", kind="wav")
+    return MM.wav_meta_table(media)
 
 
 @register("binary_embed_topk", None)  # stub encoder — rows-only

@@ -1,5 +1,5 @@
-"""Multimodal plumbing tests: binary columns, Arrow batch featurize,
-frame-sample explode shape. Decode itself is stubbed (no codec libs)."""
+"""Multimodal tests: binary columns, Arrow batch featurize, frame-sample
+explode shape, and the REAL stdlib decode tier (operators/media.py)."""
 
 from __future__ import annotations
 
@@ -22,12 +22,12 @@ def test_extract_media_meta_schema_and_values(spark):
     assert by_id[1].width > 0 and by_id[1].height > 0
 
 
-def test_decode_stub_off_raises(spark):
+def test_decode_stub_off_raises_for_undecodable_format(spark):
     df = spark.createDataFrame([(1, "x")], ["id", "txt"])
     meta = MM.extract_media_meta(
         MM.attach_binary(df, "txt"), "id", "content", decode_stub=False
     )
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+    with pytest.raises(Exception, match="NotImplementedError|no stdlib decoder"):
         meta.collect()
 
 
@@ -81,3 +81,122 @@ def test_extract_features_feeds_vector_topk(spark):
     # so the top neighbor of query 0 is an exact match at cosine 1.0
     top0 = [r for r in topk if r.query_id == 0 and r.rk == 1][0]
     assert top0.cosine == 1.0 and top0.neighbor_id in (4, 8, 12, 16)
+
+
+# --- Real stdlib decode tier ----------------------------------------------
+
+
+def test_png_codec_roundtrip_and_foreign_filters():
+    """png_encode → png_decode is pixel-exact, and the decoder reverses
+    Sub/Up/Average/Paeth filtered scanlines it did not itself produce."""
+    import struct
+    import zlib
+
+    from etl_project_gcp_spark.operators import media as M
+
+    px = [[(x * 7 % 256, y * 11 % 256, (x + y) % 256) for x in range(13)]
+          for y in range(9)]
+    b = M.png_encode(px)
+    w, h, rows = M.png_decode(b)
+    assert (w, h) == (13, 9) and rows == px
+    assert M.png_meta(b) == (13, 9)
+    assert M.sniff_format(b) == "png"
+
+    # hand-built 3x5 PNG using every filter type once
+    width, height = 3, 5
+    base = [bytes((x * 37 + y * 11 + c) % 256 for x in range(width)
+                  for c in range(3)) for y in range(height)]
+    def sub(line, prev):    # noqa: E306
+        out = bytearray(line)
+        for i in range(3, len(out)):
+            out[i] = (line[i] - line[i - 3]) & 0xFF
+        return bytes(out)
+    def up(line, prev):
+        return bytes((line[i] - prev[i]) & 0xFF for i in range(len(line)))
+    def avg(line, prev):
+        return bytes((line[i] - ((line[i - 3] if i >= 3 else 0) + prev[i]) // 2)
+                     & 0xFF for i in range(len(line)))
+    def paeth(line, prev):
+        out = bytearray()
+        for i in range(len(line)):
+            a = line[i - 3] if i >= 3 else 0
+            c = prev[i - 3] if i >= 3 else 0
+            out.append((line[i] - M._paeth(a, prev[i], c)) & 0xFF)
+        return bytes(out)
+    filters = [(0, lambda l, p: l), (1, sub), (2, up), (3, avg), (4, paeth)]
+    raw = bytearray()
+    prev = bytes(width * 3)
+    for y, (ftype, fn) in zip(range(height), filters):
+        raw.append(ftype)
+        raw += fn(base[y], prev)
+        prev = base[y]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    foreign = (M._PNG_SIG + M._chunk(b"IHDR", ihdr)
+               + M._chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + M._chunk(b"IEND", b""))
+    w2, h2, rows2 = M.png_decode(foreign)
+    expect = [[tuple(base[y][x * 3:x * 3 + 3]) for x in range(width)]
+              for y in range(height)]
+    assert (w2, h2) == (width, height) and rows2 == expect
+
+
+def test_png_resize_nearest_samples_real_pixels():
+    from etl_project_gcp_spark.operators import media as M
+
+    px = [[(x, y, 0) for x in range(8)] for y in range(4)]
+    out = M.png_resize_nearest(M.png_encode(px), 4, 2)
+    w, h, rows = M.png_decode(out)
+    assert (w, h) == (4, 2)
+    assert rows[0][0] == (0, 0, 0) and rows[1][3] == (6, 2, 0)
+
+
+def test_wav_codec_roundtrip():
+    from etl_project_gcp_spark.operators import media as M
+
+    b = M.wav_encode(b"\x00\x01" * 500, n_channels=2, sampwidth=2, framerate=16000)
+    assert M.wav_meta(b) == (2, 2, 16000, 250)
+    assert M.sniff_format(b) == "wav"
+
+
+def test_real_decode_tier_on_synthesized_media(spark):
+    """synthesize_media emits payloads the real decoders open: PNG dims
+    and WAV headers match the id formulas, and extract_media_meta with
+    decode_stub=False reports them."""
+    ids = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    png = MM.synthesize_media(ids, "doc_id", kind="png")
+    meta = {r.id: r for r in MM.extract_media_meta(
+        png, "id", "content", decode_stub=False).collect()}
+    for i in range(6):
+        assert meta[i].format == "png"
+        assert meta[i].width == 8 + i % 13 and meta[i].height == 8 + i % 7
+
+    wav = MM.synthesize_media(ids, "doc_id", kind="wav")
+    wmeta = {r.id: r for r in MM.wav_meta_table(wav).collect()}
+    for i in range(6):
+        assert wmeta[i].n_channels == 1 + i % 2
+        assert wmeta[i].sample_rate == 8000 + 1000 * (i % 3)
+        assert wmeta[i].n_frames == 100 + i % 50
+
+
+def test_real_resize_roundtrip_meta(spark):
+    ids = spark.createDataFrame([(3,), (10,)], ["doc_id"])
+    media = MM.synthesize_media(ids, "doc_id", kind="png")
+    out = {r.id: r for r in MM.png_roundtrip_meta(media, 16, 16).collect()}
+    assert out[3].orig_w == 11 and out[3].orig_h == 11
+    assert out[10].orig_w == 18 and out[10].orig_h == 11
+    assert all(r.res_w == 16 and r.res_h == 16 for r in out.values())
+
+
+def test_real_features_are_content_sensitive(spark):
+    """Two different images must embed differently; identical images
+    identically — the features come from decoded pixels, not digests."""
+    ids = spark.createDataFrame([(1,), (1,), (2,)], ["doc_id"])
+    media = MM.synthesize_media(ids, "doc_id", kind="png")
+    vecs = [r.embedding for r in MM.extract_features(
+        media, dim=16, decode_stub=False).collect()]
+    assert len(vecs) == 3
+    same = [v for v in vecs if vecs.count(v) >= 2]
+    assert same, "identical payloads must produce identical embeddings"
+    assert any(v != same[0] for v in vecs), "distinct payloads must differ"
+    for v in vecs:
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-5  # unit norm
