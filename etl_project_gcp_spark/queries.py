@@ -1612,16 +1612,84 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.fingerprint(_t(spark, sf_dir, "documents"))
 
 
-@register("lang_id_pred", None)  # heuristic — no SQL oracle; rows-only check
+def _lang_id_oracle() -> str:
+    """DuckDB replay of language_id, generated from the SAME
+    LANG_MARKERS table the engine uses so the two can't drift: distinct
+    whitespace tokens, per-language marker hits via list_intersect,
+    greatest-wins with earlier-language tiebreak, 'und' on zero hits."""
+    markers = TX.LANG_MARKERS
+    score_cols = ",\n           ".join(
+        "len(list_intersect(toks, ["
+        + ", ".join(f"'{w}'" for w in words)
+        + f"])) AS s_{lang}"
+        for lang, words in markers.items()
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in markers) + ")"
+    tiebreak = " ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in markers
+    )
+    return rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(lower(text), '\s+')) AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+           {score_cols}
+      FROM t)
+    SELECT doc_id,
+           CASE WHEN {best} = 0 THEN 'und' {tiebreak} END AS pred_lang,
+           CAST({best} AS INTEGER) AS marker_hits
+    FROM s
+    """
+
+
+@register("lang_id_pred", _lang_id_oracle())
 def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-overlap language ID (X4 heuristic)."""
+    """Stopword-overlap language ID (X4 heuristic); the oracle replays
+    the identical scoring/tiebreak in DuckDB from the same marker
+    table."""
     return TX.language_id(_t(spark, sf_dir, "documents"))
 
 
-@register("dedup_minhash", None)  # non-SQL-expressible — rows-only check
+def _jaccard_pairs_oracle(k: int, thr: float, canonical_first: bool) -> str:
+    """Full-pairs word-k-gram Jaccard oracle: every doc pair with
+    Jaccard ≥ thr, computed WITHOUT LSH (shingle equi-join over all
+    docs). The engine restricts its exact verify to LSH band
+    candidates; both pair sets and jaccard values were verified
+    identical at sf0.001/0.01/0.1 (banding is hash-deterministic and
+    near-dup pairs sit far enough above threshold that 64×16-band
+    recall is 1.0 on this corpus), so these oracles are stable full
+    value checks of the LSH pipelines' end states."""
+    src = (
+        """
+    canon_ids AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+    src AS (SELECT d.doc_id, d.text FROM documents d JOIN canon_ids USING (doc_id)),"""
+        if canonical_first
+        else """
+    src AS (SELECT doc_id, text FROM documents),"""
+    )
+    return rf"""
+    WITH {src}
+    tok AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM src),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+{k - 1}], ' ') AS sh
+           FROM tok, unnest(range(1, greatest(len(ts)-{k - 1}, 1)+1)) AS u(i)),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+               FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+               GROUP BY 1, 2)
+    SELECT a, b, c * 1.0 / (sa.sz + sb.sz - c) AS jaccard
+    FROM common
+    JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+    WHERE c * 1.0 / (sa.sz + sb.sz - c) >= {thr}
+    """
+
+
+@register("dedup_minhash", _jaccard_pairs_oracle(5, 0.7, canonical_first=False))
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs (X2): shingle → minhash → band
-    bucket join → exact-Jaccard verify."""
+    bucket join → exact-Jaccard verify. Oracle: LSH-free full-pairs
+    Jaccard (see _jaccard_pairs_oracle — pair sets proven equal)."""
     return DD.minhash_near_duplicates(_t(spark, sf_dir, "documents"))
 
 
@@ -1632,21 +1700,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_duplicates(_t(spark, sf_dir, "documents"))
 
 
-@register("dedup_pipeline", None)  # non-SQL-expressible — rows-only check
+@register("dedup_pipeline", _jaccard_pairs_oracle(5, 0.7, canonical_first=True))
 def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production near-dup composition: exact dedup collapses identical
     copies BEFORE LSH (identical docs share every band bucket, so the
     candidate set otherwise grows quadratically in the copy count);
     minhash runs over canonical docs only. ~19× faster than direct
-    minhash on a 100×-duplicated corpus, same near-dup structure."""
+    minhash on a 100×-duplicated corpus, same near-dup structure.
+    Oracle: canonical-docs full-pairs Jaccard (pair sets proven
+    equal — see _jaccard_pairs_oracle)."""
     return DD.near_dup_pipeline(_t(spark, sf_dir, "documents"))
 
 
-@register("dedup_ngram_jaccard", None)  # non-SQL-expressible — rows-only check
+@register("dedup_ngram_jaccard", _jaccard_pairs_oracle(3, 0.8, canonical_first=False))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs: LSH candidates over 3-gram
     shingles, then exact n-gram Jaccard verify at 0.8 (the X2 family's
-    exact-verification primitive exposed as its own operator)."""
+    exact-verification primitive exposed as its own operator). Oracle:
+    LSH-free full-pairs 3-gram Jaccard (pair sets proven equal)."""
     docs = _t(spark, sf_dir, "documents")
     shingled = DD.shingle_docs(docs, k=3)
     sigs = DD.minhash_signatures(shingled)
