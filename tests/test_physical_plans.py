@@ -218,3 +218,17 @@ def test_embedding_near_dups_has_no_cartesian_product(spark, sf01_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "FlatMapGroupsInPandas" in plan  # blocked matmul path
+
+
+def test_simhash_signatures_plan_is_shuffle_free(spark, sf01_dir):
+    """The signature computation must be a pure narrow projection over
+    the scan — no Exchange (the old explode+groupBy formulation
+    shuffled every token row)."""
+    from etl_project_gcp_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf01_dir}/documents.parquet")
+    plan = (
+        DD.simhash_signatures(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
