@@ -46,11 +46,12 @@ def _rot(h: F.Column, bits: int) -> F.Column:
     return F.shiftleft(h, bits).bitwiseOR(F.shiftrightunsigned(h, 64 - bits))
 
 
-def shingle_docs(
+def shingle_arrays(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
 ) -> DataFrame:
-    """(id, shingle_hash) pairs — distinct per doc, SHUFFLE-FREE until
-    the final distinct.
+    """(id, sh_arr) — the per-doc DISTINCT shingle-hash set as an array
+    column, fully SHUFFLE-FREE (``array_distinct`` dedups locally; no
+    explode, no groupBy, no row distinct).
 
     Each token is hashed once into an ``array<bigint>`` column
     (``transform`` + xxhash64) in its own projection; shingle hashes
@@ -87,15 +88,27 @@ def shingle_docs(
             )
         return acc
 
-    return (
-        tok.select(
-            id_col,
-            F.explode(F.transform(F.sequence(F.lit(0), m - 1), shingle_at)).alias(
-                "sh"
-            ),
-        )
-        .distinct()
-    )
+    arr = F.array_distinct(F.transform(F.sequence(F.lit(0), m - 1), shingle_at))
+    return tok.select(id_col, arr.alias("sh_arr"))
+
+
+def shingle_docs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """(id, shingle_hash) rows, distinct per doc — now just the explode
+    of :func:`shingle_arrays`. Shingle dups only ever occur WITHIN a
+    doc, so exploding the locally-deduped array already yields distinct
+    rows: the old trailing ``.distinct()`` shuffle is gone entirely.
+
+    ``explode_outer``, deliberately: plain ``explode`` makes
+    InferFiltersFromGenerate add ``size(sh_arr) > 0`` and predicate
+    pushdown inlines the WHOLE shingle expression into that filter with
+    the token-hash array re-expanded per element — O(n²·k) per doc,
+    measured 30 s vs 0.5 s at sf0.1. ``sh_arr`` is never empty (m ≥ 1
+    pads short docs), so outer == inner here and no filter is inferred.
+    """
+    sh = shingle_arrays(docs, id_col, text_col, k)
+    return sh.select(id_col, F.explode_outer(F.col("sh_arr")).alias("sh"))
 
 
 def _shingle_docs_window(
@@ -125,21 +138,30 @@ def _shingle_docs_window(
 
 
 def minhash_signatures(
-    shingled: DataFrame,
+    shingle_arrs: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 64,
 ) -> DataFrame:
     """MinHash signature per doc: for seed i, min over shingles of
-    xxhash64(shingle_hash, seed_i). One groupBy; signature emitted as an
-    array column."""
-    mins = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"mh{i}")
+    xxhash64(shingle_hash, seed_i), computed SHUFFLE-FREE over the
+    per-doc shingle array from :func:`shingle_arrays` (array_min folds —
+    one narrow projection). The previous formulation exploded shingles
+    and ran a ``num_hashes``-column groupBy: that |shingles|-row shuffle
+    dominated the signature stage at scale and measured ~7× slower at
+    sf0.1 (signatures bit-identical).
+
+    The array is a CreateArray of ``num_hashes`` INDEPENDENT per-seed
+    folds, not one ``transform(sequence(...))`` lambda: downstream
+    banding indexes ``sig[i]`` 64×, and SimplifyExtractValueOps folds
+    ``CreateArray(...)[i]`` to just the i-th fold (each then evaluated
+    once), whereas indexing a single lambda-built array re-inlines the
+    WHOLE 64-seed computation per reference — measured 3× slower
+    banding at sf0.1."""
+    elems = [
+        F.expr(f"array_min(transform(sh_arr, s -> xxhash64(s, {i})))")
         for i in range(num_hashes)
     ]
-    sig = shingled.groupBy(id_col).agg(*mins)
-    return sig.select(
-        id_col, F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig")
-    )
+    return shingle_arrs.select(id_col, F.array(*elems).alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -227,13 +249,19 @@ def minhash_near_duplicates(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Full X2 pipeline: shingle → minhash → LSH bands → exact-Jaccard
-    verify. Returns (a, b, jaccard) near-duplicate pairs, a < b."""
-    # NOTE: the shingle set feeds both the signature and verify branches;
-    # measured on this corpus, recomputing the cheap explode+distinct
-    # beats a persist() barrier by ~4× (cache write + lost pipelining)
-    shingled = shingle_docs(docs, id_col, text_col, shingle_k)
-    sigs = minhash_signatures(shingled, id_col, num_hashes)
+    verify. Returns (a, b, jaccard) near-duplicate pairs, a < b.
+
+    Both branches derive from one shuffle-free ``shingle_arrays``
+    projection: signatures fold the array directly (no explode/groupBy)
+    and the verify branch explodes it for the candidate join.
+    Recomputing the cheap narrow shingle lineage per branch beats a
+    persist() barrier (~4× measured — cache write + lost pipelining)."""
+    sh_arrs = shingle_arrays(docs, id_col, text_col, shingle_k)
+    sigs = minhash_signatures(sh_arrs, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
+    # explode_outer: see shingle_docs — inner explode's inferred
+    # size-filter inlines the shingle lambda O(n²·k)
+    shingled = sh_arrs.select(id_col, F.explode_outer(F.col("sh_arr")).alias("sh"))
     return jaccard_verify(cands, shingled, id_col, threshold)
 
 
@@ -241,36 +269,39 @@ def simhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:
     """64-bit SimHash: per token-hash, vote ±1 on each bit; sign of the
-    per-bit sum forms the signature.
+    per-bit sum forms the signature. Pure expressions: explode + one
+    groupBy with ``bits`` conditional sums.
 
-    SHUFFLE-FREE: the per-doc vote vector is an array ``aggregate``
-    over the token-hash array (zip_with accumulator of ``bits`` longs),
-    folded to the signature in a second array fold — one narrow
-    projection, no explode, no groupBy. The previous formulation
-    exploded every token and shuffled |tokens| rows into a
-    ``bits``-column hash aggregate; at 100 TB that shuffle IS the cost,
-    and its 64-column codegen also compiled ~5 s slower cold (measured
-    sf0.1; warm equal, signatures bit-identical — equality-tested).
-    Docs with zero tokens are excluded, matching the old groupBy
-    semantics (no token rows → no group)."""
-    tok = docs.select(
-        F.col(id_col),
-        F.expr(
-            rf"transform(filter(split(lower(`{text_col}`), '\\s+'), t -> t != ''), "
-            "t -> xxhash64(t))"
-        ).alias("_th"),
-    ).filter(F.size(F.col("_th")) > 0)
-    votes = F.expr(
-        f"aggregate(_th, array_repeat(0L, {bits}), (acc, h) -> "
-        f"zip_with(acc, transform(sequence(0, {bits - 1}), j -> "
-        "CASE WHEN (h >> j) & 1 = 1 THEN 1L ELSE -1L END), (a, b) -> a + b))"
+    Deliberately explode+groupBy, NOT a per-doc array ``aggregate``:
+    the groupBy partial-aggregates map-side, so the shuffle carries only
+    ~N_docs×(bits×8B) partial-vote rows (not token rows) — already
+    scale-safe — and the 64 conditional sums run in whole-stage codegen,
+    which measured ~40% faster warm than the interpreted higher-order
+    array fold at sf0.1 (warm 2.9 s vs 4.1 s e2e; tried and reverted
+    round 4)."""
+    tok = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select(id_col, F.xxhash64("tok").alias("h"))
     )
-    sig = F.expr(
-        f"aggregate(zip_with(_votes, sequence(0, {bits - 1}), (v, j) -> "
-        "CASE WHEN v > 0 THEN shiftleft(1L, j) ELSE 0L END), "
-        "0L, (acc, x) -> acc ^ x)"
-    )
-    return tok.withColumn("_votes", votes).select(id_col, sig.alias("simhash"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    per_doc = tok.groupBy(id_col).agg(*votes)
+    sig = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, j)
+        sig = term if sig is None else sig.bitwiseXOR(term)  # disjoint bits: XOR == OR
+    return per_doc.select(id_col, sig.alias("simhash"))
 
 
 def simhash_near_duplicates(

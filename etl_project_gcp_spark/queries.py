@@ -1719,8 +1719,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-verification primitive exposed as its own operator). Oracle:
     LSH-free full-pairs 3-gram Jaccard (pair sets proven equal)."""
     docs = _t(spark, sf_dir, "documents")
-    shingled = DD.shingle_docs(docs, k=3)
-    sigs = DD.minhash_signatures(shingled)
+    sigs = DD.minhash_signatures(DD.shingle_arrays(docs, k=3))
     cands = DD.lsh_candidate_pairs(sigs)
     return DD.ngram_jaccard_pairs(docs, cands, n=3, threshold=0.8)
 

@@ -220,10 +220,9 @@ def test_embedding_near_dups_has_no_cartesian_product(spark, sf01_dir):
     assert "FlatMapGroupsInPandas" in plan  # blocked matmul path
 
 
-def test_simhash_signatures_plan_is_shuffle_free(spark, sf01_dir):
-    """The signature computation must be a pure narrow projection over
-    the scan — no Exchange (the old explode+groupBy formulation
-    shuffled every token row)."""
+def test_simhash_signatures_partial_aggregates_map_side(spark, sf01_dir):
+    """The signature groupBy must partial-aggregate before its exchange
+    (shuffle carries per-doc vote partials, never raw token rows)."""
     from etl_project_gcp_spark.operators import dedup as DD
 
     docs = spark.read.parquet(f"{sf01_dir}/documents.parquet")
@@ -231,4 +230,5 @@ def test_simhash_signatures_plan_is_shuffle_free(spark, sf01_dir):
         DD.simhash_signatures(docs)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Exchange" not in plan
+    pre_exchange = plan.split("Exchange")[-1]  # below the exchange
+    assert "partial_sum" in pre_exchange

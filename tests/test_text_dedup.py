@@ -296,3 +296,25 @@ def test_decontaminate_and_repetition_handle_short_docs(spark):
            for r in TX.repetition_signals(corpus, n=3).collect()}
     assert 2 not in rep and 3 not in rep  # sub-n docs emit no gram rows
     assert rep[1] == 5
+
+
+def test_minhash_signature_plan_is_shuffle_free(spark, sf01_dir):
+    """Signatures fold the per-doc shingle array directly — no Exchange
+    anywhere in the stage (the old explode+groupBy shuffled every
+    shingle row)."""
+    docs = spark.read.parquet(f"{sf01_dir}/documents.parquet")
+    plan = (
+        DD.minhash_signatures(DD.shingle_arrays(docs))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_shingle_docs_has_no_distinct_shuffle(spark, sf01_dir):
+    """Exploding the locally-deduped shingle array already yields
+    distinct rows — the row-level distinct (and its shuffle) must be
+    gone, and the row set unchanged (checked vs the window oracle by
+    test_shingle_docs_matches_window_formulation)."""
+    docs = spark.read.parquet(f"{sf01_dir}/documents.parquet")
+    plan = DD.shingle_docs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
