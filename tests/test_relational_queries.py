@@ -264,3 +264,33 @@ def test_salt_is_content_derived_and_deterministic(spark, sf01_dir):
         for banned in ("spark_partition_id", "SPARK_PARTITION_ID",
                        "monotonically_increasing_id", "rand("):
             assert banned not in plan, f"nondeterministic salt source: {banned}"
+
+
+def test_events_loader_adapts_to_both_ts_layouts(spark, tmp_path):
+    """_events must normalize ts to TimestampType from EITHER physical
+    layout: integral nanos (legacy TIMESTAMP(NANOS) read under
+    nanosAsLong) or timestamp[us] (current corpus, read as
+    timestamp_ntz) — same instants either way."""
+    import datetime
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [(i, base + datetime.timedelta(minutes=i), i, "view", 1.0, "{}")
+            for i in range(5)]
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    micros_dir = str(tmp_path / "micros")
+    spark.createDataFrame(rows, cols).write.parquet(f"{micros_dir}/events.parquet")
+
+    nanos_dir = str(tmp_path / "nanos")
+    (
+        spark.createDataFrame(rows, cols)
+        .withColumn("ts", F.unix_micros("ts") * 1000)  # bigint nanos
+        .write.parquet(f"{nanos_dir}/events.parquet")
+    )
+
+    got_micros = {r.event_id: r.ts for r in Q._events(spark, micros_dir).collect()}
+    got_nanos = {r.event_id: r.ts for r in Q._events(spark, nanos_dir).collect()}
+    assert got_micros == got_nanos
+    assert got_micros[0] == base
+    for d in (micros_dir, nanos_dir):
+        assert dict(Q._events(spark, d).dtypes)["ts"] == "timestamp"
