@@ -260,8 +260,15 @@ def minhash_near_duplicates(
     sigs = minhash_signatures(sh_arrs, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
     # explode_outer: see shingle_docs — inner explode's inferred
-    # size-filter inlines the shingle lambda O(n²·k)
-    shingled = sh_arrs.select(id_col, F.explode_outer(F.col("sh_arr")).alias("sh"))
+    # size-filter inlines the shingle lambda O(n²·k).
+    # repartition = materialization barrier: jaccard_verify consumes
+    # shingled THREE times (sizes, a-side, b-side); without an exchange
+    # each consumer re-scans the corpus and recomputes the shingles.
+    # One shuffle of (id, sh) rows, reused 3× via exchange reuse, beats
+    # three scans — ~10% warm at sf0.1, and I/O-dominated wins at scale.
+    shingled = sh_arrs.select(
+        id_col, F.explode_outer(F.col("sh_arr")).alias("sh")
+    ).repartition(id_col)
     return jaccard_verify(cands, shingled, id_col, threshold)
 
 

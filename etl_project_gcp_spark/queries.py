@@ -1696,8 +1696,48 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_simhash", None)  # non-SQL-expressible — rows-only check
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs: 64-bit signature, chunk banding,
-    Hamming ≤ 3."""
+    Hamming ≤ 3. xxhash64 signatures aren't reproducible in DuckDB, so
+    the value-level correctness claim lives in simhash_quality_report
+    (driver-checked floors on agreement with the Jaccard pair set)."""
     return DD.simhash_near_duplicates(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "simhash_quality_report",
+    """
+    SELECT * FROM (VALUES
+        ('precision', CAST(0.30 AS DOUBLE), TRUE),
+        ('recall',    CAST(0.50 AS DOUBLE), TRUE)
+    ) AS t(metric, floor, meets_floor)
+    """,
+)
+def simhash_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifiable quality claim for the SimHash path: recall and
+    precision of its pair set against the exact word-5-gram Jaccard≥0.7
+    pair set (computed by the engine's own minhash path, itself
+    full-value oracle-checked). Both hashings are deterministic per
+    corpus, so the metrics are stable — measured recall .60-.75 and
+    precision .36-.88 across sf0.001/0.01/0.1, floors with margin. A
+    signature or banding bug that degrades the overlap flips
+    meets_floor and hash-fails.
+
+    The three counts are bounded driver scalars (pair-set sizes track
+    duplicate density, not corpus size)."""
+    docs = _t(spark, sf_dir, "documents")
+    sim = DD.simhash_near_duplicates(docs).select("a", "b")
+    jac = DD.minhash_near_duplicates(docs).select("a", "b")
+    n_sim = sim.count()
+    n_jac = jac.count()
+    n_inter = sim.join(jac, ["a", "b"]).count()
+    floors = {"precision": 0.30, "recall": 0.50}
+    vals = {
+        "precision": (n_inter / n_sim) if n_sim else 0.0,
+        "recall": (n_inter / n_jac) if n_jac else 0.0,
+    }
+    return spark.createDataFrame(
+        [(m, floors[m], vals[m] >= floors[m]) for m in sorted(floors)],
+        "metric string, floor double, meets_floor boolean",
+    )
 
 
 @register("dedup_pipeline", _jaccard_pairs_oracle(5, 0.7, canonical_first=True))
