@@ -2067,17 +2067,22 @@ def wav_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.wav_meta_table(media)
 
 
-@register("binary_embed_topk", None)  # stub encoder — rows-only
+@register("binary_embed_topk", None)  # pixel features — rows-only
 def binary_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal→similarity handoff: binary payloads → (stub) encoder
-    embeddings → exact cosine top-5, the end-to-end shape of an
-    image-dedup / retrieval pipeline. The encoder is a deterministic
-    digest-derived unit vector (no model in this container); the vector
-    stage is the real, recall-tested operator."""
-    docs = MM.attach_binary(
-        _t(spark, sf_dir, "documents").limit(200), "text"
+    """Multimodal→similarity handoff, REAL end to end: doc ids
+    synthesize spec-valid PNGs (synthesize_media) → stdlib decode +
+    content-sensitive pixel-statistics features
+    (extract_features(decode_stub=False): channel mean/std + luminance
+    histogram over actual pixels) → exact cosine top-5. The image-dedup
+    / retrieval pipeline shape with every stage real; in production the
+    feature UDF swaps in a learned encoder, same plan. Rows-only: pixel
+    decode has no SQL twin (the codec itself is oracle-proven by
+    binary_resize_meta)."""
+    ship_package_to_workers(spark)
+    media = MM.synthesize_media(
+        _t(spark, sf_dir, "documents").limit(200), "doc_id", kind="png"
     )
-    emb = MM.extract_features(docs, dim=16, id_col="doc_id")
+    emb = MM.extract_features(media, dim=16, decode_stub=False)
     return VX.brute_force_topk(
         emb, emb.filter(F.col("id") < 5), k=5, id_col="id", vec_col="embedding"
     )
