@@ -3533,6 +3533,41 @@ def doc_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_quality_filter",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split_regex(lower(text), '\s+')) AS INTEGER) AS n_tok
+      FROM documents),
+    q AS (SELECT lang, quantile_cont(n_tok, 0.25) AS p25 FROM t GROUP BY lang)
+    SELECT doc_id, t.lang, n_tok,
+           round(CAST(q.p25 AS DOUBLE), 2) AS p25,
+           n_tok >= q.p25 AS keep
+    FROM t JOIN q USING (lang)
+    """,
+)
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-quantile gate (X4 curation staple): drop
+    the bottom token-count quartile WITHIN each language — an absolute
+    length cut would mass-delete the shortest language's corpus.
+    Threshold = exact interpolated p25 per lang via groupBy aggregate +
+    broadcast join back, NOT a per-lang window (a window partitioned by
+    6 language values single-threads the corpus into 6 reducers at any
+    scale); both engines interpolate the same integer order statistics,
+    so the keep boolean is exact."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", TX.token_count("text").alias("n_tok"))
+    q = t.groupBy("lang").agg(F.expr("percentile(n_tok, 0.25)").alias("_p25"))
+    return t.join(F.broadcast(q), "lang").select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.round(F.col("_p25"), 2).alias("p25"),
+        (F.col("n_tok") >= F.col("_p25")).alias("keep"),
+    )
+
+
+@register(
     "doc_common_token_ratio",
     f"""
     WITH tok AS (
