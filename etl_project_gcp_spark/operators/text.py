@@ -475,3 +475,128 @@ def repetition_signals(
         (F.lit(1.0) - F.count(F.lit(1)) / F.sum("c")).alias("dup_gram_ratio"),
         (F.max("c") / F.sum("c")).alias("top_gram_ratio"),
     )
+
+
+# --- BPE merge learning (tokenizer fitting) --------------------------------
+
+def _apply_merge(syms: Column, left: Column, right: Column) -> Column:
+    """Replace every leftmost non-overlapping adjacent (left, right) pair
+    in a symbol array with their concatenation — one BPE merge step as a
+    pure array fold (no UDF): carry-based scan, merged symbols never
+    re-merge within the same step."""
+    empty = F.array().cast("array<string>")
+    nul = F.lit(None).cast("string")
+
+    def step(acc, s):
+        return (
+            F.when(
+                acc["carry"].isNull(),
+                F.struct(acc["out"].alias("out"), s.alias("carry")),
+            )
+            .when(
+                (acc["carry"] == left) & (s == right),
+                F.struct(
+                    F.array_append(acc["out"], F.concat(left, right)).alias("out"),
+                    nul.alias("carry"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.array_append(acc["out"], acc["carry"]).alias("out"),
+                    s.alias("carry"),
+                )
+            )
+        )
+
+    return F.aggregate(
+        syms,
+        F.struct(empty.alias("out"), nul.alias("carry")),
+        step,
+        lambda acc: F.when(
+            acc["carry"].isNull(), acc["out"]
+        ).otherwise(F.array_append(acc["out"], acc["carry"])),
+    )
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    num_merges: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_limit: int = 5000,
+) -> DataFrame:
+    """Learn BPE merges DISTRIBUTED, the word-frequency-table way: the
+    corpus collapses to (word, count) once — all pair statistics and
+    merge applications run over that table (|vocab| rows), never the
+    corpus. Per merge round: one weighted adjacent-pair aggregate picks
+    the most frequent pair (count desc, then (left, right) asc — fully
+    deterministic), one expression fold (:func:`_apply_merge`) rewrites
+    the symbol arrays, localCheckpoint truncates the growing lineage.
+    Driver holds only the single winning pair per round plus the merge
+    table (num_merges rows).
+
+    Scale: the corpus-sized work is the one tokenize+groupBy producing
+    the word table; each of the ``num_merges`` rounds then shuffles only
+    vocab-bounded pair partials. ``vocab_limit`` keeps the table
+    TakeOrdered-bounded (top words by count, deterministic tiebreak) —
+    rare-tail words contribute negligible pair mass; set it to cover
+    the frequency mass you care about.
+
+    Returns (rank, left, right, merged) — the learned merge table in
+    application order, as a DataFrame of the caller's session.
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(vocab_limit)
+    )
+    # split("(?!^)") emits a trailing "" (Spark keeps trailing empties);
+    # drop it or the empty symbol wins merge rounds
+    syms = words.select(
+        "cnt",
+        F.filter(
+            F.split(F.col("w"), "(?!^)"), lambda s: s != ""
+        ).alias("syms"),
+    ).localCheckpoint()
+
+    merges: list[tuple[int, str, str]] = []
+    for rank in range(num_merges):
+        pairs = (
+            syms.filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda l, r: F.struct(l.alias("l"), r.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("pc"))
+            .orderBy(F.desc("pc"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        best = pairs[0]
+        merges.append((rank, best["l"], best["r"]))
+        new_syms = syms.select(
+            "cnt",
+            _apply_merge(F.col("syms"), F.lit(best["l"]), F.lit(best["r"])).alias(
+                "syms"
+            ),
+        ).localCheckpoint()
+        syms.unpersist()
+        syms = new_syms
+    syms.unpersist()
+    return spark.createDataFrame(
+        [(r, l, x, l + x) for r, l, x in merges],
+        "rank int, left string, right string, merged string",
+    )

@@ -3532,6 +3532,19 @@ def doc_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TX.redact_text("text").alias("redacted"))
 
 
+@register("bpe_merges", None)  # iterative driver loop — rows-only
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (tokenizer fitting, X4 family):
+    collapse the corpus to a word-frequency table once, then each round
+    aggregates weighted adjacent-pair counts and applies the winning
+    merge as a pure array fold (operators/text.py::bpe_learn_merges —
+    no UDF, deterministic count-desc/pair-asc tiebreak). Rows-only: the
+    driver loop's fixpoint has no SQL twin; determinism and known-merge
+    behavior are pytest-pinned (tests/test_text_dedup.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.bpe_learn_merges(docs, num_merges=12)
+
+
 @register(
     "doc_quality_filter",
     r"""

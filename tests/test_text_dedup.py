@@ -318,3 +318,45 @@ def test_shingle_docs_has_no_distinct_shuffle(spark, sf01_dir):
     docs = spark.read.parquet(f"{sf01_dir}/documents.parquet")
     plan = DD.shingle_docs(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_bpe_learns_expected_merges_on_toy_corpus(spark):
+    """Hand-checkable BPE: 'low'x3 + 'lower' + 'lowest' must learn
+    l+o (count 5, tie with o+w broken by left asc), then lo+w, then
+    low+e — textbook merge order."""
+    from etl_project_gcp_spark.operators import text as TX
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest")], ["doc_id", "text"]
+    )
+    got = [(r.left, r.right, r.merged) for r in
+           TX.bpe_learn_merges(docs, num_merges=4).collect()]
+    assert got == [
+        ("l", "o", "lo"), ("lo", "w", "low"),
+        ("low", "e", "lowe"), ("lowe", "r", "lower"),
+    ]
+
+
+def test_bpe_apply_merge_leftmost_nonoverlapping(spark):
+    """'aaa' under merge (a,a) -> [aa, a]: the merged symbol must not
+    re-merge with the trailing 'a' within the same round."""
+    from pyspark.sql import functions as F
+
+    from etl_project_gcp_spark.operators import text as TX
+
+    df = spark.createDataFrame([(["a", "a", "a"],)], "syms array<string>")
+    out = df.select(
+        TX._apply_merge(F.col("syms"), F.lit("a"), F.lit("a")).alias("o")
+    ).collect()[0].o
+    assert out == ["aa", "a"]
+
+
+def test_bpe_is_deterministic_on_corpus(spark, sf_dir):
+    from etl_project_gcp_spark.operators import text as TX
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = [tuple(r) for r in TX.bpe_learn_merges(docs, num_merges=5).collect()]
+    b = [tuple(r) for r in TX.bpe_learn_merges(docs, num_merges=5).collect()]
+    assert a == b
+    assert [r[0] for r in a] == list(range(5))  # ranks in order
+    assert all(r[3] == r[1] + r[2] for r in a)
