@@ -407,8 +407,13 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.0,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard for given (a, b) pairs."""
-    shingled = shingle_docs(docs, id_col, text_col, n)
+    """Exact word-n-gram Jaccard for given (a, b) pairs.
+
+    Repartition barrier for the same reason as minhash_near_duplicates:
+    jaccard_verify reads the shingle rows three times (sizes + both
+    join sides) — materialize them once instead of re-scanning the
+    corpus per consumer."""
+    shingled = shingle_docs(docs, id_col, text_col, n).repartition(id_col)
     return jaccard_verify(pairs, shingled, id_col, threshold)
 
 
