@@ -74,14 +74,25 @@ def _rounds_green(names: list[str], here: str = _HERE) -> dict[str, int]:
 _RECHECK_SLOTS = 10
 
 
+# Rotation phase snapshots, one per directory: taken at first use so a
+# CORRECTNESS file written mid-round (harness ordering) cannot shift the
+# re-check slice between two queries() calls in the same process.
+_ROUND_INDEX_CACHE: dict[str, int] = {}
+
+
 def _round_index(here: str = _HERE) -> int:
-    """Rounds completed so far = CORRECTNESS_r*.json files present.
-    Deterministic within a round, advances between rounds — the rotation
-    phase for the re-check window."""
-    return len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    """Rounds completed so far = CORRECTNESS_r*.json files present at
+    first call in this process (snapshotted — deterministic within a
+    round even if the harness writes this round's file early), advances
+    between rounds — the rotation phase for the re-check window."""
+    if here not in _ROUND_INDEX_CACHE:
+        _ROUND_INDEX_CACHE[here] = len(
+            glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        )
+    return _ROUND_INDEX_CACHE[here]
 
 
-def _rotation_order(names: list[str]) -> list[str]:
+def _rotation_order(names: list[str], here: str = _HERE) -> list[str]:
     """Order the registry: a rotating slice of previously-green entries
     first (stale-green guard), then least-driver-checked first.
 
@@ -94,7 +105,7 @@ def _rotation_order(names: list[str]) -> list[str]:
     after the re-check slice. The slice itself advances by
     ``_RECHECK_SLOTS`` per round, cycling through all greens.
     """
-    greens = _rounds_green(names)
+    greens = _rounds_green(names, here=here)
     prio = {n: i for i, n in enumerate(_PRIORITY)}
     base = {n: i for i, n in enumerate(names)}
     ordered = sorted(
@@ -103,7 +114,7 @@ def _rotation_order(names: list[str]) -> list[str]:
     green_pool = [n for n in sorted(names, key=base.get) if greens[n] > 0]
     if not green_pool:
         return ordered
-    start = (_round_index() * _RECHECK_SLOTS) % len(green_pool)
+    start = (_round_index(here) * _RECHECK_SLOTS) % len(green_pool)
     recheck = [
         green_pool[(start + i) % len(green_pool)]
         for i in range(min(_RECHECK_SLOTS, len(green_pool)))

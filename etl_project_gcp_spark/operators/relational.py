@@ -187,6 +187,7 @@ def salted_skew_join(
     key: str,
     salt_buckets: int = 16,
     how: str = "inner",
+    extra_salt_cols: Sequence[str | Column] = (),
 ) -> DataFrame:
     """Skew-mitigated equi-join: spray each skewed-side row into one of
     ``salt_buckets`` sub-partitions, replicate the small side across all
@@ -207,12 +208,14 @@ def salted_skew_join(
     recomputes identically on every attempt, so correctness survives
     retries at cluster scale. Residual: FULLY-identical rows share a
     salt and re-collide on one reducer; if that degenerate shape matters
-    (mass-duplicated rows under one hot key), materialize a
-    distinguishing column first (a line number from the source, a
-    pre-assigned row uid) and include it in the hash — don't reach for
-    spark_partition_id().
+    (mass-duplicated rows under one hot key), pass ``extra_salt_cols``
+    — stable distinguishing expressions (a source line number, a
+    pre-assigned row uid) mixed into the hash to restore spread — never
+    spark_partition_id()/rand (retry-nondeterministic).
     """
-    salt = F.pmod(F.xxhash64(*skewed.columns), F.lit(salt_buckets))
+    salt = F.pmod(
+        F.xxhash64(*skewed.columns, *extra_salt_cols), F.lit(salt_buckets)
+    )
     left = skewed.withColumn("_salt", salt)
     right = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
@@ -226,6 +229,7 @@ def salted_grouped_agg(
     partial_aggs: Sequence[Column],
     final_aggs: Sequence[Column],
     salt_buckets: int = 16,
+    extra_salt_cols: Sequence[str | Column] = (),
 ) -> DataFrame:
     """Two-phase aggregation for skewed group keys: groupBy(keys + salt)
     computes partials (a hot key spreads over ``salt_buckets`` reducers),
@@ -241,8 +245,12 @@ def salted_grouped_agg(
     Salt is content-derived only (retry-deterministic — see
     salted_skew_join for why positional sources are unsafe); fully-
     identical rows share a bucket, so partial groups stay bounded by
-    duplicate-row count rather than hot-key count.
+    duplicate-row count rather than hot-key count — pass
+    ``extra_salt_cols`` (stable row-distinguishing expressions) to
+    restore spread for mass-duplicated rows.
     """
-    salt = F.pmod(F.xxhash64(*df.columns), F.lit(salt_buckets))
+    salt = F.pmod(
+        F.xxhash64(*df.columns, *extra_salt_cols), F.lit(salt_buckets)
+    )
     partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*partial_aggs)
     return partial.groupBy(*keys).agg(*final_aggs)

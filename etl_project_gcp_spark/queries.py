@@ -72,6 +72,14 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     micros exactly like DuckDB's nanos→micros conversion; current corpora
     store timestamp[us] (read as timestamp/timestamp_ntz), kept as-is."""
     ev = _t(spark, sf_dir, "events")
+    # The ntz→timestamp cast below is instant-preserving ONLY under a UTC
+    # session; any other zone silently shifts every event. Fail loudly
+    # instead (a caller could reset the conf after _ensure_session_confs).
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise RuntimeError(
+            f"events require spark.sql.session.timeZone=UTC, got {tz!r}"
+        )
     ts_type = dict(ev.dtypes)["ts"]
     if ts_type in ("bigint", "long"):
         return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -1660,7 +1668,15 @@ def _jaccard_pairs_oracle(k: int, thr: float, canonical_first: bool) -> str:
     identical at sf0.001/0.01/0.1 (banding is hash-deterministic and
     near-dup pairs sit far enough above threshold that 64×16-band
     recall is 1.0 on this corpus), so these oracles are stable full
-    value checks of the LSH pipelines' end states."""
+    value checks of the LSH pipelines' end states.
+
+    CORPUS-GUARD (tests/test_text_dedup.py::test_jaccard_oracle_corpus_
+    guard): exact equality is only stable while no pair's Jaccard lies
+    in the near-threshold band where per-pair banding recall < 1-1e-4
+    (j < ~0.813 for 16 bands × 4 rows). The guard test asserts that on
+    the current corpus; if a future testdata refresh trips it, switch
+    these oracles to the precision/recall-floor style used by
+    simhash_quality_report instead of weakening the engine."""
     src = (
         """
     canon_ids AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
@@ -1889,17 +1905,36 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_cache_root() -> str:
+    """Per-user IVF cache root: config-overridable, else XDG cache, else
+    a uid-suffixed tempdir — never a world-shared fixed path (a shared
+    /tmp name lets another user's leftover or adversarially pre-created
+    directory be served as index data, or breaks on permissions)."""
+    import os
+    import tempfile
+
+    override = os.environ.get("ETL_GCP_SPARK_CACHE_DIR")
+    if override:
+        return os.path.join(override, "ivf")
+    xdg = os.environ.get("XDG_CACHE_HOME")
+    home = os.path.expanduser("~")
+    if xdg:
+        return os.path.join(xdg, "etl_gcp_spark", "ivf")
+    if home and home != "/" and os.path.isdir(home):
+        return os.path.join(home, ".cache", "etl_gcp_spark", "ivf")
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    return os.path.join(tempfile.gettempdir(), f"etl_gcp_spark_ivf_{uid}")
+
+
 def _ivf_index_path(sf_dir: str, n_lists: int) -> str:
     """Deterministic on-disk location for the persisted IVF index of a
     given (corpus, n_lists): keyed by the embeddings file's absolute
     path + size + mtime, so repeat invocations REUSE the index (the
     production build-once/search-many lifecycle) and a corpus refresh
     (new mtime) transparently re-keys instead of serving stale lists.
-    No mkdtemp: the path is stable across calls, nothing leaks per
-    invocation."""
+    Rooted in a per-user cache dir (see _ivf_cache_root)."""
     import hashlib
     import os
-    import tempfile
 
     src = os.path.abspath(f"{sf_dir}/embeddings.parquet")
     try:
@@ -1908,15 +1943,54 @@ def _ivf_index_path(sf_dir: str, n_lists: int) -> str:
     except OSError:
         sig = f"{src}|{n_lists}"
     key = hashlib.sha1(sig.encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), "etl_gcp_spark_ivf", key)
+    return os.path.join(_ivf_cache_root(), key)
 
 
 def _ivf_index_ready(path: str) -> bool:
+    """A reusable index = complete markers AND owned by this user (a
+    foreign-owned directory at our key is never trusted as index data)."""
     import os
 
-    return os.path.exists(f"{path}/centroids/_SUCCESS") and os.path.exists(
-        f"{path}/vectors/_SUCCESS"
-    )
+    if not (
+        os.path.exists(f"{path}/centroids/_SUCCESS")
+        and os.path.exists(f"{path}/vectors/_SUCCESS")
+    ):
+        return False
+    if hasattr(os, "getuid"):
+        try:
+            if os.stat(path).st_uid != os.getuid():
+                return False
+        except OSError:
+            return False
+    return True
+
+
+def _ivf_index_ensure(emb: DataFrame, sf_dir: str, n_lists: int) -> str:
+    """Build-once/reuse-forever with crash- and race-safety: build into a
+    pid-suffixed sibling, then atomically rename into the final key. A
+    crashed build leaves only a .build-* sibling (never half-complete
+    _SUCCESS-bearing state at the served path); concurrent builders race
+    on the rename and the loser discards its copy."""
+    import os
+    import shutil
+
+    path = _ivf_index_path(sf_dir, n_lists)
+    if _ivf_index_ready(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.build-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        VX.ivf_build_index(emb, tmp, n_lists=n_lists)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # another process won the race (target now exists) — use theirs
+            if not _ivf_index_ready(path):
+                raise
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
 
 
 @register("ann_ivf_index_topk", None)  # approximate — rows-only; equality+pruning tested
@@ -1929,9 +2003,7 @@ def ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are equality-tested against the in-memory IVF path and the pruning
     is plan-tested (tests/test_vector.py)."""
     emb = _t(spark, sf_dir, "embeddings")
-    path = _ivf_index_path(sf_dir, n_lists=16)
-    if not _ivf_index_ready(path):
-        VX.ivf_build_index(emb, path, n_lists=16)
+    path = _ivf_index_ensure(emb, sf_dir, n_lists=16)
     return VX.ivf_search_index(
         spark, path, emb.filter(F.col("vec_id") < 5), k=10, nprobe=4
     ).drop("list_id")
@@ -1961,9 +2033,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     RECALL_FLOORS; sf0.001 and sf0.01 both verified)."""
     ship_package_to_workers(spark)
     emb = _t(spark, sf_dir, "embeddings")
-    path = _ivf_index_path(sf_dir, n_lists=16)
-    if not _ivf_index_ready(path):
-        VX.ivf_build_index(emb, path, n_lists=16)
+    path = _ivf_index_ensure(emb, sf_dir, n_lists=16)
     return VX.recall_report(
         emb, emb.filter(F.col("vec_id") < 5), k=10, index_path=path
     )

@@ -48,6 +48,16 @@ def test_recheck_slice_heads_rotation_with_greens():
     assert all(greens[n] > 0 for n in head)
 
 
+def test_round_index_snapshots_per_process(tmp_path):
+    """A CORRECTNESS file written mid-round must not shift the rotation
+    phase: the round index is snapshotted at first call per directory."""
+    here = str(tmp_path)
+    (tmp_path / "CORRECTNESS_r01.json").write_text("{}")
+    assert E._round_index(here) == 1
+    (tmp_path / "CORRECTNESS_r02.json").write_text("{}")
+    assert E._round_index(here) == 1  # unchanged within the process
+
+
 def test_recheck_slice_rotates_across_rounds(monkeypatch):
     """The slice must advance with the round counter so successive rounds
     walk different parts of the green set."""

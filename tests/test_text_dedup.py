@@ -320,6 +320,38 @@ def test_shingle_docs_has_no_distinct_shuffle(spark, sf01_dir):
     assert "Exchange" not in plan
 
 
+def test_jaccard_oracle_corpus_guard():
+    """The full-pairs Jaccard oracles (dedup_minhash / dedup_pipeline /
+    dedup_ngram_jaccard / dedup_cluster_canonical) assert EXACT pair-set
+    equality with the LSH-banded engine. That equality is stable only
+    while every qualifying pair's 64-hash/16-band recall is ≈1 — a pair
+    sitting just above threshold (per-pair recall 1-(1-j^4)^16, ~98.8%
+    at j=0.7) could legitimately be missed by banding and hash-fail the
+    round even though the approximate engine behaves as designed.
+
+    Guard: assert no corpus pair's Jaccard lies in the near-threshold
+    band where banding recall < 1-1e-4 (j < ~0.813). If this trips
+    after a testdata refresh, do NOT weaken the engine — switch those
+    oracles to the precision/recall-floor style used by
+    simhash_quality_report (see _jaccard_pairs_oracle docstring)."""
+    from etl_project_gcp_spark.queries import _jaccard_pairs_oracle
+    from tests.oracle import duckdb_run
+
+    # j_safe solves 1-(1-j^4)^16 >= 1-1e-4
+    j_safe = (1.0 - 1e-4 ** (1.0 / 16)) ** 0.25
+    for k, thr in ((5, 0.7), (3, 0.8)):
+        pairs = duckdb_run(
+            _jaccard_pairs_oracle(k, thr, canonical_first=True),
+            "/root/testdata/sf0.01",
+        )
+        risky = pairs[pairs["jaccard"] < j_safe]
+        assert risky.empty, (
+            f"k={k} thr={thr}: pairs in banding-recall<1 band "
+            f"[{thr}, {j_safe:.3f}): {risky.to_dict('records')} — "
+            "switch the exact-equality oracles to floor-style checks"
+        )
+
+
 def test_bpe_learns_expected_merges_on_toy_corpus(spark):
     """Hand-checkable BPE: 'low'x3 + 'lower' + 'lowest' must learn
     l+o (count 5, tie with o+w broken by left asc), then lo+w, then
