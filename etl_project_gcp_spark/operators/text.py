@@ -518,29 +518,70 @@ def _apply_merge(syms: Column, left: Column, right: Column) -> Column:
     )
 
 
+def _bpe_fit_word_table(
+    words: list[tuple[str, int]], num_merges: int
+) -> list[tuple[int, str, str]]:
+    """Exact sequential BPE over an in-memory (word, count) table: per
+    round, the most frequent weighted adjacent pair wins (count desc,
+    then (left, right) asc — the same deterministic tiebreak as the
+    distributed loop) and is applied leftmost-non-overlapping. O(vocab ×
+    merges) — this is the whole merge-learning cost once the corpus has
+    been collapsed to a frequency table."""
+    table = [([*w], c) for w, c in words]
+    merges: list[tuple[int, str, str]] = []
+    for rank in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, cnt in table:
+            for pair in zip(syms, syms[1:]):
+                counts[pair] = counts.get(pair, 0) + cnt
+        if not counts:
+            break
+        (left, right), _ = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, left, right))
+        for i, (syms, cnt) in enumerate(table):
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == left and syms[j + 1] == right:
+                    out.append(left + right)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            table[i] = (out, cnt)
+    return merges
+
+
 def bpe_learn_merges(
     docs: DataFrame,
     num_merges: int = 20,
     id_col: str = "doc_id",
     text_col: str = "text",
     vocab_limit: int = 5000,
+    fit: str = "auto",
 ) -> DataFrame:
-    """Learn BPE merges DISTRIBUTED, the word-frequency-table way: the
-    corpus collapses to (word, count) once — all pair statistics and
-    merge applications run over that table (|vocab| rows), never the
-    corpus. Per merge round: one weighted adjacent-pair aggregate picks
-    the most frequent pair (count desc, then (left, right) asc — fully
-    deterministic), one expression fold (:func:`_apply_merge`) rewrites
-    the symbol arrays, localCheckpoint truncates the growing lineage.
-    Driver holds only the single winning pair per round plus the merge
-    table (num_merges rows).
+    """Learn BPE merges the word-frequency-table way: the corpus
+    collapses to (word, count) ONCE — the only corpus-sized job — and
+    all pair statistics and merge applications run over that
+    vocab-bounded table, never the corpus.
 
-    Scale: the corpus-sized work is the one tokenize+groupBy producing
-    the word table; each of the ``num_merges`` rounds then shuffles only
-    vocab-bounded pair partials. ``vocab_limit`` keeps the table
-    TakeOrdered-bounded (top words by count, deterministic tiebreak) —
-    rare-tail words contribute negligible pair mass; set it to cover
-    the frequency mass you care about.
+    ``fit`` selects where the merge loop runs; both produce IDENTICAL
+    merge tables (same counts, same count-desc/(left,right)-asc
+    tiebreak, same leftmost-non-overlapping application —
+    equality-tested):
+
+    - ``"driver"`` — collect the capped word table (≤ vocab_limit rows,
+      driver memory bounded by the cap, not the corpus) and run the
+      exact sequential loop in-process. THE PRODUCTION PATH for real
+      merge counts: 30k merges are 30k O(vocab) in-memory rounds,
+      not 30k sequential Spark jobs.
+    - ``"distributed"`` — per merge round: one weighted adjacent-pair
+      aggregate picks the winner, one expression fold
+      (:func:`_apply_merge`) rewrites the symbol arrays,
+      localCheckpoint truncates the growing lineage; the driver holds
+      one winning pair per round. For when even the capped vocab table
+      must not be collected (vocab_limit ≫ memory).
+    - ``"auto"`` (default) — driver when ``vocab_limit`` ≤ 100 000,
+      distributed above.
 
     Returns (rank, left, right, merged) — the learned merge table in
     application order, as a DataFrame of the caller's session.
@@ -554,6 +595,19 @@ def bpe_learn_merges(
         .orderBy(F.desc("cnt"), F.asc("w"))
         .limit(vocab_limit)
     )
+    if fit not in ("auto", "driver", "distributed"):
+        raise ValueError(f"fit must be auto|driver|distributed, got {fit!r}")
+    if fit == "auto":
+        fit = "driver" if vocab_limit <= 100_000 else "distributed"
+
+    if fit == "driver":
+        table = [(r["w"], r["cnt"]) for r in words.collect()]
+        merges = _bpe_fit_word_table(table, num_merges)
+        return spark.createDataFrame(
+            [(r, l, x, l + x) for r, l, x in merges],
+            "rank int, left string, right string, merged string",
+        )
+
     # split("(?!^)") emits a trailing "" (Spark keeps trailing empties);
     # drop it or the empty symbol wins merge rounds
     syms = words.select(

@@ -3609,10 +3609,14 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates weighted adjacent-pair counts and applies the winning
     merge as a pure array fold (operators/text.py::bpe_learn_merges —
     no UDF, deterministic count-desc/pair-asc tiebreak). Rows-only: the
-    driver loop's fixpoint has no SQL twin; determinism and known-merge
-    behavior are pytest-pinned (tests/test_text_dedup.py)."""
+    iterative fixpoint has no SQL twin; the full merge table is pinned
+    against an independent pure-Python reference BPE run over the same
+    word-frequency table (tests/test_text_dedup.py), and the driver-fit
+    production path (fit='driver' — one collect of the capped vocab,
+    in-memory loop; how 30k-merge tokenizers actually train) is
+    equality-tested against this distributed loop."""
     docs = _t(spark, sf_dir, "documents")
-    return TX.bpe_learn_merges(docs, num_merges=12)
+    return TX.bpe_learn_merges(docs, num_merges=12, fit="distributed")
 
 
 @register(
