@@ -1718,11 +1718,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_duplicates(_t(spark, sf_dir, "documents"))
 
 
+# Per-SF simhash floors, ~0.1 under measured (r5: precision/recall
+# measured .778/.750 at sf0.001, .882/.600 at sf0.01, .360/.738 at
+# sf0.1) so a halving of headroom trips the gate instead of hiding
+# inside one loose global floor. Unknown corpora fall back to the
+# conservative global pair.
+_SIMHASH_FLOORS = {
+    "sf0.001": {"precision": 0.65, "recall": 0.65},
+    "sf0.01": {"precision": 0.75, "recall": 0.50},
+    "sf0.1": {"precision": 0.25, "recall": 0.60},
+}
+_SIMHASH_FLOORS_DEFAULT = {"precision": 0.25, "recall": 0.50}
+
+
 @register(
     "simhash_quality_report",
     """
     SELECT * FROM (VALUES
-        ('precision', CAST(0.30 AS DOUBLE), TRUE),
+        ('precision', CAST(0.75 AS DOUBLE), TRUE),
         ('recall',    CAST(0.50 AS DOUBLE), TRUE)
     ) AS t(metric, floor, meets_floor)
     """,
@@ -1732,10 +1745,10 @@ def simhash_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision of its pair set against the exact word-5-gram Jaccard≥0.7
     pair set (computed by the engine's own minhash path, itself
     full-value oracle-checked). Both hashings are deterministic per
-    corpus, so the metrics are stable — measured recall .60-.75 and
-    precision .36-.88 across sf0.001/0.01/0.1, floors with margin. A
-    signature or banding bug that degrades the overlap flips
-    meets_floor and hash-fails.
+    corpus, so the metrics are stable; floors are per-SF at ~0.1 under
+    measured (see _SIMHASH_FLOORS — the oracle embeds the sf0.01 pair,
+    the driver's correctness SF). A signature or banding bug that
+    degrades the overlap flips meets_floor and hash-fails.
 
     The three counts are bounded driver scalars (pair-set sizes track
     duplicate density, not corpus size)."""
@@ -1745,7 +1758,8 @@ def simhash_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_sim = sim.count()
     n_jac = jac.count()
     n_inter = sim.join(jac, ["a", "b"]).count()
-    floors = {"precision": 0.30, "recall": 0.50}
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    floors = _SIMHASH_FLOORS.get(sf_name, _SIMHASH_FLOORS_DEFAULT)
     vals = {
         "precision": (n_inter / n_sim) if n_sim else 0.0,
         "recall": (n_inter / n_jac) if n_jac else 0.0,
@@ -2018,6 +2032,7 @@ def ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ('ivf_index',  CAST(0.70 AS DOUBLE), TRUE),
         ('ivf_kmeans', CAST(0.45 AS DOUBLE), TRUE),
         ('lsh',        CAST(0.50 AS DOUBLE), TRUE),
+        ('pixel',      CAST(0.90 AS DOUBLE), TRUE),
         ('two_stage',  CAST(0.95 AS DOUBLE), TRUE)
     ) AS t(method, recall_floor, meets_floor)
     """,
@@ -2030,13 +2045,40 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact expected rows — an approximate path silently regressing
     below its floor flips meets_floor and hash-fails the round. Floors
     carry safety margin under the measured recalls (vector.py::
-    RECALL_FLOORS; sf0.001 and sf0.01 both verified)."""
+    RECALL_FLOORS; sf0.001 and sf0.01 both verified).
+
+    The 'pixel' row gates the multimodal retrieval path
+    (binary_embed_topk): recall@5 of the PNG-decode→pixel-feature→exact
+    top-k result re-evaluated through the independent Arrow-matmul
+    execution route (brute_force_topk_arrow). Both are exact, so
+    measured recall is 1.0 (floor 0.90 absorbs float-tie jitter); a
+    decode nondeterminism, feature regression, or top-k tiebreak bug
+    drops the overlap and flips meets_floor."""
     ship_package_to_workers(spark)
     emb = _t(spark, sf_dir, "embeddings")
     path = _ivf_index_ensure(emb, sf_dir, n_lists=16)
-    return VX.recall_report(
+    rep = VX.recall_report(
         emb, emb.filter(F.col("vec_id") < 5), k=10, index_path=path
     )
+    media = MM.synthesize_media(
+        _t(spark, sf_dir, "documents").limit(200), "doc_id", kind="png"
+    )
+    pix = MM.extract_features(media, dim=16, decode_stub=False)
+    pq = pix.filter(F.col("id") < 5)
+    got = VX.brute_force_topk(
+        pix, pq, k=5, id_col="id", vec_col="embedding"
+    ).select("query_id", "neighbor_id")
+    ref = VX.brute_force_topk_arrow(
+        pix, pq, k=5, id_col="id", vec_col="embedding"
+    ).select("query_id", "neighbor_id")
+    n_ref = ref.count()
+    n_hit = got.join(ref, ["query_id", "neighbor_id"]).count()
+    pixel_recall = (n_hit / n_ref) if n_ref else 0.0
+    pixel_row = spark.createDataFrame(
+        [("pixel", 0.90, pixel_recall >= 0.90)],
+        "method string, recall_floor double, meets_floor boolean",
+    )
+    return rep.unionByName(pixel_row)
 
 
 # ---------------------------------------------------------------------------
