@@ -16,8 +16,14 @@ attempts every statement within a layer.
 
 Scale notes: every layer materializes as Parquet (lineage truncation +
 restartability — SURVEY §4.1); gold sales_summary is partitioned by
-(year) so calendar-pruned reads skip partitions; silver/gold dims are
-broadcast in joins so the fact table never shuffles.
+(year, month) — the SURVEY §4.1 100 TB disposition — so calendar-pruned
+reads skip whole partition directories (layout + pruning plan asserted
+in tests/test_medallion.py). sales_analytics stays unpartitioned: its
+schema is parity-pinned to the reference's 12-column SELECT
+(etl_medallion.py:163-175), and partitioning would append derived
+year/month columns to the read-back schema; at scale, callers pass
+partition_by explicitly through _write. Silver/gold dims are broadcast
+in joins so the fact table never shuffles.
 """
 
 from __future__ import annotations
@@ -136,7 +142,7 @@ class MedallionPipeline:
         ops = {
             "sales_analytics": (self._gold_sales_analytics, None),
             "product_metrics": (self._gold_product_metrics, None),
-            "sales_summary": (self._gold_sales_summary, ["year"]),
+            "sales_summary": (self._gold_sales_summary, ["year", "month"]),
         }
         for table, (fn, part) in ops.items():
             try:

@@ -177,6 +177,37 @@ def test_gold_column_lists_match_reference(spark, pipeline):
     ])
 
 
+def test_gold_sales_summary_partition_layout_and_pruning(spark, pipeline):
+    """100 TB disposition (SURVEY §4.1): sales_summary lands partitioned
+    by (year, month) — nested hive-style directories — and a
+    year/month-filtered read prunes at the partition level (the filter
+    appears as a PartitionFilter on the scan, never a data filter over
+    all files)."""
+    import glob
+
+    pipe, _, _ = pipeline
+    root = pipe.path("gold", "sales_summary")
+    year_dirs = glob.glob(f"{root}/year=*")
+    month_dirs = glob.glob(f"{root}/year=*/month=*")
+    assert year_dirs, "expected hive-style year=* partition directories"
+    assert month_dirs, "expected nested month=* partition directories"
+
+    ss = pipe.table("gold", "sales_summary")
+    y, m = ss.select("year", "month").first()
+    plan = (
+        ss.filter(f"year = {y} AND month = {m}")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf, f"no PartitionFilters in scan:\n{plan}"
+    assert "year" in pf.group(1) and "month" in pf.group(1), pf.group(1)
+    # the pruned filter must NOT fall through to a row-level PushedFilters
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert not pushed or "year" not in (pushed.group(1) or ""), plan
+
+
 def test_gold_sales_summary_parity(spark, pipeline):
     pipe, sources, _ = pipeline
     con = _duck(sources)
