@@ -1,7 +1,5 @@
 """Benchmark harness: times EVERY registry query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric", "value" (total cold sec), "unit", "queries",
-"queries_warm", "sf", "bench_protocol"}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Protocol (round-5 fix for single-shot timing noise): per query, one
 cold run then WARM_RUNS immediate re-runs; "queries" records the cold
@@ -12,6 +10,14 @@ numbers manufactured a phantom 2x regression in round 4
 to full materialization via the noop sink (count() alone can let
 Catalyst skip projected columns). One warmup of the smallest query
 amortizes session/JIT startup out of the numbers.
+
+Output: ONE JSON line (driver contract) holding cold + median-warm for
+every entry, per-query dicts first and the scalar summary last — the
+recorded BENCH_r*.json artifacts keep only a 2000-char stdout tail
+(rounds 2-4 all show parsed=null because the old line outgrew it), so
+the ordering keeps totals/protocol inside the captured window. The
+same payload is also written in full to BENCH_FULL.json next to this
+file and committed per round.
 """
 
 from __future__ import annotations
@@ -95,23 +101,45 @@ def main() -> None:
     )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    protocol = (
+        "1 cold + median of %d warm re-runs per query, noop-sink "
+        "materialized, all %d registry entries + medallion"
+    ) % (WARM_RUNS, len(registry))
+    full = {
+        "metric": "full-registry query wall time, local[%s]"
+        % os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "queries_warm": warm,
+        "value_warm": round(sum(warm.values()), 3),
+        "sf": sf_val,
+        "bench_protocol": protocol,
+    }
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    # ONE JSON line (driver contract), with the per-query dicts FIRST
+    # and the scalar summary LAST: the recorder keeps only a 2000-char
+    # stdout tail, so ordering puts totals/protocol inside the captured
+    # window even though 122 entries can't fit in it (full detail:
+    # BENCH_FULL.json).
     print(
         json.dumps(
             {
-                "metric": "full-registry query wall time, local[%s]"
-                % os.environ.get("SPARK_GRAFT_CPUS", "32"),
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
                 "queries": timings,
                 "queries_warm": warm,
-                "value_warm": round(sum(warm.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "bench_protocol": (
-                    "per query: 1 cold run + median of %d immediate re-runs "
-                    "(queries=cold, queries_warm=median-warm); every run fully "
-                    "materialized via noop sink; all %d registry entries + "
-                    "medallion_pipeline covered"
-                ) % (WARM_RUNS, len(registry)),
+                "metric": full["metric"],
+                "value": full["value"],
+                "unit": "sec",
+                "value_warm": full["value_warm"],
+                "n_queries": len(timings),
+                "sf": sf_val,
+                "bench_protocol": protocol,
+                "queries_full": "BENCH_FULL.json",
             }
         )
     )
