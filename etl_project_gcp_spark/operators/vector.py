@@ -293,6 +293,71 @@ def ivf_assign(
     return centroids, corpus.join(assigned, id_col)
 
 
+def _normalized_vectors(
+    corpus: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(_id, v) with v L2-normalized. The norm must NOT sit inside the
+    per-element lambda (Catalyst inlines it into every element → O(d²),
+    the shingle_docs trap), and a plain projected alias referenced once
+    gets collapsed right back in. array_repeat evaluates its argument
+    once per row regardless, so the zip_with divides by a materialized
+    d-array of the norm."""
+    raw = _as_double(vec_col)
+    nrm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, y: a + y * y))
+    return corpus.select(
+        F.col(id_col).alias("_id"),
+        F.zip_with(
+            raw, F.array_repeat(nrm, F.size(raw)), lambda x, n: x / n
+        ).alias("v"),
+    )
+
+
+def _argmax_assign(vn: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(_id, list_id, sim): each normalized vector's nearest centroid by
+    dot product, ties to the smallest list_id — THE assignment rule of
+    kmeans_fit, shared so persisted centroids reproduce training-time
+    assignment bit-for-bit (single partial-aggregable max(struct), no
+    window)."""
+    scored = vn.crossJoin(F.broadcast(centroids)).select(
+        "_id",
+        F.col("list_id"),
+        _dot(F.col("v"), F.col("centroid")).alias("sim"),
+    )
+    return (
+        scored.groupBy("_id")
+        .agg(
+            F.max(
+                F.struct(F.col("sim"), (-F.col("list_id")).alias("nl"))
+            ).alias("m")
+        )
+        .select(
+            "_id",
+            (-F.col("m.nl")).cast("int").alias("list_id"),
+            F.col("m.sim").alias("sim"),
+        )
+    )
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid using the
+    EXACT kmeans_fit rule (dot on L2-normalized vectors, ties to the
+    smallest list_id). With centroids persisted from a prior
+    :func:`kmeans_fit`, this reproduces the training-time assignment
+    without retraining — the build-once/search-many lifecycle for the
+    trained quantizer (one broadcast join + one partial-agg argmax
+    instead of max_iter Lloyd iterations)."""
+    vn = _normalized_vectors(corpus, id_col, vec_col)
+    assigned = _argmax_assign(vn, centroids)
+    return corpus.join(
+        assigned.select(F.col("_id").alias(id_col), "list_id"), id_col
+    )
+
+
 def kmeans_fit(
     corpus: DataFrame,
     k: int = 16,
@@ -324,20 +389,7 @@ def kmeans_fit(
     import math
 
     spark = corpus.sparkSession
-    # norm must NOT sit inside the per-element lambda (Catalyst inlines
-    # it into every element → O(d²), the shingle_docs trap), and a
-    # plain projected alias referenced once gets collapsed right back
-    # in. array_repeat evaluates its argument once per row regardless,
-    # so the zip_with divides by a materialized d-array of the norm.
-    raw = _as_double(vec_col)
-    nrm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, y: a + y * y))
-    vn = corpus.select(
-        F.col(id_col).alias("_id"),
-        F.zip_with(
-            raw, F.array_repeat(nrm, F.size(raw)), lambda x, n: x / n
-        ).alias("v"),
-    )
-    vn = vn.persist()
+    vn = _normalized_vectors(corpus, id_col, vec_col).persist()
     try:
         init = (
             vn.select("_id", "v", F.xxhash64(F.col("_id").cast("string")).alias("_h"))
@@ -355,19 +407,7 @@ def kmeans_fit(
                 [(i, cents[i]) for i in range(len(cents))],
                 "list_id int, centroid array<double>",
             )
-            scored = vn.crossJoin(F.broadcast(cdf)).select(
-                "_id",
-                "v",
-                F.col("list_id"),
-                _dot(F.col("v"), F.col("centroid")).alias("sim"),
-            )
-            assigned = scored.groupBy("_id").agg(
-                F.max(F.struct(F.col("sim"), (-F.col("list_id")).alias("nl"))).alias("m")
-            ).select(
-                "_id",
-                (-F.col("m.nl")).cast("int").alias("list_id"),
-                F.col("m.sim").alias("sim"),
-            )
+            assigned = _argmax_assign(vn, cdf)
             stats = (
                 assigned.join(vn, "_id")
                 .select("list_id", "sim", F.posexplode("v").alias("pos", "x"))
@@ -424,11 +464,15 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quantizer: str = "seed",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: probe the ``nprobe`` nearest lists per query, exact
     cosine within the probed lists only. ``quantizer='seed'`` uses the
     deterministic seed-vector coarse quantizer (``ivf_assign``);
-    ``'kmeans'`` trains centroids with :func:`kmeans_fit` first.
+    ``'kmeans'`` trains centroids with :func:`kmeans_fit` first — or,
+    when ``centroids`` holds a previously-trained (persisted) set,
+    skips training and reproduces the assignment via
+    :func:`kmeans_assign` (identical results, training cost paid once).
 
     Measured on the sf0.01 corpus (k=10, 20 queries): seed recall
     0.805/0.87/0.92 at nprobe 4/6/8; kmeans 0.50/0.675/0.785. The
@@ -438,7 +482,9 @@ def ivf_topk(
     (clustered) embedding distributions the trained quantizer is the
     standard choice; both paths are recall-tested so a distribution
     change shows up as a test failure, not silent recall loss."""
-    if quantizer == "kmeans":
+    if centroids is not None:
+        assigned = kmeans_assign(corpus, centroids, id_col, vec_col)
+    elif quantizer == "kmeans":
         centroids, assigned, _ = kmeans_fit(corpus, n_lists, id_col, vec_col)
     else:
         centroids, assigned = ivf_assign(corpus, n_lists, id_col, vec_col)
@@ -768,10 +814,13 @@ def recall_report(
     k: int = 10,
     floors: dict[str, float] | None = None,
     index_path: str | None = None,
+    kmeans_centroids: DataFrame | None = None,
 ) -> DataFrame:
     """``(method, recall_floor, meets_floor)`` for every approximate
     retrieval path, recall@k measured against exact ``brute_force_topk``
-    on the same (corpus, queries).
+    on the same (corpus, queries). Pass ``kmeans_centroids`` (persisted
+    from a prior fit) to skip retraining the trained quantizer — the
+    measured path is then the same build-once lifecycle production runs.
 
     This turns the approximate paths' recall — otherwise only a local
     pytest claim — into a driver-checkable result: all hashing/seeding
@@ -789,7 +838,10 @@ def recall_report(
     runs: dict[str, DataFrame] = {
         "lsh": lsh_topk(corpus, queries, k=k),
         "ivf": ivf_topk(corpus, queries, k=k),
-        "ivf_kmeans": ivf_topk(corpus, queries, k=k, quantizer="kmeans"),
+        "ivf_kmeans": ivf_topk(
+            corpus, queries, k=k, quantizer="kmeans",
+            centroids=kmeans_centroids,
+        ),
         "int8": quantized_topk(corpus, queries, k=k),
         "two_stage": two_stage_topk(corpus, queries, k=k),
     }

