@@ -483,16 +483,20 @@ def connected_components(
     rounds); for dedup workloads the simple propagation wins on
     constant factors.
     """
-    # Materialize the edge list ONCE: every propagation round joins
-    # against it, and the upstream pair generation (LSH banding, a
-    # cosine crossJoin, …) is usually the most expensive plan in the
-    # whole pipeline — without this checkpoint each round would re-run
-    # it from scratch (measured 29 s → 9 s at sf0.1 on the embedding
-    # cosine pair graph).
+    # Materialize the PAIR list once, then the symmetrized edge list:
+    # the undirected union below references the pair plan twice, and the
+    # upstream pair generation (LSH banding, a cosine crossJoin, …) is
+    # usually the most expensive plan in the whole pipeline — without
+    # the first checkpoint the union runs it twice before the second
+    # checkpoint ever materializes (measured 6.8 s → 3.8 s warm at
+    # sf0.1 on dedup_cluster_canonical), and without the second each
+    # propagation round would re-run it from scratch (29 s → 9 s at
+    # sf0.1 on the embedding cosine pair graph).
+    p = pairs.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint()
     edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
+        p.union(p.select(F.col("v"), F.col("u"))).distinct()
     ).localCheckpoint()
 
     if small_graph_threshold and edges.count() <= small_graph_threshold:
