@@ -26,18 +26,21 @@ from etl_project_gcp_spark import queries as Q  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# Registry entries the verify harness should reach first this round
-# (previous rounds' err rows to re-prove, plus the flagship similarity
-# path the round-1 judge called out as driver-untested).
+# Registry entries the verify harness should reach first this round —
+# entries whose EXPECTED OUTPUT changed in round 5 (per-SF simhash
+# floors; the new 'pixel' row in the recall report) plus the paths
+# whose implementation changed (cached k-means centroids, split
+# approx-distinct aggregation, CC pair materialization). Priority only
+# breaks ties within a green-count tier, so never-checked entries still
+# come first.
 _PRIORITY = [
+    "simhash_quality_report",
+    "ann_recall_report",
+    "ann_ivf_kmeans_topk",
     "approx_distinct_customers",
-    "approx_price_quartiles",
-    "cosine_topk",
-    "cosine_topk_arrow",
-    "dedup_minhash",
+    "dedup_cluster_canonical",
     "embedding_dedup_clusters",
-    "catalog_columns",
-    "catalog_tables",
+    "bpe_merges",
 ]
 
 
