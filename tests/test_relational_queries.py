@@ -81,6 +81,48 @@ def test_salted_grouped_agg_matches_plain(spark, sf01_dir):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_extra_salt_cols_spread_identical_rows_and_preserve_results(spark):
+    """Fully-identical rows under one hot key hash to ONE salt bucket
+    (content-derived salt); extra_salt_cols mixes a caller-supplied
+    distinguishing column into the hash to restore spread — results
+    must be unchanged, and the duplicated rows must occupy >1 bucket."""
+    from pyspark.sql import functions as F
+
+    from etl_project_gcp_spark.operators import relational as R
+
+    # 1000 BYTE-IDENTICAL rows under one hot key + a row uid column
+    hot = spark.range(1000).select(
+        F.lit(7).alias("k"), F.lit("dup").alias("payload"),
+        F.col("id").alias("uid"),
+    )
+    dim = spark.createDataFrame([(7, "seven")], ["k", "name"])
+
+    plain = hot.join(dim, "k").groupBy("name").count()
+    spread = R.salted_skew_join(
+        hot, dim, "k", salt_buckets=8, extra_salt_cols=["uid"]
+    ).groupBy("name").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, spread.collect())
+    )
+
+    # the salt mechanics: identical (k, payload) rows → 1 bucket from
+    # content alone, many buckets once the distinguishing uid is mixed in
+    without = F.pmod(F.xxhash64("k", "payload"), F.lit(8))
+    with_uid = F.pmod(F.xxhash64("k", "payload", "uid"), F.lit(8))
+    assert hot.select(without.alias("s")).distinct().count() == 1
+    assert hot.select(with_uid.alias("s")).distinct().count() > 1
+
+    agg = R.salted_grouped_agg(
+        hot,
+        ["k"],
+        partial_aggs=[F.count(F.lit(1)).alias("c")],
+        final_aggs=[F.sum("c").alias("n")],
+        salt_buckets=8,
+        extra_salt_cols=["uid"],
+    )
+    assert [tuple(r) for r in agg.collect()] == [(7, 1000)]
+
+
 def test_exact_decimal_aggregation_matches_python_decimal(spark):
     """Property check for exact.py: dsum_round/davg on random 2-decimal
     money values must equal Decimal arithmetic with ROUND_HALF_UP —
