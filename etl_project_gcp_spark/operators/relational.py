@@ -211,7 +211,12 @@ def salted_skew_join(
     (mass-duplicated rows under one hot key), pass ``extra_salt_cols``
     — stable distinguishing expressions (a source line number, a
     pre-assigned row uid) mixed into the hash to restore spread — never
-    spark_partition_id()/rand (retry-nondeterministic).
+    spark_partition_id()/rand (retry-nondeterministic). For file-backed
+    frames the canonical choice is the hidden parquet position column,
+    stable under retries because it addresses the FILE, not the task:
+    ``extra_salt_cols=[F.col("_metadata.row_index")]`` (verified to
+    spread byte-identical rows across all buckets — tests/
+    test_relational_queries.py).
     """
     salt = F.pmod(
         F.xxhash64(*skewed.columns, *extra_salt_cols), F.lit(salt_buckets)

@@ -123,6 +123,34 @@ def test_extra_salt_cols_spread_identical_rows_and_preserve_results(spark):
     assert [tuple(r) for r in agg.collect()] == [(7, 1000)]
 
 
+def test_extra_salt_cols_metadata_row_index_on_parquet(spark, tmp_path):
+    """The canonical stable extra salt for file-backed frames: the
+    hidden parquet ``_metadata.row_index`` column (addresses the file,
+    not the task → retry-deterministic). Byte-identical rows must
+    spread across every bucket and the join result stay exact."""
+    from pyspark.sql import functions as F
+
+    from etl_project_gcp_spark.operators import relational as R
+
+    src = str(tmp_path / "hot")
+    spark.range(1000).select(
+        F.lit(7).alias("k"), F.lit("dup").alias("payload")
+    ).write.parquet(src)
+    hot = spark.read.parquet(src)
+    dim = spark.createDataFrame([(7, "seven")], ["k", "name"])
+    ridx = F.col("_metadata.row_index")
+    out = R.salted_skew_join(
+        hot, dim, "k", salt_buckets=8, extra_salt_cols=[ridx]
+    )
+    assert out.count() == 1000
+    n_buckets = (
+        hot.select(F.pmod(F.xxhash64("k", "payload", ridx), F.lit(8)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_buckets == 8
+
+
 def test_exact_decimal_aggregation_matches_python_decimal(spark):
     """Property check for exact.py: dsum_round/davg on random 2-decimal
     money values must equal Decimal arithmetic with ROUND_HALF_UP —
