@@ -30,6 +30,9 @@ def main() -> int:
     ap.add_argument("--names", type=str, default=None)
     ap.add_argument("--sf-dir", type=str, default="/root/testdata/sf0.01")
     ap.add_argument("--out", type=str, default=None)
+    # degenerate-partitioning re-proof: every oracle must hold at ANY
+    # shuffle partition count (partition-order independence)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
 
     spec = importlib.util.spec_from_file_location(
@@ -41,11 +44,15 @@ def main() -> int:
     import oracle  # tests/oracle.py
     from pyspark.sql import SparkSession
 
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
         .appName("sweep")
-        .getOrCreate()
     )
+    if args.shuffle_partitions:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(args.shuffle_partitions)
+        )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry_mod.queries()
