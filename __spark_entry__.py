@@ -57,8 +57,17 @@ def _rounds_green(names: list[str], here: str = _HERE) -> dict[str, int]:
         for n, row in rows.items():
             if n not in greens or not isinstance(row, dict):
                 continue
+            # A rows-only entry's successful check is recorded as
+            # err="no_oracle" with spark_rows set — that IS a clean
+            # driver round. Counting it 0 made all 9 rows-only entries
+            # permanently "never-checked", eating 9 of the ~50 verify
+            # slots every round instead of rotating with the greens.
+            ok_err = row.get("err") is None or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
             clean = (
-                row.get("err") is None
+                ok_err
                 and row.get("rows_match") is not False
                 and row.get("schema_match") is not False
                 and row.get("hash_match") is not False

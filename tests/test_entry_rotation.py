@@ -19,10 +19,22 @@ def test_rounds_green_counts_clean_rows(tmp_path):
         "err_q": {"rows_match": None, "schema_match": None, "hash_match": None, "err": "boom"},
         "rows_only_q": {"rows_match": None, "schema_match": None, "hash_match": None,
                         "spark_rows": 5, "err": None},
+        # a rows-only entry the driver checked: err=no_oracle + recorded
+        # row count IS a clean round (it must rotate with the greens,
+        # not permanently head the never-checked tier)
+        "no_oracle_q": {"rows_match": None, "schema_match": None, "hash_match": None,
+                        "spark_rows": 17, "err": "no_oracle"},
+        # no_oracle WITHOUT a recorded row count = the query never ran
+        "no_oracle_failed_q": {"rows_match": None, "schema_match": None,
+                               "hash_match": None, "spark_rows": None,
+                               "err": "no_oracle"},
     }
     (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(rows))
-    greens = E._rounds_green(["green_q", "err_q", "rows_only_q", "new_q"], here=str(tmp_path))
-    assert greens == {"green_q": 1, "err_q": 0, "rows_only_q": 1, "new_q": 0}
+    names = ["green_q", "err_q", "rows_only_q", "no_oracle_q",
+             "no_oracle_failed_q", "new_q"]
+    greens = E._rounds_green(names, here=str(tmp_path))
+    assert greens == {"green_q": 1, "err_q": 0, "rows_only_q": 1,
+                      "no_oracle_q": 1, "no_oracle_failed_q": 0, "new_q": 0}
 
 
 def test_rotation_orders_by_green_count(tmp_path):
