@@ -214,6 +214,72 @@ def tfidf_scores(
     )
 
 
+def unigram_lm_scores(
+    docs: DataFrame,
+    vocab_limit: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style unigram language-model quality score, expressed
+    log-free: fit a top-``vocab_limit`` unigram vocabulary on the corpus
+    itself, then score each document by the MEAN FREQUENCY RANK of its
+    tokens (out-of-vocabulary tokens take rank ``vocab_limit + 1``).
+    Under a Zipfian corpus, -log p(w) grows with log rank(w), so mean
+    rank is a monotone proxy for the unigram negative log-likelihood the
+    CCNet/KenLM perplexity filter thresholds on — low mean rank = fluent
+    common-word text, high = rare-token noise/boilerplate. The log-free
+    formulation is deliberate (same precedent as ``tfidf_scores``):
+    every emitted value is exact integer arithmetic plus ONE IEEE
+    division of exact longs, bit-deterministic across engines, where a
+    sum of ``ln()`` doubles is neither (libm ulp + summation order).
+
+    Scale: the vocabulary is a token-keyed aggregate cut to
+    ``vocab_limit`` rows via orderBy+limit (TakeOrderedAndProject —
+    per-partition local top-K, never a global sort) and only THEN
+    ranked with a row_number window over the already-bounded K rows;
+    the vocabulary broadcasts to the token stream (no shuffle on the
+    fact side) and the per-doc rollup is the single corpus-sized
+    shuffle. Ties at the vocabulary cut and in ranking carry a total
+    order (count desc, word asc), so the scores are reproducible under
+    any partitioning.
+
+    Returns ``(id_col, n_tok, n_oov, oov_ratio, mean_rank)``.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("word"))
+        .limit(vocab_limit)
+    )
+    # Window over the LIMITED frame only: input is ≤ vocab_limit rows by
+    # construction, so the single-partition window is bounded, not a
+    # corpus-sized sort.
+    ranked = vocab.select(
+        "word",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("word")))
+        .alias("rk"),
+    )
+    oov_rank = vocab_limit + 1
+    j = tok.join(F.broadcast(ranked), "word", "left").select(
+        id_col,
+        F.col("rk").isNull().cast("int").alias("oov"),
+        F.coalesce(F.col("rk"), F.lit(oov_rank)).cast("long").alias("rk"),
+    )
+    n_tok = F.count(F.lit(1))
+    return j.groupBy(id_col).agg(
+        n_tok.alias("n_tok"),
+        F.sum("oov").cast("bigint").alias("n_oov"),
+        X.ddiv_round(F.sum("oov"), n_tok, 4).alias("oov_ratio"),
+        (F.sum("rk").cast("double") / n_tok).alias("mean_rank"),
+    )
+
+
 def stable_bucket(col: Column | str, modulus: int = 100) -> Column:
     """Deterministic engine/partitioning-independent hash bucket from
     the md5 prefix of the stringified key (same recipe as

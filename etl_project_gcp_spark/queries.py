@@ -3818,6 +3818,44 @@ def doc_common_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_unigram_lm_score",
+    rf"""
+    WITH tok AS (
+        SELECT doc_id, tok
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\s+')) AS tok
+              FROM documents)
+        WHERE tok <> ''),
+    v AS (
+        SELECT tok AS word, row_number() OVER (ORDER BY c DESC, tok ASC) AS rk
+        FROM (SELECT tok, count(*) AS c FROM tok GROUP BY tok
+              ORDER BY c DESC, tok ASC LIMIT 1000)),
+    j AS (
+        SELECT t.doc_id,
+               CASE WHEN v.rk IS NULL THEN 1 ELSE 0 END AS oov,
+               coalesce(v.rk, 1001) AS rk
+        FROM tok t LEFT JOIN v ON t.tok = v.word)
+    SELECT doc_id,
+           count(*)                 AS n_tok,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           {X.odiv_round('sum(oov)', 'count(*)', 4)} AS oov_ratio,
+           CAST(sum(rk) AS DOUBLE) / count(*) AS mean_rank
+    FROM j GROUP BY doc_id
+    """,
+)
+def doc_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score (X4, CCNet-style perplexity filter):
+    corpus-fit top-1000 vocabulary, each doc scored by mean token
+    frequency RANK (OOV → rank 1001) — a log-free monotone proxy for
+    unigram NLL (see operators/text.py::unigram_lm_scores for why rank
+    replaces -log p: exact integer sums + one IEEE division are
+    bit-deterministic cross-engine, a sum of ln() doubles is not).
+    Vocabulary is TakeOrderedAndProject-bounded then broadcast; the
+    per-doc rollup is the only corpus-sized shuffle."""
+    return TX.unigram_lm_scores(_t(spark, sf_dir, "documents"), vocab_limit=1000)
+
+
+@register(
     "doc_chunks",
     r"""
     WITH t AS (

@@ -488,3 +488,42 @@ def test_bpe_is_deterministic_on_corpus(spark, sf_dir):
     assert a == b
     assert [r[0] for r in a] == list(range(5))  # ranks in order
     assert all(r[3] == r[1] + r[2] for r in a)
+
+
+def test_unigram_lm_scores_semantics(spark):
+    """Common-word docs must score a LOWER mean rank than rare-word
+    docs, and tokens outside the vocab cut must count as OOV at rank
+    vocab_limit+1."""
+    from etl_project_gcp_spark.operators import text as TX
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the cat"),
+            (2, "zyx qwv zyx cat"),
+        ],
+        ["doc_id", "text"],
+    )
+    # vocab_limit=2 -> vocabulary is top-2 by count: 'the'(3), 'zyx'(2);
+    # 'cat'(2) loses the tie to 'zyx' lexicographically... check: order
+    # is count desc, word asc -> ('the',3) rank 1, then ('cat',2) beats
+    # ('zyx',2) lexicographically -> rank 2. 'zyx' and 'qwv' are OOV.
+    out = {r.doc_id: r for r in TX.unigram_lm_scores(docs, vocab_limit=2).collect()}
+    r1, r2 = out[1], out[2]
+    assert r1.n_tok == 4 and r1.n_oov == 0
+    # doc 1: ranks [1,1,1,2] -> mean 1.25
+    assert r1.mean_rank == 1.25
+    # doc 2: 'zyx','qwv' OOV at rank 3 -> ranks [3,3,3,2] -> mean 2.75
+    assert r2.n_oov == 3
+    assert r2.mean_rank == 2.75
+    assert r2.oov_ratio == 0.75
+    assert r1.mean_rank < r2.mean_rank
+
+
+def test_doc_unigram_lm_score_matches_oracle(spark, sf_dir):
+    """Full value equality vs the registered DuckDB oracle at sf0.001 —
+    the same comparison the driver runs at sf0.01."""
+    from etl_project_gcp_spark import queries as Q
+    from tests import oracle
+
+    df = Q.queries()["doc_unigram_lm_score"](spark, sf_dir)
+    oracle.compare(df, Q.oracle_sql()["doc_unigram_lm_score"], sf_dir)
