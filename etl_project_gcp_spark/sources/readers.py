@@ -65,6 +65,15 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC table scan — the other columnar lakehouse format Spark ships
+    a native vectorized reader for. Same pushdown story as Parquet:
+    column pruning, predicate pushdown to stripe/row-group indexes, and
+    splittable stripes; interchange with Hive-era warehouses that
+    standardized on ORC."""
+    return spark.read.orc(path)
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,

@@ -47,6 +47,21 @@ def write_jsonl(
     writer.json(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink, overwrite — columnar interchange with Hive-standard
+    warehouses. Same partition-pruning contract as the Parquet sink:
+    ``partition_by`` on natural pruning keys keeps 100 TB scans
+    stripe- and partition-local."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_table_overwrite(
     df: DataFrame,
     table: str,

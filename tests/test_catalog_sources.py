@@ -225,3 +225,33 @@ def test_information_schema_dataframes_compose(spark, sf_dir):
     assert {(r.table_name, r.column_count) for r in tbls.collect()} == {
         ("nation", 3), ("region", 2), ("orders", 6)
     }
+
+
+def test_orc_roundtrip_partitioned_with_pruning(spark, tmp_path):
+    """ORC sink→source roundtrip; a partitioned write must produce
+    lang=<v> directories and a filtered re-read must prune to the one
+    partition (PartitionFilters in the scan plan)."""
+    from etl_project_gcp_spark.sources import read_orc, write_orc
+
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "hola mundo", "es"), (3, "salut", "fr")],
+        ["doc_id", "text", "lang"],
+    )
+    out = str(tmp_path / "orc")
+    write_orc(docs, out, partition_by=["lang"])
+    dirs = sorted(
+        p.name for p in (tmp_path / "orc").iterdir() if p.name.startswith("lang=")
+    )
+    assert dirs == ["lang=en", "lang=es", "lang=fr"]
+
+    back = read_orc(spark, out)
+    assert sorted((r.doc_id, r.text, r.lang) for r in back.collect()) == [
+        (1, "hello world", "en"),
+        (2, "hola mundo", "es"),
+        (3, "salut", "fr"),
+    ]
+
+    filtered = back.filter(back.lang == "es")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "lang=es" in plan or "PartitionFilters: [isnotnull(lang" in plan
+    assert [r.doc_id for r in filtered.collect()] == [2]
