@@ -280,6 +280,44 @@ def unigram_lm_scores(
     )
 
 
+def source_mixture_weights(
+    docs: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled source-mixing weights (the Pile/CCNet-style
+    domain rebalancing step): per stratum, token mass and a relative
+    sampling weight ``sqrt(n_tokens) / sqrt(max n_tokens)`` — temperature
+    T=2 (alpha=0.5) upweights tail sources relative to their raw share,
+    the standard flattening used when composing pre-training mixes.
+
+    The weight is max-normalized, NOT sum-normalized, on purpose: both
+    ``sqrt`` and IEEE division are correctly-rounded single operations,
+    so every emitted value is bit-deterministic across engines, whereas
+    a sum of per-source sqrt doubles depends on summation order (the
+    same failure mode exact.py documents for money). Downstream samplers
+    that need probabilities can normalize the tiny per-source table
+    themselves.
+
+    Scale: one token-count projection over the corpus scan + one
+    stratum-keyed aggregate; the max broadcasts back as a 1-row join.
+    """
+    agg = docs.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    mx = agg.agg(F.max("n_tokens").alias("_max_tokens"))
+    return agg.crossJoin(F.broadcast(mx)).select(
+        strata_col,
+        "n_docs",
+        "n_tokens",
+        (
+            F.sqrt(F.col("n_tokens").cast("double"))
+            / F.sqrt(F.col("_max_tokens").cast("double"))
+        ).alias("rel_weight"),
+    )
+
+
 def stable_bucket(col: Column | str, modulus: int = 100) -> Column:
     """Deterministic engine/partitioning-independent hash bucket from
     the md5 prefix of the stringified key (same recipe as
@@ -719,4 +757,76 @@ def bpe_learn_merges(
     return spark.createDataFrame(
         [(r, l, x, l + x) for r, l, x in merges],
         "rank int, left string, right string, merged string",
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned BPE merge table to the corpus — the tokenizer
+    APPLICATION step that turns ``bpe_learn_merges`` output into actual
+    token sequences for packing/training. Per word: start from
+    characters, apply each merge in rank order leftmost-non-overlapping
+    — exactly the semantics the fit used (``_bpe_fit_word_table``), so
+    encode(fit corpus) reproduces the fit's final symbol state.
+
+    Arrow-batched ``mapInPandas`` with a pinned schema (the merge loop
+    is per-word Python — an expression fold would nest ``num_merges``
+    aggregates into one codegen unit and blow past the JIT limit at
+    real merge counts). The merge table broadcasts by closure (bounded:
+    it IS the vocabulary budget); a per-batch word cache collapses the
+    Zipf-repeated words so the loop runs once per distinct word, not
+    once per token.
+
+    Returns ``(id_col, bpe_tokens array<string>, n_bpe_tokens int)``.
+    """
+    ranked = list(enumerate(merges))
+    out_schema = (
+        f"{id_col} long, bpe_tokens array<string>, n_bpe_tokens int"
+    )
+
+    def encode_word(word: str, cache: dict[str, list[str]]) -> list[str]:
+        hit = cache.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word)
+        for _rank, (left, right) in ranked:
+            if len(syms) < 2:
+                break
+            out, j = [], 0
+            n = len(syms)
+            while j < n:
+                if j + 1 < n and syms[j] == left and syms[j + 1] == right:
+                    out.append(left + right)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            syms = out
+        cache[word] = syms
+        return syms
+
+    def encode_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            cache: dict[str, list[str]] = {}
+            ids, toks, counts = [], [], []
+            for _id, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in (text or "").lower().split() if w]
+                enc: list[str] = []
+                for w in words:
+                    enc.extend(encode_word(w, cache))
+                ids.append(_id)
+                toks.append(enc)
+                counts.append(len(enc))
+            yield pd.DataFrame(
+                {id_col: ids, "bpe_tokens": toks, "n_bpe_tokens": counts}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        encode_batches, schema=out_schema
     )

@@ -3856,6 +3856,30 @@ def doc_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_mixture_weights",
+    r"""
+    WITH a AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(string_split_regex(lower(text), '\s+'))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source),
+    m AS (SELECT max(n_tokens) AS mx FROM a)
+    SELECT source, n_docs, n_tokens,
+           sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(mx AS DOUBLE)) AS rel_weight
+    FROM a, m
+    """,
+)
+def source_mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.5) source-mixing weights over the
+    documents corpus — the domain-rebalancing table a pre-training mix
+    composer consumes. Max-normalized so every value is a single
+    correctly-rounded sqrt/divide (bit-deterministic cross-engine; a
+    sum-normalization would hang the oracle on double summation order —
+    see operators/text.py::source_mixture_weights)."""
+    return TX.source_mixture_weights(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "doc_chunks",
     r"""
     WITH t AS (

@@ -527,3 +527,58 @@ def test_doc_unigram_lm_score_matches_oracle(spark, sf_dir):
 
     df = Q.queries()["doc_unigram_lm_score"](spark, sf_dir)
     oracle.compare(df, Q.oracle_sql()["doc_unigram_lm_score"], sf_dir)
+
+
+def test_bpe_encode_applies_learned_merges(spark):
+    """Encoding the fit corpus with the learned merge table must
+    reproduce the fit's final symbol state, word by word."""
+    from etl_project_gcp_spark.operators import text as TX
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest")], ["doc_id", "text"]
+    )
+    merges = [
+        (r.left, r.right)
+        for r in TX.bpe_learn_merges(docs, num_merges=4).orderBy("rank").collect()
+    ]
+    assert merges == [("l", "o"), ("lo", "w"), ("low", "e"), ("lowe", "r")]
+    out = TX.bpe_encode(docs, merges).collect()[0]
+    # low -> [low] x3, lower -> [lower], lowest -> [lowe, s, t]
+    assert out.bpe_tokens == [
+        "low", "low", "low", "lower", "lowe", "s", "t"
+    ]
+    assert out.n_bpe_tokens == 7
+
+
+def test_bpe_encode_matches_independent_reference(spark, sf_dir):
+    """Corpus encode vs a test-local pure-Python BPE applier (not the
+    engine's code): same merge table, same token streams."""
+    from etl_project_gcp_spark.operators import text as TX
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    merges = [
+        (r.left, r.right)
+        for r in TX.bpe_learn_merges(docs, num_merges=8).orderBy("rank").collect()
+    ]
+
+    def ref_encode(text):
+        toks = []
+        for w in (text or "").lower().split():
+            syms = list(w)
+            for left, right in merges:
+                out, j = [], 0
+                while j < len(syms):
+                    if j + 1 < len(syms) and syms[j] == left and syms[j + 1] == right:
+                        out.append(left + right)
+                        j += 2
+                    else:
+                        out.append(syms[j])
+                        j += 1
+                syms = out
+            toks.extend(syms)
+        return toks
+
+    got = {r.doc_id: list(r.bpe_tokens) for r in TX.bpe_encode(docs, merges).collect()}
+    want = {r.doc_id: ref_encode(r.text) for r in docs.collect()}
+    assert got == want
+    assert any(len(v) > 0 for v in want.values())
