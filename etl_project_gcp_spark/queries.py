@@ -1134,6 +1134,48 @@ def hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hourly_via_minute_rollup",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*)               AS n_events,
+           {_osumr('value')}      AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def hourly_via_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: the hourly result
+    computed FROM a minute-level pre-aggregate instead of raw events —
+    the TimescaleDB/druid pattern where a materialized fine-grained
+    rollup serves every coarser resolution. The oracle aggregates the
+    RAW events directly, so a hash match proves the two-level
+    re-aggregation is lossless: counts re-sum exactly, and the money
+    sum stays in decimal through both levels (decimal addition is
+    associative; a double partial would drift under regrouping).
+
+    At 100 TB this is the difference between re-scanning the event
+    stream per dashboard resolution and re-aggregating |minute buckets|
+    rows: the pre-agg output is bounded by (buckets × event types),
+    ~1e6 rows/year against billions of raw events."""
+    ev = _events(spark, sf_dir)
+    minute = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("minute_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("_v"),
+    )
+    return minute.groupBy(
+        F.date_trunc("hour", "minute_start").alias("window_start"),
+        "event_type",
+    ).agg(
+        F.sum("_n").alias("n_events"),
+        F.sum("_v").cast("decimal(28,2)").cast("double").alias("total_value"),
+    )
+
+
+@register(
     "sliding_event_counts",
     f"""
     SELECT time_bucket(INTERVAL 15 MINUTE, ts)
