@@ -232,3 +232,31 @@ def test_simhash_signatures_partial_aggregates_map_side(spark, sf01_dir):
     )
     pre_exchange = plan.split("Exchange")[-1]  # below the exchange
     assert "partial_sum" in pre_exchange
+
+
+def test_unigram_lm_vocab_bounded_and_broadcast(spark, sf01_dir):
+    """doc_unigram_lm_score: vocab cut is TakeOrderedAndProject (local
+    top-K, never a global sort of the vocabulary), the ranked vocab
+    BROADCASTS to the token stream, and the only window sits above the
+    bounded limit — never over the corpus."""
+    plan = _plan(spark, "doc_unigram_lm_score", sf01_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    lines = plan.splitlines()
+    win = next(i for i, l in enumerate(lines) if "Window" in l)
+    topk = next(i for i, l in enumerate(lines) if "TakeOrderedAndProject" in l)
+    assert win < topk, "window must consume the limited frame (printed above it)"
+
+
+def test_source_mixture_weights_broadcasts_max(spark, sf01_dir):
+    plan = _plan(spark, "source_mixture_weights", sf01_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_two_level_rollup_reaggregates_preagg_not_raw(spark, sf01_dir):
+    """hourly_via_minute_rollup: one events scan, two aggregate levels —
+    the hourly agg's input is the minute pre-agg (4 HashAggregate nodes:
+    partial+final per level), not a second scan of raw events."""
+    plan = _plan(spark, "hourly_via_minute_rollup", sf01_dir, mode="simple")
+    assert plan.count("events.parquet") == 1
+    assert plan.count("HashAggregate") == 4
