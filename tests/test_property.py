@@ -125,3 +125,64 @@ def test_normalize_text_is_idempotent(spark, texts):
     a = {r.i: r.n for r in once.collect()}
     b = {r.i: r.n for r in twice.collect()}
     assert a == b
+
+
+# words drawn from a tiny alphabet so rank collisions/ties and OOV both
+# actually occur at max_examples=10
+_word = st.text(alphabet="abc", min_size=1, max_size=3)
+_doc = st.lists(_word, min_size=1, max_size=12).map(" ".join)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(_doc, min_size=1, max_size=6), vocab=st.integers(1, 5))
+def test_unigram_lm_scores_reference(spark, docs, vocab):
+    """mean_rank/n_oov must equal a plain-Python replay of the
+    vocab-cut + rank + OOV-bucket rules on arbitrary tiny corpora."""
+    from collections import Counter
+
+    from etl_project_gcp_spark.operators import text as TX
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = {r.doc_id: r for r in TX.unigram_lm_scores(df, vocab_limit=vocab).collect()}
+
+    freq = Counter(w for d in docs for w in d.lower().split())
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab]
+    rank = {w: i + 1 for i, (w, _) in enumerate(ranked)}
+    for i, d in enumerate(docs):
+        words = d.lower().split()
+        ranks = [rank.get(w, vocab + 1) for w in words]
+        oov = sum(1 for w in words if w not in rank)
+        assert got[i].n_tok == len(words)
+        assert got[i].n_oov == oov
+        assert got[i].mean_rank == sum(ranks) / len(ranks)
+        assert 1.0 <= got[i].mean_rank <= vocab + 1
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    counts=st.lists(st.integers(1, 50), min_size=1, max_size=4),
+)
+def test_source_mixture_weights_bounds_and_order(spark, counts):
+    """rel_weight is in (0, 1], exactly 1.0 for the largest source, and
+    ordered like n_tokens (sqrt is monotone)."""
+    from etl_project_gcp_spark.operators import text as TX
+
+    rows = [
+        (i, " ".join(["w"] * c), f"src{i}") for i, c in enumerate(counts)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = sorted(
+        TX.source_mixture_weights(df).collect(), key=lambda r: r.n_tokens
+    )
+    assert all(0.0 < r.rel_weight <= 1.0 for r in out)
+    assert out[-1].rel_weight == 1.0
+    for a, b in zip(out, out[1:]):
+        assert a.rel_weight <= b.rel_weight
