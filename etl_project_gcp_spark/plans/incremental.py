@@ -1,0 +1,188 @@
+"""Incremental table maintenance: MERGE upsert (SCD1) and SCD2 history.
+
+The reference refreshes every table with full overwrites (CREATE OR
+REPLACE TABLE / LOAD DATA OVERWRITE — etl_medallion.py:73-218). That is
+fine at its data scale; at 100 TB a daily 0.1% update batch must NOT
+rewrite the world. This module adds the incremental counterpart an ETL
+engine needs:
+
+- ``merge_upsert``          — MERGE semantics as a pure DataFrame
+  transform (updates win on key collision, new keys insert, untouched
+  rows pass through). One anti-join shuffle; no window functions.
+- ``merge_into_partitioned`` — the storage-level MERGE: only partitions
+  that contain updated keys are read (partition-pruned scan) and
+  rewritten (dynamic partition overwrite). Cost is proportional to the
+  touched-partition volume, not the table — the 100 TB disposition.
+- ``scd2_apply``            — slowly-changing-dimension type 2: rows
+  whose tracked attributes changed are version-closed and a new current
+  version appended; new keys start at version 1. Pure DataFrame
+  transform over (history, updates) so it is oracle-checkable.
+
+Scale notes: ``merge_upsert`` is a single shuffled LEFT ANTI join on
+the merge key plus a union — both sides stream; nothing is collected.
+``merge_into_partitioned`` collects only the DISTINCT partition tuples
+of the updates batch (bounded by partition count, never row count) to
+build the pruning predicate, and writes under
+``partitionOverwriteMode=dynamic`` so Spark replaces exactly the
+partitions present in the merged output. ``scd2_apply`` is one shuffled
+equi-join (history×updates on the key) plus unions; version numbers
+come from the existing history, not a global window.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame, updates: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """MERGE (SCD1) semantics: WHEN MATCHED THEN UPDATE (the whole row —
+    updates carry full rows, not deltas), WHEN NOT MATCHED THEN INSERT.
+
+    Equivalent SQL::
+
+        SELECT * FROM target
+        WHERE (keys) NOT IN (SELECT keys FROM updates)
+        UNION ALL SELECT * FROM updates
+
+    One anti-join shuffle on the key; updates must share the target's
+    schema (unionByName enforces it).
+    """
+    kept = target.join(updates.select(*key_cols), on=key_cols, how="left_anti")
+    return kept.unionByName(updates)
+
+
+def _partition_predicate(parts: list[dict], partition_cols: list[str]):
+    """OR-of-conjunctions partition predicate from collected distinct
+    partition tuples — literal comparisons on partition columns, so the
+    scan prunes directories instead of reading them."""
+    clauses = [
+        reduce(
+            lambda a, b: a & b,
+            [F.col(c) == F.lit(row[c]) for c in partition_cols],
+        )
+        for row in parts
+    ]
+    return reduce(lambda a, b: a | b, clauses)
+
+
+def merge_into_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str],
+) -> list[dict]:
+    """Partition-pruned MERGE into a partitioned Parquet table.
+
+    1. Distinct partition tuples of the updates batch (collect bounded
+       by the number of TOUCHED partitions — at 100 TB a daily batch
+       touches days, not history).
+    2. Read ONLY those partitions from the target (literal partition
+       predicate → directory pruning, no data read elsewhere).
+    3. ``merge_upsert`` the slice with the updates.
+    4. Write back under ``spark.sql.sources.partitionOverwriteMode=
+       dynamic``: Spark replaces exactly the partitions present in the
+       merged slice; every other partition's files are untouched on
+       disk (asserted byte-for-byte in tests/test_incremental.py).
+
+    Updates must not move a row across partitions (the old partition
+    would keep the stale copy); callers changing partition keys must
+    include the source partition in the batch as a delete+insert.
+    Returns the touched partition tuples for logging/audit.
+    """
+    parts = [r.asDict() for r in
+             updates.select(*partition_cols).distinct().collect()]
+    if not parts:
+        return []
+    pred = _partition_predicate(parts, partition_cols)
+    target_slice = spark.read.parquet(target_path).filter(pred)
+    merged = merge_upsert(target_slice, updates, key_cols)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (merged.write.mode("overwrite")
+               .partitionBy(*partition_cols).parquet(target_path))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return parts
+
+
+def scd2_init(dim: DataFrame, key_col: str) -> DataFrame:
+    """Seed an SCD2 history from a snapshot: every row version 1,
+    current."""
+    return dim.withColumn("version", F.lit(1).cast("int")).withColumn(
+        "is_current", F.lit(True)
+    )
+
+
+def scd2_apply(
+    history: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    tracked_cols: list[str],
+) -> DataFrame:
+    """Apply an update batch to an SCD2 history.
+
+    History schema = dim columns + (version int, is_current boolean).
+    Updates carry the dim columns only (full rows). Semantics:
+
+    - tracked attributes unchanged vs the CURRENT version → no-op;
+    - changed → the current version flips ``is_current=false`` and a
+      new current version (version = old + 1) is appended;
+    - key absent from history → inserted as version 1, current;
+    - keys absent from the batch are untouched (closed history rows
+      always pass through unchanged).
+
+    Version numbers derive from the matched current row (old+1), not a
+    global window — no full-history shuffle beyond the one equi-join.
+    """
+    dim_cols = [c for c in history.columns
+                if c not in ("version", "is_current")]
+    changed_pred = reduce(
+        lambda a, b: a | b,
+        [~F.col(f"cur.{c}").eqNullSafe(F.col(f"upd.{c}"))
+         for c in tracked_cols],
+    )
+
+    closed = history.filter(~F.col("is_current"))
+    current = history.filter(F.col("is_current")).alias("cur")
+    upd = updates.alias("upd")
+
+    joined = current.join(upd, on=F.col(f"cur.{key_col}") ==
+                          F.col(f"upd.{key_col}"), how="full_outer")
+    matched = joined.filter(F.col(f"cur.{key_col}").isNotNull()
+                            & F.col(f"upd.{key_col}").isNotNull())
+
+    untouched = joined.filter(F.col(f"upd.{key_col}").isNull()).select(
+        *[F.col(f"cur.{c}").alias(c) for c in dim_cols],
+        F.col("cur.version").alias("version"),
+        F.col("cur.is_current").alias("is_current"),
+    )
+    unchanged = matched.filter(~changed_pred).select(
+        *[F.col(f"cur.{c}").alias(c) for c in dim_cols],
+        F.col("cur.version").alias("version"),
+        F.col("cur.is_current").alias("is_current"),
+    )
+    now_closed = matched.filter(changed_pred).select(
+        *[F.col(f"cur.{c}").alias(c) for c in dim_cols],
+        F.col("cur.version").alias("version"),
+        F.lit(False).alias("is_current"),
+    )
+    new_version = matched.filter(changed_pred).select(
+        *[F.col(f"upd.{c}").alias(c) for c in dim_cols],
+        (F.col("cur.version") + F.lit(1)).cast("int").alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    brand_new = joined.filter(F.col(f"cur.{key_col}").isNull()).select(
+        *[F.col(f"upd.{c}").alias(c) for c in dim_cols],
+        F.lit(1).cast("int").alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    return (closed.unionByName(untouched).unionByName(unchanged)
+                  .unionByName(now_closed).unionByName(new_version)
+                  .unionByName(brand_new))

@@ -4111,3 +4111,129 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic; see NOTES.md)."""
     docs = _t(spark, sf_dir, "documents")
     return TX.repetition_signals(docs, n=3)
+
+
+# ---------------------------------------------------------------------------
+# N. Incremental maintenance — MERGE upsert + SCD2 (plans/incremental.py)
+# ---------------------------------------------------------------------------
+
+from etl_project_gcp_spark.plans import incremental as INC  # noqa: E402
+
+
+def _customer_updates_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MERGE batch derived from the corpus itself: every
+    10th customer gets an account credit + segment overwrite, every
+    100th key also arrives as a brand-new customer (key offset past the
+    corpus key range)."""
+    cust = _t(spark, sf_dir, "customer")
+    changed = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        F.lit("UPSERTED").alias("c_mktsegment"),
+    )
+    fresh = cust.filter(F.col("c_custkey") % 100 == 0).select(
+        (F.col("c_custkey") + F.lit(1000000)).alias("c_custkey"),
+        F.lit("Customer#NEW").alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    return changed.unionByName(fresh)
+
+
+@register(
+    "customer_upsert",
+    """
+    WITH upd AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               c_acctbal + 100.0 AS c_acctbal,
+               'UPSERTED'        AS c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'Customer#NEW', c_nationkey,
+               0.0, 'NEW'
+        FROM customer WHERE c_custkey % 100 = 0
+    )
+    SELECT * FROM customer
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+    UNION ALL
+    SELECT * FROM upd
+    """,
+)
+def customer_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / upsert (SCD1) — the incremental-refresh capability the
+    reference's full-overwrite lifecycle (etl_medallion.py:73-218)
+    lacks at scale: updates win on key collision, new keys insert,
+    untouched rows pass through. One anti-join shuffle + union
+    (plans/incremental.py::merge_upsert); the partition-pruned storage
+    path (dynamic partition overwrite, untouched partitions verified
+    byte-identical) is tested in tests/test_incremental.py. The credit
+    is +100.0 — an exact IEEE double add, identical cross-engine, so no
+    rounding is needed."""
+    cust = _t(spark, sf_dir, "customer")
+    return INC.merge_upsert(
+        cust, _customer_updates_scd1(spark, sf_dir), ["c_custkey"]
+    )
+
+
+@register(
+    "customer_scd2",
+    """
+    WITH upd AS (
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+               'MOVED' AS c_mktsegment
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey + 2000000, 'Customer#NEW', c_nationkey,
+               0.0, 'NEW'
+        FROM customer WHERE c_custkey % 100 = 0
+    )
+    SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+           c.c_mktsegment,
+           CAST(1 AS INTEGER) AS version,
+           (u.c_custkey IS NULL
+            OR c.c_mktsegment IS NOT DISTINCT FROM u.c_mktsegment)
+               AS is_current
+    FROM customer c LEFT JOIN upd u USING (c_custkey)
+    UNION ALL
+    SELECT u.c_custkey, u.c_name, u.c_nationkey, u.c_acctbal,
+           u.c_mktsegment, CAST(2 AS INTEGER) AS version,
+           TRUE AS is_current
+    FROM customer c JOIN upd u USING (c_custkey)
+    WHERE c.c_mktsegment IS DISTINCT FROM u.c_mktsegment
+    UNION ALL
+    SELECT u.c_custkey, u.c_name, u.c_nationkey, u.c_acctbal,
+           u.c_mktsegment, CAST(1 AS INTEGER) AS version,
+           TRUE AS is_current
+    FROM upd u
+    WHERE u.c_custkey NOT IN (SELECT c_custkey FROM customer)
+    """,
+)
+def customer_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history (plans/incremental.py::scd2_apply):
+    seed the history from the customer snapshot (all version 1,
+    current), then apply a batch that moves every 7th customer's market
+    segment and introduces new keys. Changed rows are version-closed
+    (is_current=false) with a version-2 current row appended; new keys
+    start at version 1; everyone else is untouched. One full-outer
+    equi-join on the key — version numbers come from the matched row
+    (old+1), never a global window, so the plan scales with the batch,
+    not the history."""
+    cust = _t(spark, sf_dir, "customer")
+    history = INC.scd2_init(cust, "c_custkey")
+    changed = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        F.lit("MOVED").alias("c_mktsegment"),
+    )
+    fresh = cust.filter(F.col("c_custkey") % 100 == 0).select(
+        (F.col("c_custkey") + F.lit(2000000)).alias("c_custkey"),
+        F.lit("Customer#NEW").alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    return INC.scd2_apply(
+        history, changed.unionByName(fresh), "c_custkey", ["c_mktsegment"]
+    )
