@@ -140,6 +140,16 @@ def scd2_apply(
 
     Version numbers derive from the matched current row (old+1), not a
     global window — no full-history shuffle beyond the one equi-join.
+
+    Physical shape: ONE full-outer join, evaluated ONCE. A naive
+    union-of-filtered-branches formulation re-evaluates the join per
+    branch (Catalyst does not share subplans across union arms — six
+    joins and ~5 scans of each side in the executed plan); instead each
+    joined row emits an ARRAY of output rows (2 for a changed key: the
+    closed old version + the new current one; 1 otherwise) which one
+    ``explode`` flattens. Plan-pinned single-join in
+    tests/test_physical_plans.py. Already-closed history rows bypass
+    the join entirely (they can never match a current update).
     """
     dim_cols = [c for c in history.columns
                 if c not in ("version", "is_current")]
@@ -155,34 +165,26 @@ def scd2_apply(
 
     joined = current.join(upd, on=F.col(f"cur.{key_col}") ==
                           F.col(f"upd.{key_col}"), how="full_outer")
-    matched = joined.filter(F.col(f"cur.{key_col}").isNotNull()
-                            & F.col(f"upd.{key_col}").isNotNull())
 
-    untouched = joined.filter(F.col(f"upd.{key_col}").isNull()).select(
-        *[F.col(f"cur.{c}").alias(c) for c in dim_cols],
-        F.col("cur.version").alias("version"),
-        F.col("cur.is_current").alias("is_current"),
+    def _row(side: str, version, is_current):
+        return F.struct(
+            *[F.col(f"{side}.{c}").alias(c) for c in dim_cols],
+            version.cast("int").alias("version"),
+            is_current.alias("is_current"),
+        )
+
+    carry_cur = _row("cur", F.col("cur.version"), F.col("cur.is_current"))
+    out_rows = (
+        F.when(F.col(f"cur.{key_col}").isNull(),          # brand-new key
+               F.array(_row("upd", F.lit(1), F.lit(True))))
+        .when(F.col(f"upd.{key_col}").isNull(),           # untouched
+              F.array(carry_cur))
+        .when(changed_pred,                               # close + append
+              F.array(
+                  _row("cur", F.col("cur.version"), F.lit(False)),
+                  _row("upd", F.col("cur.version") + F.lit(1), F.lit(True)),
+              ))
+        .otherwise(F.array(carry_cur))                    # unchanged update
     )
-    unchanged = matched.filter(~changed_pred).select(
-        *[F.col(f"cur.{c}").alias(c) for c in dim_cols],
-        F.col("cur.version").alias("version"),
-        F.col("cur.is_current").alias("is_current"),
-    )
-    now_closed = matched.filter(changed_pred).select(
-        *[F.col(f"cur.{c}").alias(c) for c in dim_cols],
-        F.col("cur.version").alias("version"),
-        F.lit(False).alias("is_current"),
-    )
-    new_version = matched.filter(changed_pred).select(
-        *[F.col(f"upd.{c}").alias(c) for c in dim_cols],
-        (F.col("cur.version") + F.lit(1)).cast("int").alias("version"),
-        F.lit(True).alias("is_current"),
-    )
-    brand_new = joined.filter(F.col(f"cur.{key_col}").isNull()).select(
-        *[F.col(f"upd.{c}").alias(c) for c in dim_cols],
-        F.lit(1).cast("int").alias("version"),
-        F.lit(True).alias("is_current"),
-    )
-    return (closed.unionByName(untouched).unionByName(unchanged)
-                  .unionByName(now_closed).unionByName(new_version)
-                  .unionByName(brand_new))
+    flattened = joined.select(F.explode(out_rows).alias("r")).select("r.*")
+    return closed.unionByName(flattened)

@@ -260,3 +260,26 @@ def test_two_level_rollup_reaggregates_preagg_not_raw(spark, sf01_dir):
     plan = _plan(spark, "hourly_via_minute_rollup", sf01_dir, mode="simple")
     assert plan.count("events.parquet") == 1
     assert plan.count("HashAggregate") == 4
+
+
+def test_scd2_single_join_no_branch_reevaluation(spark, sf01_dir):
+    """customer_scd2: the full-outer join is evaluated ONCE — changed
+    keys emit their two output rows (closed + new version) through an
+    array explode, never through union branches that each re-run the
+    join (the naive formulation executed SIX joins)."""
+    plan = _plan(spark, "customer_scd2", sf01_dir, mode="simple")
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "ShuffledHashJoin",
+                   "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+                   "CartesianProduct"))
+    assert n_joins == 1, plan
+    assert "FullOuter" in plan
+    assert "Generate explode" in plan
+
+
+def test_customer_upsert_anti_join_pushes_filters(spark, sf01_dir):
+    """customer_upsert: MERGE = one LeftAnti join (update keys
+    broadcast) + union; the batch-defining predicates reach the scans."""
+    plan = _plan(spark, "customer_upsert", sf01_dir)
+    assert "LeftAnti" in plan
+    assert plan.count("% 10)") >= 1  # batch predicate pushed to scan
