@@ -36,6 +36,25 @@ from etl_project_gcp_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WARM_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_WARM_RUNS", "3"))
 
+# The 35-query headline set every round-1..4 bench timed (BENCH_r01-r04).
+# The full-registry totals above are NOT comparable to those rounds'
+# "value" (3.5x more entries); value_headline35 re-reports the same
+# subset so cross-round ratios stay apples-to-apples.
+HEADLINE_35 = (
+    "pricing_summary", "silver_lineitem", "sales_analytics",
+    "shipping_priority_top10", "local_supplier_volume", "product_metrics",
+    "sales_summary", "priority_rollup", "region_summary",
+    "top5_parts_by_revenue", "top3_parts_per_brand",
+    "customer_running_total", "hourly_event_counts",
+    "sliding_event_counts", "event_sessions", "purchase_last_click",
+    "errors_recent_clicks", "event_props_by_type", "dedup_exact",
+    "doc_token_stats", "doc_quality", "word_counts_top20",
+    "doc_fingerprint", "doc_normalized", "doc_redacted", "dedup_minhash",
+    "dedup_simhash", "cosine_topk", "cosine_topk_arrow", "ann_ivf_topk",
+    "binary_meta", "embedding_dedup_clusters", "tfidf_top_terms",
+    "token_budget_packing", "medallion_pipeline",
+)
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -104,8 +123,12 @@ def main() -> None:
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     protocol = (
         "1 cold + median of %d warm re-runs per query, noop-sink "
-        "materialized, all %d registry entries + medallion"
+        "materialized, all %d registry entries + medallion; "
+        "value_headline35 = the r1-r4 35-query subset for cross-round "
+        "comparison"
     ) % (WARM_RUNS, len(registry))
+    head35 = round(sum(timings[n] for n in HEADLINE_35 if n in timings), 3)
+    head35_warm = round(sum(warm[n] for n in HEADLINE_35 if n in warm), 3)
     full = {
         "metric": "full-registry query wall time, local[%s]"
         % os.environ.get("SPARK_GRAFT_CPUS", "32"),
@@ -114,6 +137,8 @@ def main() -> None:
         "queries": timings,
         "queries_warm": warm,
         "value_warm": round(sum(warm.values()), 3),
+        "value_headline35": head35,
+        "value_headline35_warm": head35_warm,
         "sf": sf_val,
         "bench_protocol": protocol,
     }
@@ -136,6 +161,8 @@ def main() -> None:
                 "value": full["value"],
                 "unit": "sec",
                 "value_warm": full["value_warm"],
+                "value_headline35": head35,
+                "value_headline35_warm": head35_warm,
                 "n_queries": len(timings),
                 "sf": sf_val,
                 "bench_protocol": protocol,
