@@ -2,6 +2,7 @@ from etl_project_gcp_spark.streaming.streams import (
     incremental_rollup,
     streaming_dedup,
     streaming_interval_join,
+    streaming_merge_upsert,
     read_event_stream,
     run_to_memory_sink,
     stateful_sessionize,
@@ -13,6 +14,7 @@ __all__ = [
     "incremental_rollup",
     "streaming_dedup",
     "streaming_interval_join",
+    "streaming_merge_upsert",
     "read_event_stream",
     "streaming_tumbling_agg",
     "streaming_session_agg",

@@ -285,6 +285,51 @@ def streaming_dedup(
     )
 
 
+def streaming_merge_upsert(
+    spark: SparkSession,
+    source_path: str,
+    target_path: str,
+    key_cols: list[str],
+    partition_cols: list[str],
+    checkpoint_path: str,
+    schema: str,
+    fmt: str = "parquet",
+) -> StreamingQuery:
+    """Continuous MERGE ingestion: every micro-batch of arriving files
+    upserts into the partitioned target table via ``foreachBatch`` +
+    ``plans.incremental.merge_into_partitioned``.
+
+    This is the production CDC-landing pattern the batch MERGE enables:
+    the checkpoint tracks which source files are processed (re-running
+    never reprocesses them), and each trigger's cost is proportional to
+    the batch's touched partitions — not the target table. With
+    ``trigger(availableNow=True)`` it runs as an incremental batch job.
+
+    Per-batch the merge is atomic at partition granularity (dynamic
+    partition overwrite); if keys repeat across micro-batches the later
+    batch wins, which is the upsert contract. Updates must not move a
+    row across partitions (see merge_into_partitioned).
+    """
+    from etl_project_gcp_spark.plans.incremental import (
+        merge_into_partitioned,
+    )
+
+    stream = spark.readStream.format(fmt).schema(schema).load(source_path)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        merge_into_partitioned(
+            batch_df.sparkSession, target_path, batch_df,
+            key_cols, partition_cols,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_memory_sink(
     plan: DataFrame,
     query_name: str,
