@@ -13,13 +13,18 @@ Two jobs every large Parquet estate runs continuously:
   by the sort key (global order across files) and sorts within
   partitions, so a selective filter on the key touches a contiguous
   file/row-group range instead of every file. This is the
-  "zorder-lite" single-key layout; multi-key needs interleaved bits
-  (not implemented — single-key covers the corpus's time/key filters).
+  "zorder-lite" single-key layout.
+- **Z-order rewrite**: ``write_zordered_parquet`` interleaves the bit
+  codes of several keys' equi-depth bucket indices so each file covers
+  a small hypercube of the key space — min/max pruning works on ANY of
+  the clustered keys, where a single-key sort helps only its own key
+  (measured in tests/test_layout.py).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _dir_bytes(spark: SparkSession, path: str) -> int:
@@ -73,3 +78,69 @@ def write_sorted_parquet(
         else df.repartitionByRange(*sort_cols)
     )
     ranged.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)
+
+
+def _zvalue(df: DataFrame, cols: list[str], bits: int) -> DataFrame:
+    """Append the Morton (Z-order) code of ``cols`` as ``__z``.
+
+    Per column: one ``approxQuantile`` pass fits 2^bits equi-depth
+    bucket boundaries (driver-side list bounded by 2^bits values —
+    equi-DEPTH, so skewed keys still spread across codes, unlike
+    ``width_bucket``'s uniform widths); each row's bucket index is the
+    count of boundaries ≤ value (an ``aggregate`` fold over the literal
+    boundary array — O(2^bits) adds/row, a one-time rewrite cost); the
+    per-column indices then bit-interleave into one code, so sorting by
+    ``__z`` clusters ALL keys at once.
+    """
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    all_bounds = df.stat.approxQuantile(cols, probs, 0.001)
+    out = df
+    idx_cols = []
+    for c, bounds in zip(cols, all_bounds):
+        # Dedup preserves bucket monotonicity; repeated quantiles on
+        # low-cardinality keys would otherwise skip codes.
+        uniq = sorted(set(bounds))
+        idx = f"__zb_{c}"
+        out = out.withColumn(
+            idx,
+            F.aggregate(
+                F.lit(uniq).cast("array<double>"),
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
+            ),
+        )
+        idx_cols.append(idx)
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for ci, idx in enumerate(idx_cols):
+            extracted = F.shiftright(F.col(idx), bit).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(
+                extracted.cast("long"), bit * len(idx_cols) + ci
+            )
+    return out.withColumn("__z", z.cast("long")).drop(*idx_cols)
+
+
+def write_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    n_files: int | None = None,
+) -> None:
+    """Multi-key clustered rewrite (Z-order): interleave the bit codes
+    of each key's equi-depth bucket index and range-partition + sort by
+    the combined code. Each output file/row-group then covers a small
+    HYPERCUBE of the key space, so min/max stats prune scans filtered
+    on ANY of the keys — the multi-key layout ``write_sorted_parquet``
+    can't give (a single-key sort leaves every other key's per-file
+    range at ~full width; measured in tests/test_layout.py).
+    """
+    zdf = _zvalue(df, cols, bits)
+    ranged = (
+        zdf.repartitionByRange(n_files, "__z")
+        if n_files
+        else zdf.repartitionByRange("__z")
+    )
+    (ranged.sortWithinPartitions("__z").drop("__z")
+           .write.mode("overwrite").parquet(path))

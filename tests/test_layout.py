@@ -1,0 +1,85 @@
+"""Z-order layout: multi-key clustering must tighten per-file min/max
+ranges on EVERY clustered key, where a single-key sort tightens only its
+own key (sources/layout.py::write_zordered_parquet).
+
+The metric is what the Parquet reader actually prunes with: for each
+output file, the fraction of the key's global range its min/max span
+covers. Unclustered data covers ~1.0 on every key; a single-key sort
+covers ~1/n_files on the sort key but still ~1.0 on the other; Z-order
+covers a small fraction on BOTH.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from etl_project_gcp_spark.sources.layout import (
+    write_sorted_parquet,
+    write_zordered_parquet,
+)
+
+N_FILES = 16
+
+
+def _avg_range_fraction(path: str, col: str, lo: int, hi: int) -> float:
+    spans = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        fmin, fmax = None, None
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for i in range(row_group.num_columns):
+                c = row_group.column(i)
+                if c.path_in_schema == col and c.statistics is not None:
+                    s = c.statistics
+                    fmin = s.min if fmin is None else min(fmin, s.min)
+                    fmax = s.max if fmax is None else max(fmax, s.max)
+        assert fmin is not None, f"no stats for {col} in {f}"
+        spans.append((fmax - fmin) / (hi - lo))
+    assert len(spans) >= N_FILES // 2
+    return sum(spans) / len(spans)
+
+
+def _two_key_df(spark, n=40_000):
+    # Two independent keys: a is sequential, b is a hash-scrambled
+    # permutation — no correlation, so clustering one does nothing for
+    # the other unless the layout interleaves them.
+    return spark.range(n).select(
+        F.col("id").alias("a"),
+        F.pmod(F.col("id") * 48271 + 11, F.lit(n)).alias("b"),
+        F.lit("x").alias("payload"),
+    )
+
+
+def test_zorder_tightens_both_keys(spark, tmp_path):
+    n = 40_000
+    df = _two_key_df(spark, n)
+    single = str(tmp_path / "single")
+    zord = str(tmp_path / "zord")
+    write_sorted_parquet(df, single, ["a"], n_files=N_FILES)
+    write_zordered_parquet(df, zord, ["a", "b"], bits=8, n_files=N_FILES)
+
+    # Single-key sort: a is tight, b stays ~full-range per file.
+    assert _avg_range_fraction(single, "a", 0, n - 1) < 0.15
+    assert _avg_range_fraction(single, "b", 0, n - 1) > 0.8
+
+    # Z-order: BOTH keys well under full range per file.
+    za = _avg_range_fraction(zord, "a", 0, n - 1)
+    zb = _avg_range_fraction(zord, "b", 0, n - 1)
+    assert za < 0.5, za
+    assert zb < 0.5, zb
+
+
+def test_zorder_preserves_rows_and_schema(spark, tmp_path):
+    df = _two_key_df(spark, 5_000)
+    path = str(tmp_path / "z")
+    write_zordered_parquet(df, path, ["a", "b"], bits=6, n_files=4)
+    back = spark.read.parquet(path)
+    assert sorted(back.columns) == sorted(df.columns)  # __z dropped
+    assert back.count() == 5_000
+    assert back.select(F.sum("a"), F.sum("b")).first() == df.select(
+        F.sum("a"), F.sum("b")
+    ).first()
