@@ -186,3 +186,86 @@ def test_source_mixture_weights_bounds_and_order(spark, counts):
     assert out[-1].rel_weight == 1.0
     for a, b in zip(out, out[1:]):
         assert a.rel_weight <= b.rel_weight
+
+
+# ---------------------------------------------------------------------------
+# Incremental maintenance: SCD2 vs a plain-Python replay
+# ---------------------------------------------------------------------------
+
+def _scd2_reference(
+    snapshot: dict[int, str], batches: list[dict[int, str]]
+) -> set[tuple[int, str, int, bool]]:
+    """Sequential in-memory SCD2: history rows as (key, val, version,
+    is_current)."""
+    hist: list[list] = [[k, v, 1, True] for k, v in snapshot.items()]
+    for batch in batches:
+        current = {r[0]: r for r in hist if r[3]}
+        for k, v in batch.items():
+            cur = current.get(k)
+            if cur is None:
+                hist.append([k, v, 1, True])
+            elif cur[1] != v:
+                cur[3] = False
+                hist.append([k, v, cur[2] + 1, True])
+    return {tuple(r) for r in hist}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    snapshot=st.dictionaries(
+        st.integers(0, 12), st.sampled_from("abc"), max_size=10
+    ),
+    batches=st.lists(
+        st.dictionaries(st.integers(0, 12), st.sampled_from("abc"), max_size=8),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_scd2_apply_matches_python_replay(spark, snapshot, batches):
+    """Any sequence of update batches: the distributed SCD2 history
+    equals the sequential in-memory reference — one current row per
+    surviving key, versions from the matched row, unchanged values
+    no-ops."""
+    from etl_project_gcp_spark.plans import incremental as INC
+
+    schema = "id int, val string"
+    hist = INC.scd2_init(
+        spark.createDataFrame(list(snapshot.items()) or [], schema), "id"
+    )
+    for batch in batches:
+        upd = spark.createDataFrame(list(batch.items()) or [], schema)
+        hist = INC.scd2_apply(hist, upd, "id", ["val"])
+    got = {
+        (r.id, r.val, r.version, r.is_current) for r in hist.collect()
+    }
+    assert got == _scd2_reference(snapshot, batches)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    target=st.dictionaries(st.integers(0, 20), st.sampled_from("abcd"), max_size=12),
+    updates=st.dictionaries(st.integers(0, 20), st.sampled_from("abcd"), max_size=12),
+)
+def test_merge_upsert_matches_dict_semantics(spark, target, updates):
+    """MERGE == python dict.update: updates win on collision, new keys
+    insert, everything else passes through."""
+    from etl_project_gcp_spark.plans import incremental as INC
+
+    schema = "id int, val string"
+    merged = INC.merge_upsert(
+        spark.createDataFrame(list(target.items()) or [], schema),
+        spark.createDataFrame(list(updates.items()) or [], schema),
+        ["id"],
+    )
+    got = {(r.id, r.val) for r in merged.collect()}
+    want = dict(target)
+    want.update(updates)
+    assert got == set(want.items())
