@@ -92,6 +92,18 @@ def _zvalue(df: DataFrame, cols: list[str], bits: int) -> DataFrame:
     per-column indices then bit-interleave into one code, so sorting by
     ``__z`` clusters ALL keys at once.
     """
+    numeric = {"tinyint", "smallint", "int", "bigint", "float", "double",
+               "decimal"}
+    dtypes = dict(df.dtypes)
+    bad = [c for c in cols
+           if dtypes.get(c, "?").split("(")[0] not in numeric]
+    if bad:
+        raise TypeError(
+            f"z-order keys must be numeric (approxQuantile boundaries): "
+            f"{bad} have types {[dtypes.get(c) for c in bad]}; cast "
+            f"dates/timestamps to a numeric epoch and hash or "
+            f"dictionary-encode string keys first"
+        )
     probs = [i / (1 << bits) for i in range(1, 1 << bits)]
     all_bounds = df.stat.approxQuantile(cols, probs, 0.001)
     out = df

@@ -83,3 +83,13 @@ def test_zorder_preserves_rows_and_schema(spark, tmp_path):
     assert back.select(F.sum("a"), F.sum("b")).first() == df.select(
         F.sum("a"), F.sum("b")
     ).first()
+
+
+def test_zorder_rejects_non_numeric_keys(spark, tmp_path):
+    df = _two_key_df(spark, 100)
+    try:
+        write_zordered_parquet(df, str(tmp_path / "z"), ["a", "payload"])
+    except TypeError as e:
+        assert "payload" in str(e)
+    else:
+        raise AssertionError("expected TypeError for string z-order key")
