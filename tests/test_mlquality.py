@@ -1,0 +1,65 @@
+"""Model-based quality scoring (operators/mlquality.py): the learned
+classifier must recover the weak heuristic gate from continuous signals
+(held-out AUC), score deterministically, and separate the classes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_project_gcp_spark.operators import mlquality as MQ
+
+SF = "/root/testdata/sf0.001"
+
+
+def _feats(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    return MQ.quality_features(docs)
+
+
+def test_features_one_pass_no_python(spark):
+    feats = _feats(spark)
+    plan = feats._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan          # map-only
+    assert "EvalPython" not in plan        # no Python anywhere
+    assert set(MQ.FEATURE_COLS + ["doc_id", "weak_label"]) == set(
+        feats.columns
+    )
+
+
+def test_classifier_recovers_gate_on_holdout(spark):
+    feats = _feats(spark).cache()
+    try:
+        n_pos = feats.filter(F.col("weak_label") == 1.0).count()
+        n_neg = feats.filter(F.col("weak_label") == 0.0).count()
+        assert n_pos >= 20 and n_neg >= 20, (n_pos, n_neg)
+        # Trees express the conjunction-of-cuts gate exactly.
+        model, auc = MQ.fit_quality_classifier(feats, model_type="gbt")
+        assert auc >= 0.98, auc
+        # A linear scorer can't (evidence on four thresholds outvotes
+        # failing the fifth) but must still be far above chance.
+        _, lr_auc = MQ.fit_quality_classifier(feats, model_type="lr")
+        assert lr_auc >= 0.8, lr_auc
+
+        scored = MQ.score_quality(feats, model).join(feats, "doc_id")
+        means = (
+            scored.groupBy("weak_label")
+            .agg(F.avg("quality_prob").alias("p"))
+            .collect()
+        )
+        by_label = {r.weak_label: r.p for r in means}
+        assert by_label[1.0] > by_label[0.0] + 0.2, by_label
+        probs = scored.agg(
+            F.min("quality_prob"), F.max("quality_prob")
+        ).first()
+        assert 0.0 <= probs[0] and probs[1] <= 1.0
+    finally:
+        feats.unpersist()
+
+
+def test_scoring_is_deterministic(spark):
+    feats = _feats(spark)
+    m1, _ = MQ.fit_quality_classifier(feats)
+    m2, _ = MQ.fit_quality_classifier(feats)
+    s1 = {r.doc_id: r.quality_prob for r in MQ.score_quality(feats, m1).collect()}
+    s2 = {r.doc_id: r.quality_prob for r in MQ.score_quality(feats, m2).collect()}
+    assert s1 == s2
