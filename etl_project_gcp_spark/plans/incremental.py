@@ -38,7 +38,8 @@ from pyspark.sql import functions as F
 
 
 def merge_upsert(
-    target: DataFrame, updates: DataFrame, key_cols: list[str]
+    target: DataFrame, updates: DataFrame, key_cols: list[str],
+    validate_unique: bool = True,
 ) -> DataFrame:
     """MERGE (SCD1) semantics: WHEN MATCHED THEN UPDATE (the whole row —
     updates carry full rows, not deltas), WHEN NOT MATCHED THEN INSERT.
@@ -50,8 +51,25 @@ def merge_upsert(
         UNION ALL SELECT * FROM updates
 
     One anti-join shuffle on the key; updates must share the target's
-    schema (unionByName enforces it).
+    schema (unionByName enforces it). Like SQL MERGE, the source must
+    be unique per key — duplicates would both survive into the target
+    silently, so ``validate_unique`` (default on) raises instead; the
+    check is one aggregation over the BATCH, negligible next to the
+    merge. Callers with CDC streams carrying multiple versions per key
+    must collapse to the latest version first (a per-key max over the
+    ordering column), then merge. NULL merge keys never match an
+    anti-join probe, so a null-keyed update always appends — keep keys
+    non-null (the SQL MERGE contract).
     """
+    if validate_unique:
+        dup = (updates.groupBy(*key_cols).count()
+                      .filter(F.col("count") > 1).limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"updates batch has multiple rows for merge key "
+                f"{ {c: dup[0][c] for c in key_cols} }; collapse to one "
+                f"row per key before merge_upsert (SQL MERGE contract)"
+            )
     kept = target.join(updates.select(*key_cols), on=key_cols, how="left_anti")
     return kept.unionByName(updates)
 
@@ -59,11 +77,14 @@ def merge_upsert(
 def _partition_predicate(parts: list[dict], partition_cols: list[str]):
     """OR-of-conjunctions partition predicate from collected distinct
     partition tuples — literal comparisons on partition columns, so the
-    scan prunes directories instead of reading them."""
+    scan prunes directories instead of reading them. Null-safe (``<=>``)
+    so a batch carrying a NULL partition value still selects the
+    target's default-partition rows instead of silently matching
+    nothing (and thereby duplicating keys on write)."""
     clauses = [
         reduce(
             lambda a, b: a & b,
-            [F.col(c) == F.lit(row[c]) for c in partition_cols],
+            [F.col(c).eqNullSafe(F.lit(row[c])) for c in partition_cols],
         )
         for row in parts
     ]
@@ -125,6 +146,7 @@ def scd2_apply(
     updates: DataFrame,
     key_col: str,
     tracked_cols: list[str],
+    validate_unique: bool = True,
 ) -> DataFrame:
     """Apply an update batch to an SCD2 history.
 
@@ -151,6 +173,16 @@ def scd2_apply(
     tests/test_physical_plans.py. Already-closed history rows bypass
     the join entirely (they can never match a current update).
     """
+    if validate_unique:
+        dup = (updates.groupBy(key_col).count()
+                      .filter(F.col("count") > 1).limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"updates batch has multiple rows for SCD2 key "
+                f"{key_col}={dup[0][key_col]!r}; one batch = one version "
+                f"per key — split multi-version feeds into ordered "
+                f"batches or collapse to the latest"
+            )
     dim_cols = [c for c in history.columns
                 if c not in ("version", "is_current")]
     changed_pred = reduce(

@@ -92,6 +92,14 @@ def _zvalue(df: DataFrame, cols: list[str], bits: int) -> DataFrame:
     per-column indices then bit-interleave into one code, so sorting by
     ``__z`` clusters ALL keys at once.
     """
+    if not 1 <= bits <= 12:
+        raise ValueError(
+            f"bits={bits} out of range [1, 12]: each key embeds a "
+            f"2^bits-literal boundary array in the plan (4096 at the "
+            f"cap) and the bucket fold is O(2^bits)/row — beyond 12 the "
+            f"plan bloats for no extra pruning (file count, not code "
+            f"granularity, bounds min/max tightness)"
+        )
     numeric = {"tinyint", "smallint", "int", "bigint", "float", "double",
                "decimal"}
     dtypes = dict(df.dtypes)

@@ -188,3 +188,39 @@ def test_scd2_null_tracked_values(spark):
 def test_registry_entries_match_oracle(spark, sf_dir, name):
     fn = Q.queries()[name]
     compare(fn(spark, sf_dir), Q.oracle_sql()[name], sf_dir)
+
+
+def test_merge_upsert_rejects_duplicate_source_keys(spark):
+    target = _toy_target(spark)
+    dup_updates = spark.createDataFrame(
+        [Row(id=3, year=2024, val="x"), Row(id=3, year=2024, val="y")]
+    )
+    with pytest.raises(ValueError, match="multiple rows for merge key"):
+        INC.merge_upsert(target, dup_updates, ["id"])
+    # Opt-out keeps the raw union semantics for callers who pre-collapse.
+    assert INC.merge_upsert(
+        target, dup_updates, ["id"], validate_unique=False
+    ).count() == 5
+
+
+def test_scd2_rejects_duplicate_batch_keys(spark):
+    hist = _toy_history(spark)
+    dup = spark.createDataFrame([Row(id=1, seg="X"), Row(id=1, seg="Y")])
+    with pytest.raises(ValueError, match="one batch = one version"):
+        INC.scd2_apply(hist, dup, "id", ["seg"])
+
+
+def test_merge_into_partitioned_null_partition_value(spark, tmp_path):
+    """A batch row in the NULL partition must still merge (null-safe
+    partition predicate), not silently duplicate its key."""
+    path = str(tmp_path / "target")
+    spark.createDataFrame(
+        [Row(id=1, year=None, val="a"), Row(id=2, year=2024, val="b")],
+        "id int, year int, val string",
+    ).write.partitionBy("year").parquet(path)
+    updates = spark.createDataFrame(
+        [Row(id=1, year=None, val="A2")], "id int, year int, val string"
+    )
+    INC.merge_into_partitioned(spark, path, updates, ["id"], ["year"])
+    got = {(r.id, r.year, r.val) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, None, "A2"), (2, 2024, "b")}

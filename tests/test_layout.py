@@ -93,3 +93,13 @@ def test_zorder_rejects_non_numeric_keys(spark, tmp_path):
         assert "payload" in str(e)
     else:
         raise AssertionError("expected TypeError for string z-order key")
+
+
+def test_zorder_rejects_out_of_range_bits(spark, tmp_path):
+    df = _two_key_df(spark, 100)
+    try:
+        write_zordered_parquet(df, str(tmp_path / "z"), ["a", "b"], bits=16)
+    except ValueError as e:
+        assert "bits=16" in str(e)
+    else:
+        raise AssertionError("expected ValueError for bits=16")
