@@ -294,6 +294,7 @@ def streaming_merge_upsert(
     checkpoint_path: str,
     schema: str,
     fmt: str = "parquet",
+    order_col: str | None = None,
 ) -> StreamingQuery:
     """Continuous MERGE ingestion: every micro-batch of arriving files
     upserts into the partitioned target table via ``foreachBatch`` +
@@ -307,9 +308,15 @@ def streaming_merge_upsert(
 
     Per-batch the merge is atomic at partition granularity (dynamic
     partition overwrite); if keys repeat across micro-batches the later
-    batch wins, which is the upsert contract. Updates must not move a
-    row across partitions (see merge_into_partitioned).
+    batch wins, which is the upsert contract. WITHIN one micro-batch a
+    repeated key raises (SQL MERGE contract) unless ``order_col`` names
+    a version/sequence column — then the batch first collapses to the
+    max-``order_col`` row per key (one window over the BATCH, not the
+    target), the standard CDC compaction. Updates must not move a row
+    across partitions (see merge_into_partitioned).
     """
+    from pyspark.sql import Window
+
     from etl_project_gcp_spark.plans.incremental import (
         merge_into_partitioned,
     )
@@ -317,6 +324,18 @@ def streaming_merge_upsert(
     stream = spark.readStream.format(fmt).schema(schema).load(source_path)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if order_col is not None:
+            # All-column tiebreak keeps the winner deterministic when
+            # two rows share key AND sequence value.
+            rest = [c for c in batch_df.columns
+                    if c not in key_cols and c != order_col]
+            w = Window.partitionBy(*key_cols).orderBy(
+                F.col(order_col).desc(), *[F.col(c) for c in rest]
+            )
+            batch_df = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1).drop("__rn")
+            )
         merge_into_partitioned(
             batch_df.sparkSession, target_path, batch_df,
             key_cols, partition_cols,

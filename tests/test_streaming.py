@@ -326,3 +326,56 @@ def test_streaming_merge_upsert_is_incremental_and_preserves_partitions(
         f: os.stat(f).st_mtime_ns
         for f in glob.glob(f"{target}/year=2023/*.parquet")
     } == frozen
+
+
+def test_streaming_merge_upsert_collapses_in_batch_versions(
+    spark, tmp_path_factory
+):
+    """With order_col, a micro-batch carrying several versions of one
+    key compacts to the highest sequence before merging (standard CDC);
+    without it the duplicate raises instead of silently landing twice."""
+    import os
+
+    from pyspark.sql import Row
+
+    from etl_project_gcp_spark.streaming import streaming_merge_upsert
+
+    root = tmp_path_factory.mktemp("cdc")
+    target = str(root / "target")
+    source = str(root / "source")
+    os.makedirs(source)
+    schema = "id bigint, year int, val string, seq bigint"
+
+    spark.createDataFrame(
+        [Row(id=1, year=2024, val="a", seq=0)], schema
+    ).write.partitionBy("year").parquet(target)
+    spark.createDataFrame(
+        [
+            Row(id=1, year=2024, val="v1", seq=1),
+            Row(id=1, year=2024, val="v2", seq=2),
+            Row(id=2, year=2024, val="b", seq=1),
+        ],
+        schema,
+    ).write.mode("append").parquet(source)
+
+    q = streaming_merge_upsert(
+        spark, source, target, ["id"], ["year"],
+        str(root / "ck1"), schema, order_col="seq",
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.id, r.val, r.seq) for r in spark.read.parquet(target).collect()
+    }
+    assert got == {(1, "v2", 2), (2, "b", 1)}
+
+    # Without order_col the same shape must fail loudly, not duplicate.
+    q2 = streaming_merge_upsert(
+        spark, source, target, ["id"], ["year"],
+        str(root / "ck2"), schema,
+    )
+    try:
+        q2.awaitTermination(120)
+        raised = False
+    except Exception:
+        raised = True
+    assert raised, "duplicate in-batch keys must fail without order_col"
