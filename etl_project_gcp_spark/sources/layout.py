@@ -164,3 +164,76 @@ def write_zordered_parquet(
     )
     (ranged.sortWithinPartitions("__z").drop("__z")
            .write.mode("overwrite").parquet(path))
+
+
+def table_manifest(spark: SparkSession, path: str) -> dict:
+    """Export-consistency manifest for a Parquet directory: schema,
+    row count, per-file inventory (name, bytes), and an order-
+    insensitive content hash (xor of per-row xxhash64 over all columns
+    — commutative, so partition order can't change it).
+
+    A consumer re-computes the same dict to prove a copied/replicated
+    dataset is intact; the row hash is one map-side pass (the xor
+    aggregates partially per partition, no shuffle of data rows).
+    """
+    df = spark.read.parquet(path)
+    row_hash = df.select(
+        F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\0"))
+                     for c in df.columns]).alias("h")
+    )
+    agg = row_hash.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(h)").alias("hsum"),  # commutative, overflow-free
+    ).first()
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    files = sorted(
+        (f.getPath().getName(), f.getLen())
+        for f in fs.listStatus(p)
+        if f.getPath().getName().endswith(".parquet")
+    )
+    return {
+        "schema": df.schema.simpleString(),
+        "n_rows": agg["n"],
+        "content_hash": int(agg["hsum"] or 0) & 0xFFFFFFFFFFFFFFFF,
+        "files": [{"name": n, "bytes": b} for n, b in files],
+    }
+
+
+def retention_vacuum(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    keep_values: list,
+    dry_run: bool = False,
+) -> list[str]:
+    """Retention enforcement on a partitioned table: drop every
+    ``{partition_col}=value`` directory whose value is NOT in
+    ``keep_values``. Returns the dropped (or would-drop, when
+    ``dry_run``) directory names.
+
+    Deletion is directory-granular via the Hadoop FS — no data read,
+    no rewrite; at 100 TB expiring a day costs one namespace op.
+    ``keep_values`` is an explicit allowlist (never a computed cutoff
+    inside this helper) so callers can't silently vacuum everything on
+    an empty-table edge case."""
+    if not keep_values:
+        raise ValueError("keep_values is empty — refusing to vacuum all")
+    keep = {str(v) for v in keep_values}
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    dropped = []
+    prefix = f"{partition_col}="
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(prefix)):
+            continue
+        if name[len(prefix):] not in keep:
+            dropped.append(name)
+            if not dry_run:
+                fs.delete(st.getPath(), True)
+    return sorted(dropped)

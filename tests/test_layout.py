@@ -103,3 +103,55 @@ def test_zorder_rejects_out_of_range_bits(spark, tmp_path):
         assert "bits=16" in str(e)
     else:
         raise AssertionError("expected ValueError for bits=16")
+
+
+def test_table_manifest_is_order_insensitive_and_detects_change(spark, tmp_path):
+    from etl_project_gcp_spark.sources.layout import table_manifest
+
+    df = _two_key_df(spark, 2_000)
+    p1, p2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    df.repartition(4).write.parquet(p1)
+    df.repartition(7, "b").write.parquet(p2)  # same rows, new layout
+    m1, m2 = table_manifest(spark, p1), table_manifest(spark, p2)
+    assert m1["n_rows"] == m2["n_rows"] == 2_000
+    assert m1["content_hash"] == m2["content_hash"]  # layout-independent
+    assert m1["schema"] == m2["schema"]
+
+    p3 = str(tmp_path / "v3")
+    df.withColumn("a", F.col("a") + 1).write.parquet(p3)
+    assert table_manifest(spark, p3)["content_hash"] != m1["content_hash"]
+
+
+def test_retention_vacuum_drops_only_expired_partitions(spark, tmp_path):
+    import os
+
+    from pyspark.sql import Row
+
+    from etl_project_gcp_spark.sources.layout import retention_vacuum
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [Row(id=1, day="2024-01-01"), Row(id=2, day="2024-01-02"),
+         Row(id=3, day="2024-01-03")]
+    ).write.partitionBy("day").parquet(path)
+
+    would = retention_vacuum(
+        spark, path, "day", ["2024-01-02", "2024-01-03"], dry_run=True
+    )
+    assert would == ["day=2024-01-01"]
+    assert os.path.isdir(f"{path}/day=2024-01-01")  # dry run: untouched
+
+    dropped = retention_vacuum(spark, path, "day", ["2024-01-02", "2024-01-03"])
+    assert dropped == ["day=2024-01-01"]
+    assert not os.path.exists(f"{path}/day=2024-01-01")
+    # Partition values read back type-inferred (DATE here) — compare
+    # as strings.
+    got = {str(r.day) for r in spark.read.parquet(path).collect()}
+    assert got == {"2024-01-02", "2024-01-03"}
+
+    try:
+        retention_vacuum(spark, path, "day", [])
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("empty keep_values must refuse")
