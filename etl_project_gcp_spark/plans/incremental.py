@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 def merge_upsert(
     target: DataFrame, updates: DataFrame, key_cols: list[str],
     validate_unique: bool = True,
+    allow_schema_evolution: bool = False,
 ) -> DataFrame:
     """MERGE (SCD1) semantics: WHEN MATCHED THEN UPDATE (the whole row —
     updates carry full rows, not deltas), WHEN NOT MATCHED THEN INSERT.
@@ -60,6 +61,11 @@ def merge_upsert(
     ordering column), then merge. NULL merge keys never match an
     anti-join probe, so a null-keyed update always appends — keep keys
     non-null (the SQL MERGE contract).
+
+    ``allow_schema_evolution``: with it, a column present on only one
+    side is added to the other as NULLs (Delta's autoMerge semantics —
+    new attributes arrive with the batch, historical rows read NULL);
+    without it (default) a schema drift fails the union loudly.
     """
     if validate_unique:
         dup = (updates.groupBy(*key_cols).count()
@@ -71,7 +77,9 @@ def merge_upsert(
                 f"row per key before merge_upsert (SQL MERGE contract)"
             )
     kept = target.join(updates.select(*key_cols), on=key_cols, how="left_anti")
-    return kept.unionByName(updates)
+    return kept.unionByName(
+        updates, allowMissingColumns=allow_schema_evolution
+    )
 
 
 def _partition_predicate(parts: list[dict], partition_cols: list[str]):

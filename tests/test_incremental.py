@@ -224,3 +224,24 @@ def test_merge_into_partitioned_null_partition_value(spark, tmp_path):
     INC.merge_into_partitioned(spark, path, updates, ["id"], ["year"])
     got = {(r.id, r.year, r.val) for r in spark.read.parquet(path).collect()}
     assert got == {(1, None, "A2"), (2, 2024, "b")}
+
+
+def test_merge_upsert_schema_evolution(spark):
+    """A new column arriving with the batch: historical rows read NULL
+    for it (autoMerge semantics); without the flag the drift fails."""
+    target = _toy_target(spark)
+    evolved = spark.createDataFrame(
+        [Row(id=3, year=2024, val="C2", src="cdc")],
+        "id bigint, year bigint, val string, src string",
+    )
+    with pytest.raises(Exception):
+        INC.merge_upsert(target, evolved, ["id"]).collect()
+    got = {
+        (r.id, r.val, r.src)
+        for r in INC.merge_upsert(
+            target, evolved, ["id"], allow_schema_evolution=True
+        ).collect()
+    }
+    assert got == {
+        (1, "a", None), (2, "b", None), (3, "C2", "cdc"), (4, "d", None)
+    }
