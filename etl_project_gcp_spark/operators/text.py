@@ -581,6 +581,67 @@ def repetition_signals(
     )
 
 
+def duplicated_spans(
+    corpus: DataFrame,
+    window: int = 20,
+    stride: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_spans: bool = False,
+) -> DataFrame:
+    """Exact substring (token-window) deduplication signals — the
+    corpus-level complement of ``repetition_signals``: per document, how
+    many of its fixed-width token windows occur ≥2 times ANYWHERE in the
+    corpus (cross-document boilerplate AND within-document repeats).
+    The "dedup by repeated spans, not whole docs" stage of modern
+    pre-training pipelines (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" — suffix-array exact-substring
+    dedup; windows of ``window`` tokens every ``stride`` are the
+    shuffle-friendly approximation of its ≥50-token repeated spans).
+
+    Returns ``(id, n_spans, n_dup_spans, dup_span_ratio)``; docs shorter
+    than ``window`` tokens emit no row (they have no full-width span).
+    The ratio is one IEEE division of exact longs (cross-engine
+    deterministic, same policy as ``repetition_signals``).
+
+    Plan shape: span generation is a pure column expression (no explode
+    until the spans exist as one array per doc), then explode → one
+    global groupBy(span) count with map-side partials → join back →
+    per-doc rollup. Scale: the shuffle key is the span itself here so a
+    SQL oracle can replay it; at 100 TB pass ``hash_spans=True`` to
+    shuffle 8-byte ``xxhash64`` keys instead of ~120-byte strings (same
+    counts — equality is tested — at ~15× less shuffle width).
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_spans = (F.floor((n - F.lit(window)) / F.lit(stride)) + 1).cast("int")
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — guard short docs.
+    idx = F.when(n >= window, F.sequence(F.lit(1), n_spans)).otherwise(
+        F.array().cast("array<int>")
+    )
+    span_of = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.slice(toks, (i - 1) * stride + 1, window)
+    )
+    spans_arr = F.transform(idx, span_of)
+    if hash_spans:
+        spans_arr = F.transform(spans_arr, lambda s: F.xxhash64(s))
+    spans = corpus.select(F.col(id_col), F.explode(spans_arr).alias("span"))
+    counts = spans.groupBy("span").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        spans.join(counts, "span")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("c") >= 2).cast("long")).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_span_ratio",
+            F.col("n_dup_spans").cast("double")
+            / F.col("n_spans").cast("double"),
+        )
+    )
+
+
 # --- BPE merge learning (tokenizer fitting) --------------------------------
 
 def _apply_merge(syms: Column, left: Column, right: Column) -> Column:

@@ -4113,6 +4113,40 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.repetition_signals(docs, n=3)
 
 
+@register(
+    "doc_duplicate_spans",
+    r"""
+    WITH tok AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                 FROM documents),
+    spans AS (
+      SELECT doc_id,
+             array_to_string(toks[(i-1)*10+1 : (i-1)*10+20], ' ') AS span
+      FROM tok, unnest(generate_series(1,
+             CASE WHEN len(toks) >= 20
+                  THEN CAST(floor((len(toks) - 20) / 10) AS BIGINT) + 1
+                  ELSE 0 END)) AS t(i)
+    ),
+    cnt AS (SELECT span, count(*) AS c FROM spans GROUP BY span)
+    SELECT doc_id,
+           count(*)                                        AS n_spans,
+           CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                                                           AS n_dup_spans,
+           CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE)                    AS dup_span_ratio
+    FROM spans JOIN cnt USING (span)
+    GROUP BY doc_id
+    """,
+)
+def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring (token-window) dedup signals (X2/X4 — Lee et al.
+    2022 style): per doc, the count and fraction of its 20-token windows
+    (stride 10) that occur ≥2 times anywhere in the corpus. Catches
+    cross-document boilerplate that whole-doc dedup misses. sf0.01:
+    176/1997 spans duplicated across 457 eligible docs."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.duplicated_spans(docs, window=20, stride=10)
+
+
 # ---------------------------------------------------------------------------
 # N. Incremental maintenance — MERGE upsert + SCD2 (plans/incremental.py)
 # ---------------------------------------------------------------------------

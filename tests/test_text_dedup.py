@@ -582,3 +582,41 @@ def test_bpe_encode_matches_independent_reference(spark, sf_dir):
     want = {r.doc_id: ref_encode(r.text) for r in docs.collect()}
     assert got == want
     assert any(len(v) > 0 for v in want.values())
+
+
+def test_duplicated_spans_flags_planted_boilerplate(spark):
+    boiler = " ".join(f"b{i}" for i in range(20))
+    tail = lambda p: " ".join(f"{p}{i}" for i in range(20))  # noqa: E731
+    docs = _docs(
+        spark,
+        [
+            (1, f"{boiler} {tail('x')}"),  # shares the 20-token prefix
+            (2, f"{boiler} {tail('y')}"),  # with doc 1
+            (3, f"{tail('u')} {tail('v')}"),  # all-unique, same length
+            (4, "too short for any span"),  # < window tokens: no row
+        ],
+    )
+    rows = {
+        r.doc_id: r
+        for r in TX.duplicated_spans(docs, window=20, stride=10).collect()
+    }
+    assert set(rows) == {1, 2, 3}  # short doc emits nothing
+    # 40 tokens, w=20, s=10 -> spans at offsets 0/10/20; only the
+    # offset-0 span (the boilerplate) is shared between docs 1 and 2.
+    for d in (1, 2):
+        assert rows[d].n_spans == 3 and rows[d].n_dup_spans == 1, rows[d]
+        assert abs(rows[d].dup_span_ratio - 1 / 3) < 1e-12
+    assert rows[3].n_spans == 3 and rows[3].n_dup_spans == 0
+
+
+def test_duplicated_spans_hashed_mode_matches_text_mode(spark, sf_dir):
+    """hash_spans=True (the 100 TB shuffle-width path) must produce the
+    exact per-doc counts of the oracle-checkable text-key path."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = lambda r: (r.n_spans, r.n_dup_spans)  # noqa: E731
+    a = {r.doc_id: key(r) for r in TX.duplicated_spans(docs).collect()}
+    b = {
+        r.doc_id: key(r)
+        for r in TX.duplicated_spans(docs, hash_spans=True).collect()
+    }
+    assert a == b and len(a) > 0
