@@ -112,47 +112,107 @@ def fit_quality_classifier(
     space) which trees express exactly, where any linear scorer lets
     strong evidence on four thresholds outvote failing the fifth
     (measured: LR ≈ 0.84 AUC on sf0.01 vs GBT ≈ 0.99+). ``"lr"`` keeps
-    the logistic option for calibrated monotone scores."""
+    the logistic option for calibrated monotone scores.
+
+    The LR path is evaluated (and scored — ``score_quality``) via pure
+    column arithmetic on the extracted coefficients, never
+    ``model.transform``: a fitted ``LogisticRegressionModel`` carries
+    its training summary, the summary carries the ``SparkSession``, and
+    the session's ``observationManager`` (Spark 4.x) is not
+    serializable — so any task closure that captures the model (which
+    ``transform``'s scoring UDF does) can hit ``Task not serializable``
+    once expression canonicalization materializes the captured graph.
+    Coefficients-as-literals sidesteps the whole class of failure and
+    is the broadcast-scoring shape this module advertises anyway."""
     from pyspark.ml.classification import GBTClassifier, LogisticRegression
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
     from pyspark.ml.feature import VectorAssembler
 
-    assembler = VectorAssembler(
-        inputCols=FEATURE_COLS, outputCol="features"
-    )
-    vec = assembler.transform(feats)
     bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(holdout_mod))
-    train = vec.filter(bucket != 0)
-    hold = vec.filter(bucket == 0)
     if model_type == "gbt":
+        vec = VectorAssembler(
+            inputCols=FEATURE_COLS, outputCol="features"
+        ).transform(feats)
         est = GBTClassifier(
             featuresCol="features", labelCol=label_col,
             maxIter=30, maxDepth=4, seed=seed,
         )
+        model = est.fit(vec.filter(bucket != 0))
+        auc = BinaryClassificationEvaluator(
+            labelCol=label_col, rawPredictionCol="rawPrediction"
+        ).evaluate(model.transform(vec.filter(bucket == 0)))
     elif model_type == "lr":
+        vec = VectorAssembler(
+            inputCols=FEATURE_COLS, outputCol="features"
+        ).transform(feats.filter(bucket != 0))
         est = LogisticRegression(
             featuresCol="features", labelCol=label_col,
             maxIter=50, regParam=0.01, standardization=True,
         )
+        model = est.fit(vec)
+        hold = feats.filter(bucket == 0).select(
+            F.col(label_col).alias("y"),
+            _lr_raw_score(model).alias("s"),
+        )
+        auc = _rank_auc(hold, score_col="s", label_col="y")
     else:
         raise ValueError(f"model_type must be 'gbt' or 'lr', got {model_type!r}")
-    model = est.fit(train)
-    auc = BinaryClassificationEvaluator(
-        labelCol=label_col, rawPredictionCol="rawPrediction"
-    ).evaluate(model.transform(hold))
     return model, auc
+
+
+def _lr_raw_score(model):
+    """The fitted LR decision function as a pure column expression:
+    ``intercept + Σ coef_i · feature_i`` with the (original-scale)
+    coefficients inlined as literals — scoring never references the
+    model object, so no closure can capture its session-bearing
+    training summary (see ``fit_quality_classifier``)."""
+    coefs = [float(c) for c in model.coefficients.toArray()]
+    raw = F.lit(float(model.intercept))
+    for c, name in zip(coefs, FEATURE_COLS):
+        raw = raw + F.lit(c) * F.col(name)
+    return raw
+
+
+def _rank_auc(scored: DataFrame, score_col: str, label_col: str) -> float:
+    """AUC by the Mann-Whitney rank statistic with average ranks for
+    ties — mathematically the trapezoidal ROC area MLlib's evaluator
+    computes. Runs on the bounded holdout sample (the one global
+    row_number window is over that sample, never the corpus)."""
+    from pyspark.sql import Window
+
+    with_rn = scored.withColumn(
+        "rn", F.row_number().over(Window.orderBy(score_col))
+    ).withColumn("r", F.avg("rn").over(Window.partitionBy(score_col)))
+    agg = with_rn.agg(
+        F.sum(F.when(F.col(label_col) == 1.0, F.col("r"))).alias("rp"),
+        F.sum((F.col(label_col) == 1.0).cast("long")).alias("np"),
+        F.sum((F.col(label_col) == 0.0).cast("long")).alias("nn"),
+    ).first()
+    if not agg.np or not agg.nn:
+        return float("nan")
+    return float((agg.rp - agg.np * (agg.np + 1) / 2.0) / (agg.np * agg.nn))
 
 
 def score_quality(
     feats: DataFrame, model, id_col: str = "doc_id"
 ) -> DataFrame:
     """Score every doc: ``(id, quality_prob)`` — P(high quality) from
-    the fitted model. One map-only pass (coefficients broadcast inside
-    the JVM transform); round to 6 dp so downstream comparisons are
-    noise-stable."""
+    the fitted model. One map-only pass; round to 6 dp so downstream
+    comparisons are noise-stable. LR models score as a sigmoid of the
+    inlined-coefficient column expression (no model object anywhere
+    near a task closure — see ``fit_quality_classifier``); tree
+    ensembles go through ``model.transform`` (their models carry no
+    session-bearing summary)."""
+    from pyspark.ml.classification import LogisticRegressionModel
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.functions import vector_to_array
 
+    if isinstance(model, LogisticRegressionModel):
+        raw = _lr_raw_score(model)
+        prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-raw))
+        return feats.select(
+            id_col, F.round(prob, 6).alias("quality_prob")
+        )
     vec = VectorAssembler(
         inputCols=FEATURE_COLS, outputCol="features"
     ).transform(feats)
