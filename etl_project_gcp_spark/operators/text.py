@@ -642,6 +642,65 @@ def duplicated_spans(
     )
 
 
+def bigram_collocations(
+    corpus: DataFrame,
+    min_count: int = 5,
+    top_k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation (phrase) mining: the corpus's ``top_k`` adjacent word
+    pairs by lift = P(w1,w2) / (P(w1)·P(w2)) among pairs occurring at
+    least ``min_count`` times — the statistic behind phrase-merging
+    vocab construction (word2vec's phrase pass, tokenizer vocab
+    seeding). Lift is the exponential of PMI, so ranking by it IS
+    ranking by PMI — but it computes as ONE IEEE division of exact
+    integer products (``n_pair·N`` / ``n_left·n_right``), where log's
+    last-ulp differences between engines would break value oracles.
+
+    Plan: bigram pairs come from zipping the token array with itself
+    shifted (pure column expression, explode only materializes the
+    pairs), then two hash aggregations (pair counts, unigram counts)
+    and two joins of the pair table against the unigram table. The
+    unigram side is Zipf-compact (vocab ≪ corpus) but unbounded at
+    100 TB, so the joins stay shuffle joins and AQE may broadcast when
+    the vocab fits; the final top-k is a TakeOrderedAndProject with a
+    full deterministic tiebreak (lift desc, w1, w2)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    empty = F.array().cast("array<string>")
+    pairs = F.arrays_zip(
+        F.when(n >= 2, F.slice(toks, 1, n - 1)).otherwise(empty).alias("w1"),
+        F.when(n >= 2, F.slice(toks, 2, n - 1)).otherwise(empty).alias("w2"),
+    )
+    bi = (
+        corpus.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    uni = (
+        corpus.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = uni.agg(F.sum("c").alias("n_total"))
+    return (
+        bi.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "n_left"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "n_right"), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1", "w2", "n_pair", "n_left", "n_right",
+            (
+                (F.col("n_pair") * F.col("n_total")).cast("double")
+                / (F.col("n_left") * F.col("n_right")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(top_k)
+    )
+
+
 # --- BPE merge learning (tokenizer fitting) --------------------------------
 
 def _apply_merge(syms: Column, left: Column, right: Column) -> Column:

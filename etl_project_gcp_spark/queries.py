@@ -4147,6 +4147,44 @@ def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.duplicated_spans(docs, window=20, stride=10)
 
 
+@register(
+    "bigram_collocations",
+    r"""
+    WITH tok AS (SELECT string_split_regex(lower(text), '\s+') AS t
+                 FROM documents),
+    bi AS (
+      SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS n_pair
+      FROM tok, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS g(i)
+      GROUP BY 1, 2
+      HAVING count(*) >= 5
+    ),
+    uni AS (
+      SELECT u.w AS w, count(*) AS c
+      FROM tok, unnest(t) AS u(w)
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(c) AS n_total FROM uni)
+    SELECT w1, w2, n_pair,
+           u1.c AS n_left, u2.c AS n_right,
+           CAST(n_pair * n_total AS DOUBLE)
+             / CAST(u1.c * u2.c AS DOUBLE) AS lift
+    FROM bi JOIN uni u1 ON bi.w1 = u1.w
+            JOIN uni u2 ON bi.w2 = u2.w
+            CROSS JOIN tot
+    ORDER BY lift DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (X4): top-20 adjacent word pairs by lift
+    (= exp(PMI), same ranking, exact-integer arithmetic) with count ≥5 —
+    the phrase-induction statistic for vocab/tokenizer construction.
+    Deterministic full tiebreak (lift desc, w1, w2)."""
+    return TX.bigram_collocations(
+        _t(spark, sf_dir, "documents"), min_count=5, top_k=20
+    )
+
+
 # ---------------------------------------------------------------------------
 # N. Incremental maintenance — MERGE upsert + SCD2 (plans/incremental.py)
 # ---------------------------------------------------------------------------

@@ -620,3 +620,22 @@ def test_duplicated_spans_hashed_mode_matches_text_mode(spark, sf_dir):
         for r in TX.duplicated_spans(docs, hash_spans=True).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_bigram_collocations_rank_planted_phrase_first(spark):
+    docs = _docs(
+        spark,
+        # "san francisco" only ever appears together; the filler words
+        # reappear in shuffled order, diluting every filler bigram.
+        [(i, "san francisco alpha beta gamma delta") for i in range(6)]
+        + [(100 + i, "beta alpha delta gamma") for i in range(4)],
+    )
+    rows = TX.bigram_collocations(docs, min_count=5, top_k=5).collect()
+    top = rows[0]
+    assert (top.w1, top.w2) == ("san", "francisco")
+    n_total = 6 * 6 + 4 * 4  # exact corpus token count
+    assert top.n_pair == 6 and top.n_left == 6 and top.n_right == 6
+    assert top.lift == (6 * n_total) / (6 * 6)
+    # deterministic order within the result
+    lifts = [r.lift for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
