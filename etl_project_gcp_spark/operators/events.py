@@ -204,10 +204,43 @@ def parse_props(events: DataFrame, schema: str = "k INT", props_col: str = "prop
     return events.withColumn("_props", F.from_json(F.col(props_col), schema))
 
 
+def forward_fill(
+    events: DataFrame,
+    fill_cols: dict[str, F.Column],
+    keys: tuple[str, ...] = ("user_id",),
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """Last-observation-carried-forward per key: for each entry in
+    ``fill_cols`` (name → an observation Column that is NULL on rows
+    where the signal is absent), append a column holding the latest
+    non-null observation at or before the row — the time-series
+    gap-fill / state-propagation primitive (e.g. "last purchase amount
+    as of each event").
+
+    ``order_cols`` must be a total order within a key (include a
+    unique id as the tiebreak) or the fill is nondeterministic under
+    ties. One running window per key — shuffles once by ``keys``; at
+    100 TB keys are user-grained (high cardinality), so the shuffle is
+    balanced and each partition's running state is a single value per
+    fill column, never a buffered frame (Spark evaluates
+    last(ignorenulls) incrementally over the running frame).
+    """
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = events
+    for name, obs in fill_cols.items():
+        out = out.withColumn(name, F.last(obs, ignorenulls=True).over(w))
+    return out
+
+
 __all__ = [
     "tumbling_window_agg",
     "sessionize",
     "session_summary",
     "extract_json_prop",
     "parse_props",
+    "forward_fill",
 ]

@@ -1245,6 +1245,38 @@ def purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_purchase_fill",
+    """
+    SELECT event_id, user_id, event_type,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value
+    FROM events
+    """,
+)
+def user_purchase_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last observation carried forward): every event
+    annotated with the user's most recent purchase amount at or before
+    it (NULL until the first purchase) — the time-series gap-fill /
+    state-propagation primitive, one running window per user. The value
+    is copied, never computed, so it is exactly cross-engine."""
+    ev = _events(spark, sf_dir)
+    filled = EV.forward_fill(
+        ev,
+        {
+            "last_purchase_value": F.when(
+                F.col("event_type") == "purchase", F.col("value")
+            )
+        },
+    )
+    return filled.select(
+        "event_id", "user_id", "event_type", "last_purchase_value"
+    )
+
+
+@register(
     "errors_recent_clicks",
     """
     SELECT e.event_id, e.user_id, count(c.event_id) AS n_recent_clicks

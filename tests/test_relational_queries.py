@@ -364,3 +364,30 @@ def test_events_loader_adapts_to_both_ts_layouts(spark, tmp_path):
     assert got_micros[0] == base
     for d in (micros_dir, nanos_dir):
         assert dict(Q._events(spark, d).dtypes)["ts"] == "timestamp"
+
+
+def test_forward_fill_carries_last_observation(spark):
+    """NULL before the first observation, latest value at/after each
+    observation, state never leaks across keys."""
+    import datetime as dt
+
+    from etl_project_gcp_spark.operators import events as EV
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    ev = spark.createDataFrame(
+        [
+            (1, 1, t(1), "view", 5.0),
+            (2, 1, t(2), "purchase", 10.0),
+            (3, 1, t(3), "view", 7.0),
+            (4, 1, t(4), "purchase", 20.0),
+            (5, 1, t(5), "click", 1.0),
+            (6, 2, t(6), "view", 9.0),  # other user: no purchase yet
+        ],
+        "event_id bigint, user_id bigint, ts timestamp, event_type string, value double",
+    )
+    obs = F.when(F.col("event_type") == "purchase", F.col("value"))
+    out = {
+        r.event_id: r.filled
+        for r in EV.forward_fill(ev, {"filled": obs}).collect()
+    }
+    assert out == {1: None, 2: 10.0, 3: 10.0, 4: 20.0, 5: 20.0, 6: None}
