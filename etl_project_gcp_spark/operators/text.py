@@ -661,10 +661,14 @@ def bigram_collocations(
     shifted (pure column expression, explode only materializes the
     pairs), then two hash aggregations (pair counts, unigram counts)
     and two joins of the pair table against the unigram table. The
-    unigram side is Zipf-compact (vocab ≪ corpus) but unbounded at
-    100 TB, so the joins stay shuffle joins and AQE may broadcast when
-    the vocab fits; the final top-k is a TakeOrderedAndProject with a
-    full deterministic tiebreak (lift desc, w1, w2)."""
+    unigram subtree appears three times in the logical plan (both
+    joins + the total), but AQE's runtime exchange reuse computes it
+    ONCE and serves the twins from ReusedExchange (plan-pinned in
+    tests/test_physical_plans.py) — no triple corpus scan. The unigram
+    side is Zipf-compact (vocab ≪ corpus) but unbounded at 100 TB, so
+    the joins stay shuffle joins and AQE may broadcast when the vocab
+    fits; the final top-k is a TakeOrderedAndProject with a full
+    deterministic tiebreak (lift desc, w1, w2)."""
     toks = tokens(text_col)
     n = F.size(toks)
     empty = F.array().cast("array<string>")

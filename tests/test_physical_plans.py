@@ -283,3 +283,37 @@ def test_customer_upsert_anti_join_pushes_filters(spark, sf01_dir):
     plan = _plan(spark, "customer_upsert", sf01_dir)
     assert "LeftAnti" in plan
     assert plan.count("% 10)") >= 1  # batch predicate pushed to scan
+
+
+def test_user_purchase_fill_single_shuffle_window(spark, sf01_dir):
+    """forward_fill: one Exchange (hashpartition by user) feeding one
+    Sort+Window — the running-state shape; any second shuffle or a
+    global (unpartitioned) sort is a regression."""
+    plan = _plan(spark, "user_purchase_fill", sf01_dir, mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_bigram_collocations_reuses_unigram_exchange(spark, sf01_dir):
+    """The unigram subtree appears three times logically (two joins +
+    total); at runtime AQE must serve the twins from ReusedExchange so
+    the corpus is tokenized/aggregated once, and the final top-k must
+    be a TakeOrderedAndProject, not a global sort."""
+    df = Q.queries()["bigram_collocations"](spark, sf01_dir)
+    assert "TakeOrderedAndProject" in _plan(
+        spark, "bigram_collocations", sf01_dir, mode="simple"
+    )
+    df.collect()  # executed plan — AQE reuse happens at runtime
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("ReusedExchange") >= 2, executed
+
+
+def test_doc_duplicate_spans_span_generation_is_expression_only(spark, sf01_dir):
+    """Span arrays are built as pure column expressions — no Window and
+    no join before the spans exist; the only shuffles are the span
+    count, the count join-back, and the per-doc rollup."""
+    plan = _plan(spark, "doc_duplicate_spans", sf01_dir, mode="simple")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("documents.parquet") <= 2  # spans + join-back reuse
