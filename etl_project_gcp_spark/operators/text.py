@@ -318,6 +318,39 @@ def source_mixture_weights(
     )
 
 
+def mixture_weighted_sample(
+    docs: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    modulus: int = 10000,
+) -> DataFrame:
+    """Execute a pre-training data mix: sample each source at its
+    temperature-rebalanced rate (``source_mixture_weights`` — the
+    largest source keeps 100%, smaller sources keep sqrt-proportionally
+    more than their raw share). Selection is the md5-bucket recipe of
+    ``stable_bucket``: the SAME rows select in any engine, on any
+    partitioning, across reruns — a re-run of the mix job on a 100 TB
+    corpus reproduces the identical training set.
+
+    The accept test compares an exact integer bucket against
+    ``rel_weight·modulus`` — rel_weight is bit-deterministic (single
+    sqrt/divide) and one multiply is one correctly-rounded op, so the
+    predicate is cross-engine exact. The per-source weight table
+    broadcasts (strata cardinality, not corpus)."""
+    w = source_mixture_weights(docs, strata_col, text_col).select(
+        strata_col, "rel_weight"
+    )
+    return (
+        docs.join(F.broadcast(w), strata_col)
+        .filter(
+            stable_bucket(id_col, modulus).cast("double")
+            < F.col("rel_weight") * F.lit(float(modulus))
+        )
+        .drop("rel_weight")
+    )
+
+
 def stable_bucket(col: Column | str, modulus: int = 100) -> Column:
     """Deterministic engine/partitioning-independent hash bucket from
     the md5 prefix of the stringified key (same recipe as

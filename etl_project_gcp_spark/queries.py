@@ -3954,6 +3954,35 @@ def source_mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mixture_weighted_sample",
+    r"""
+    WITH a AS (
+        SELECT source,
+               CAST(sum(len(string_split_regex(lower(text), '\s+'))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source),
+    m AS (SELECT max(n_tokens) AS mx FROM a),
+    w AS (SELECT source,
+                 sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(mx AS DOUBLE))
+                     AS rel_weight
+          FROM a, m)
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d JOIN w USING (source)
+    WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+               AS INTEGER) % 10000
+          < rel_weight * 10000
+    """,
+)
+def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executable pre-training mix (X4): deterministically sample each
+    source at its temperature-rebalanced rate — the composition of
+    source_mixture_weights (the plan) and stable md5-bucket selection
+    (the execution). Reproducible row-for-row in any engine."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.mixture_weighted_sample(docs).select("doc_id", "source", "lang")
+
+
+@register(
     "doc_chunks",
     r"""
     WITH t AS (

@@ -639,3 +639,21 @@ def test_bigram_collocations_rank_planted_phrase_first(spark):
     # deterministic order within the result
     lifts = [r.lift for r in rows]
     assert lifts == sorted(lifts, reverse=True)
+
+
+def test_mixture_weighted_sample_rates_and_determinism(spark):
+    rows = [(i, "tok " * 9 + "tok", "A") for i in range(90)] + [
+        (1000 + i, "tok " * 9 + "tok", "B") for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = TX.mixture_weighted_sample(docs).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    # A is the max source (w=1.0): every row keeps. B keeps at
+    # sqrt(100/900) ~ 1/3 via its md5 buckets.
+    assert len(by_src["A"]) == 90
+    assert 0 < len(by_src.get("B", set())) < 10
+    # identical selection regardless of partitioning
+    out2 = TX.mixture_weighted_sample(docs.repartition(7)).collect()
+    assert {r.doc_id for r in out2} == {r.doc_id for r in out}
