@@ -1,6 +1,7 @@
 from etl_project_gcp_spark.streaming.streams import (
     incremental_rollup,
     streaming_dedup,
+    streaming_forward_fill,
     streaming_interval_join,
     streaming_merge_upsert,
     read_event_stream,
@@ -13,6 +14,7 @@ from etl_project_gcp_spark.streaming.streams import (
 __all__ = [
     "incremental_rollup",
     "streaming_dedup",
+    "streaming_forward_fill",
     "streaming_interval_join",
     "streaming_merge_upsert",
     "read_event_stream",

@@ -285,6 +285,76 @@ def streaming_dedup(
     )
 
 
+def streaming_forward_fill(
+    stream: DataFrame,
+    observe_type: str = "purchase",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Streaming twin of ``operators/events.forward_fill`` (LOCF): every
+    event emitted with the latest ``observe_type`` value at or before it
+    for its user, carried across micro-batches in the state store.
+
+    State is ONE fixed-width tuple per user (last observed value +
+    event-time micros) — bounded by live-user cardinality, independent
+    of stream length. Within a micro-batch rows are ordered by
+    (event-time, event_id) before the fold, so intra-batch order is
+    exact; an observation arriving LATER than the watermark delay after
+    newer events have already been emitted cannot retroactively rewrite
+    them — the same no-retraction contract every append-mode streaming
+    operator carries (the batch formulation is the replayable truth).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"event_id bigint, {user_col} bigint, {ts_col} timestamp, "
+        "event_type string, last_obs_value double"
+    )
+    state_schema = "v double, t long"
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (uid,) = key
+        if state.hasTimedOut:  # NoTimeout: never fires; keeps shape uniform
+            return
+        rows = pd.concat(list(pdfs)).sort_values([ts_col, "event_id"])
+        v = state.get[0] if state.exists else None
+        t = state.get[1] if state.exists else None
+        filled = []
+        for ts, et, val in zip(
+            rows[ts_col], rows["event_type"], rows["value"]
+        ):
+            if et == observe_type:
+                v, t = float(val), ts.value // 1000
+            filled.append(v)
+        if v is not None:
+            state.update((v, t))
+        out = pd.DataFrame(
+            {
+                "event_id": rows["event_id"].to_numpy(),
+                user_col: uid,
+                ts_col: rows[ts_col].to_numpy(),
+                "event_type": rows["event_type"].to_numpy(),
+                "last_obs_value": pd.array(filled, dtype="Float64"),
+            }
+        )
+        yield out
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_merge_upsert(
     spark: SparkSession,
     source_path: str,

@@ -379,3 +379,31 @@ def test_streaming_merge_upsert_collapses_in_batch_versions(
     except Exception:
         raised = True
     assert raised, "duplicate in-batch keys must fail without order_col"
+
+
+def test_streaming_forward_fill_matches_batch(spark, event_dir):
+    from etl_project_gcp_spark.streaming import streaming_forward_fill
+
+    stream = read_event_stream(spark, event_dir)
+    q = run_to_memory_sink(
+        streaming_forward_fill(stream, observe_type="purchase"),
+        "ff_test",
+        output_mode="append",
+    )
+    q.awaitTermination(120)
+    got = {
+        r.event_id: r.last_obs_value
+        for r in spark.sql("SELECT * FROM ff_test").collect()
+    }
+    batch = EV.forward_fill(
+        spark.read.parquet(event_dir),
+        {
+            "last_obs_value": F.when(
+                F.col("event_type") == "purchase", F.col("value")
+            )
+        },
+    )
+    want = {r.event_id: r.last_obs_value for r in batch.collect()}
+    assert got == want
+    assert any(v is not None for v in got.values())
+    assert any(v is None for v in got.values())  # pre-first-purchase rows
