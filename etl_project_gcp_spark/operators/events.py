@@ -204,6 +204,44 @@ def parse_props(events: DataFrame, schema: str = "k INT", props_col: str = "prop
     return events.withColumn("_props", F.from_json(F.col(props_col), schema))
 
 
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    granularity: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by the period of their
+    FIRST event (cohort), counted in every later period they were
+    active — ``(cohort_week, week_offset, n_users)``, the standard
+    product-analytics retention triangle.
+
+    ``count(*)`` on the final aggregate IS the distinct-user count: the
+    activity relation is pre-deduped to one row per (user, period), and
+    the offset is a function of the period, so no user can contribute
+    twice to a cell — a countDistinct (exact distinct aggregate, extra
+    expand) would be redundant work. Shuffles: the (user, period)
+    dedup, the per-user min, a user-keyed join, one final rollup — all
+    key-partitioned, nothing driver-bound.
+    """
+    # kept as TIMESTAMP (midnight of the period start) — the engine's
+    # window_start convention, and plain-SQL comparable
+    wk = F.date_trunc(granularity, F.col(ts_col))
+    first = events.groupBy(user_col).agg(F.min(wk).alias("cohort_week"))
+    act = events.select(
+        F.col(user_col), wk.alias("activity_week")
+    ).distinct()
+    return (
+        act.join(first, user_col)
+        .groupBy(
+            "cohort_week",
+            (F.datediff("activity_week", F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def forward_fill(
     events: DataFrame,
     fill_cols: dict[str, F.Column],
@@ -243,4 +281,5 @@ __all__ = [
     "extract_json_prop",
     "parse_props",
     "forward_fill",
+    "cohort_retention",
 ]

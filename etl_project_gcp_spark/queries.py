@@ -1245,6 +1245,33 @@ def purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weekly_cohort_retention",
+    """
+    WITH f AS (
+        SELECT user_id,
+               min(CAST(date_trunc('week', ts) AS TIMESTAMP)) AS cohort_week
+        FROM events GROUP BY user_id),
+    a AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS activity_week
+        FROM events)
+    SELECT cohort_week,
+           CAST(datediff('day', cohort_week, activity_week) / 7 AS INTEGER)
+               AS week_offset,
+           count(*) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-event week,
+    counted in each later week they were active — the standard
+    retention matrix. ISO-Monday weeks truncate identically in Spark
+    and DuckDB; offsets are exact integer day-diffs / 7."""
+    return EV.cohort_retention(_events(spark, sf_dir))
+
+
+@register(
     "user_purchase_fill",
     """
     SELECT event_id, user_id, event_type,

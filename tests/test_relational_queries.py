@@ -391,3 +391,31 @@ def test_forward_fill_carries_last_observation(spark):
         for r in EV.forward_fill(ev, {"filled": obs}).collect()
     }
     assert out == {1: None, 2: 10.0, 3: 10.0, 4: 20.0, 5: 20.0, 6: None}
+
+
+def test_cohort_retention_triangle_semantics(spark):
+    """Cohort = first-event week; a user active in weeks 0 and 2 counts
+    in offsets 0 and 2 only; two events in one week count once."""
+    import datetime as dt
+
+    from etl_project_gcp_spark.operators import events as EV
+
+    d = lambda day, h=0: dt.datetime(2024, 1, day, h)  # noqa: E731
+    ev = spark.createDataFrame(
+        [
+            (1, 1, d(1)), (2, 1, d(1, 5)),  # u1 week0 twice
+            (3, 1, d(15)),                   # u1 week2
+            (4, 2, d(8)),                    # u2 cohort = week of Jan 8
+            (5, 2, d(9)),                    # same week
+        ],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    got = {
+        (r.cohort_week.date().isoformat(), r.week_offset): r.n_users
+        for r in EV.cohort_retention(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
