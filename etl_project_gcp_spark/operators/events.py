@@ -242,6 +242,49 @@ def cohort_retention(
     )
 
 
+def rolling_active_users(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exact rolling N-day active users per day (the WAU-by-day metric):
+    for each day with ≥1 event, how many distinct users were active in
+    the trailing ``window_days`` window ending that day.
+
+    Sliding COUNT(DISTINCT) does not decompose over a window, so the
+    scalable formulation inverts it: dedup activity to (user, day),
+    explode each activity day into the ``window_days`` report days it
+    contributes to, dedup (user, report_day), then a plain count — three
+    key-partitioned shuffles, linear ×N row expansion, no per-day
+    re-scan and no unbounded window state. Report days with no event
+    anywhere in the corpus are not emitted (join to the active-day set
+    keeps the output bounded by observed days).
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    user_days = events.select(
+        F.col(user_col), day.alias("_day")
+    ).distinct()
+    contribute = user_days.select(
+        user_col,
+        F.explode(
+            F.sequence(
+                F.col("_day"),
+                F.col("_day") + F.expr(f"INTERVAL {window_days - 1} DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("report_day"),
+    ).distinct()
+    active_days = user_days.select(
+        F.col("_day").alias("report_day")
+    ).distinct()
+    return (
+        contribute.join(active_days, "report_day")
+        .groupBy("report_day")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
 def forward_fill(
     events: DataFrame,
     fill_cols: dict[str, F.Column],
@@ -282,4 +325,5 @@ __all__ = [
     "parse_props",
     "forward_fill",
     "cohort_retention",
+    "rolling_active_users",
 ]

@@ -1272,6 +1272,31 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rolling_weekly_actives",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+        FROM events),
+    con AS (
+        SELECT DISTINCT user_id, d + i * INTERVAL 1 DAY AS report_day
+        FROM ud, unnest(generate_series(0, 6)) AS g(i)),
+    ad AS (SELECT DISTINCT d AS report_day FROM ud)
+    SELECT report_day, count(*) AS n_active_users
+    FROM con JOIN ad USING (report_day)
+    GROUP BY report_day
+    """,
+)
+def rolling_weekly_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling 7-day active users per observed day (WAU-by-day).
+    Sliding COUNT(DISTINCT) doesn't decompose over a window; the
+    scalable inversion dedups activity to (user, day), explodes each
+    day into the 7 report days it feeds, dedups again, and counts —
+    linear ×7, no per-day re-scan."""
+    return EV.rolling_active_users(_events(spark, sf_dir), window_days=7)
+
+
+@register(
     "user_purchase_fill",
     """
     SELECT event_id, user_id, event_type,

@@ -419,3 +419,25 @@ def test_cohort_retention_triangle_semantics(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_rolling_active_users_window_semantics(spark):
+    """A user active on day 1 counts on days 1-7; two activity days in
+    one window still count the user once; days with no events anywhere
+    emit no row."""
+    import datetime as dt
+
+    from etl_project_gcp_spark.operators import events as EV
+
+    d = lambda day: dt.datetime(2024, 1, day)  # noqa: E731
+    ev = spark.createDataFrame(
+        [(1, 1, d(1)), (2, 1, d(3)), (3, 2, d(3)), (4, 1, d(20))],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    got = {
+        r.report_day.day: r.n_active_users
+        for r in EV.rolling_active_users(ev, window_days=7).collect()
+    }
+    # observed days: 1, 3, 20. Day 1: u1. Day 3: u1 (once) + u2.
+    # Day 20: u1 only (day-3 activity expired).
+    assert got == {1: 1, 3: 2, 20: 1}
