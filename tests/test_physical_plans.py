@@ -317,3 +317,25 @@ def test_doc_duplicate_spans_span_generation_is_expression_only(spark, sf01_dir)
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("documents.parquet") <= 2  # spans + join-back reuse
+
+
+def test_cohort_retention_has_no_distinct_expand(spark, sf01_dir):
+    """The activity relation is pre-deduped, so the final rollup must be
+    a plain count — a count(DISTINCT) Expand node means the dedup-then-
+    count contract regressed."""
+    plan = _plan(spark, "weekly_cohort_retention", sf01_dir, mode="simple")
+    assert "Expand" not in plan, plan
+
+
+def test_rolling_actives_explodes_after_dedup(spark, sf01_dir):
+    """The ×7 contribution explode must sit above the (user, day) dedup
+    aggregate — exploding raw events first would shuffle 7× the raw
+    stream."""
+    plan = _plan(spark, "rolling_weekly_actives", sf01_dir, mode="simple")
+    lines = plan.splitlines()
+    gen = next(i for i, l in enumerate(lines) if "Generate explode" in l)
+    # in the printed tree, children appear BELOW their parent: every
+    # aggregate feeding the explode must print after (below) it
+    aggs_below = [i for i, l in enumerate(lines) if "HashAggregate" in l and i > gen]
+    assert aggs_below, "explode must consume an aggregated (deduped) input"
+    assert "Expand" not in plan
