@@ -1272,6 +1272,45 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weekly_revenue_growth",
+    f"""
+    WITH w AS (
+        SELECT CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week,
+               {_osumr('o_totalprice')} AS revenue
+        FROM orders GROUP BY 1)
+    SELECT week, revenue,
+           lag(revenue) OVER (ORDER BY week) AS prev_revenue,
+           CASE WHEN lag(revenue) OVER (ORDER BY week) > 0
+                THEN revenue / lag(revenue) OVER (ORDER BY week) - 1.0
+           END AS wow_growth
+    FROM w
+    """,
+)
+def weekly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period delta: weekly order revenue with the previous
+    week's value and week-over-week growth ratio — the lag-comparison
+    reporting primitive. Revenue is the exact decimal sum (cross-engine
+    deterministic); the growth ratio is IEEE ops on those exact values
+    (identical operands → identical doubles in both engines).
+
+    The lag window is unpartitioned BY DESIGN and still 100 TB-safe:
+    it runs over the aggregated weekly table, whose row count is
+    bounded by the calendar (≈52/year), never by data volume."""
+    orders = _t(spark, sf_dir, "orders")
+    wk = F.date_trunc("week", F.col("o_orderdate")).alias("week")
+    weekly = orders.groupBy(wk).agg(
+        X.dsum_round(F.col("o_totalprice")).alias("revenue")
+    )
+    prev = F.lag("revenue").over(W.orderBy("week"))
+    return weekly.select(
+        "week",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.when(prev > 0, F.col("revenue") / prev - 1.0).alias("wow_growth"),
+    )
+
+
+@register(
     "rolling_weekly_actives",
     """
     WITH ud AS (

@@ -441,3 +441,16 @@ def test_rolling_active_users_window_semantics(spark):
     # observed days: 1, 3, 20. Day 1: u1. Day 3: u1 (once) + u2.
     # Day 20: u1 only (day-3 activity expired).
     assert got == {1: 1, 3: 2, 20: 1}
+
+
+def test_weekly_revenue_growth_lag_semantics(spark, sf01_dir):
+    from etl_project_gcp_spark import queries as Q
+
+    rows = sorted(
+        Q.queries()["weekly_revenue_growth"](spark, sf01_dir).collect(),
+        key=lambda r: r.week,
+    )
+    assert rows[0].prev_revenue is None and rows[0].wow_growth is None
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.prev_revenue == prev.revenue
+        assert abs(cur.wow_growth - (cur.revenue / prev.revenue - 1.0)) < 1e-12
