@@ -222,22 +222,36 @@ def cohort_retention(
     expand) would be redundant work. Shuffles: the (user, period)
     dedup, the per-user min, a user-keyed join, one final rollup — all
     key-partitioned, nothing driver-bound.
+
+    The period offset is computed PER granularity (day/week/month) —
+    ``datediff`` for day, ``datediff/7`` for week, ``months_between``
+    for month (calendar months are not a fixed day count). Output
+    columns are ``cohort_{granularity}`` / ``{granularity}_offset``.
     """
+    if granularity not in ("day", "week", "month"):
+        raise ValueError(
+            f"granularity={granularity!r} not in ('day', 'week', "
+            f"'month') — offsets are only defined for these periods"
+        )
+    cohort_col = f"cohort_{granularity}"
+    offset_col = f"{granularity}_offset"
     # kept as TIMESTAMP (midnight of the period start) — the engine's
     # window_start convention, and plain-SQL comparable
     wk = F.date_trunc(granularity, F.col(ts_col))
-    first = events.groupBy(user_col).agg(F.min(wk).alias("cohort_week"))
+    first = events.groupBy(user_col).agg(F.min(wk).alias(cohort_col))
     act = events.select(
-        F.col(user_col), wk.alias("activity_week")
+        F.col(user_col), wk.alias("_activity_period")
     ).distinct()
+    if granularity == "day":
+        offset = F.datediff("_activity_period", F.col(cohort_col))
+    elif granularity == "week":
+        offset = F.datediff("_activity_period", F.col(cohort_col)) / 7
+    else:  # month — both sides are truncated month starts, so
+        # months_between is an exact integer
+        offset = F.months_between("_activity_period", F.col(cohort_col))
     return (
         act.join(first, user_col)
-        .groupBy(
-            "cohort_week",
-            (F.datediff("activity_week", F.col("cohort_week")) / 7)
-            .cast("int")
-            .alias("week_offset"),
-        )
+        .groupBy(cohort_col, offset.cast("int").alias(offset_col))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
 

@@ -15,10 +15,16 @@ module is the Spark-native expression of that stage:
   broadcast and applied as a JVM column expression; scoring the full
   corpus is one map-only pass.
 
-The weak label is a boolean function of threshold rules over a SUPERSET
-of the features the model sees, so the classifier has real signal to
-learn but nothing leaks the label directly; held-out AUC ≥ 0.9 is
-asserted in tests/test_mlquality.py.
+The weak label is a DETERMINISTIC threshold gate over the same signals
+the model sees, so the default-configuration held-out AUC ≥ 0.9
+asserted in tests/test_mlquality.py measures DISTILLATION — the
+model's ability to reconstruct the rule stack as a calibrated
+probability (the CCNet-style use: replace brittle rules with a smooth
+score) — NOT generalization to an independent labeling function. A
+separate generalization check holds one gate signal
+(``stopword_hit_ratio``) OUT of the served features via the
+``feature_cols`` parameter and asserts the model still ranks docs
+usefully from the correlated remainder.
 
 Scale: training data is the weak-labeled sample (bounded by the caller
 — at 100 TB you fit on a hash-sampled slice, not the corpus); scoring
@@ -99,6 +105,7 @@ def fit_quality_classifier(
     holdout_mod: int = 5,
     model_type: str = "gbt",
     seed: int = 7,
+    feature_cols: list[str] | None = None,
 ):
     """Fit a quality classifier on a deterministic hash-split.
 
@@ -123,15 +130,21 @@ def fit_quality_classifier(
     ``transform``'s scoring UDF does) can hit ``Task not serializable``
     once expression canonicalization materializes the captured graph.
     Coefficients-as-literals sidesteps the whole class of failure and
-    is the broadcast-scoring shape this module advertises anyway."""
+    is the broadcast-scoring shape this module advertises anyway.
+
+    ``feature_cols`` (default ``FEATURE_COLS``) selects the served
+    features — pass a subset that EXCLUDES a gate signal (e.g. drop
+    ``stopword_hit_ratio``) to measure generalization rather than
+    distillation (module docstring)."""
     from pyspark.ml.classification import GBTClassifier, LogisticRegression
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
     from pyspark.ml.feature import VectorAssembler
 
+    fcols = list(feature_cols) if feature_cols is not None else FEATURE_COLS
     bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(holdout_mod))
     if model_type == "gbt":
         vec = VectorAssembler(
-            inputCols=FEATURE_COLS, outputCol="features"
+            inputCols=fcols, outputCol="features"
         ).transform(feats)
         est = GBTClassifier(
             featuresCol="features", labelCol=label_col,
@@ -143,7 +156,7 @@ def fit_quality_classifier(
         ).evaluate(model.transform(vec.filter(bucket == 0)))
     elif model_type == "lr":
         vec = VectorAssembler(
-            inputCols=FEATURE_COLS, outputCol="features"
+            inputCols=fcols, outputCol="features"
         ).transform(feats.filter(bucket != 0))
         est = LogisticRegression(
             featuresCol="features", labelCol=label_col,
@@ -152,23 +165,27 @@ def fit_quality_classifier(
         model = est.fit(vec)
         hold = feats.filter(bucket == 0).select(
             F.col(label_col).alias("y"),
-            _lr_raw_score(model).alias("s"),
+            _lr_raw_score(model, fcols).alias("s"),
         )
         auc = _rank_auc(hold, score_col="s", label_col="y")
     else:
         raise ValueError(f"model_type must be 'gbt' or 'lr', got {model_type!r}")
+    model._served_feature_cols = fcols  # scoring must use the same set
     return model, auc
 
 
-def _lr_raw_score(model):
+def _lr_raw_score(model, feature_cols: list[str] | None = None):
     """The fitted LR decision function as a pure column expression:
     ``intercept + Σ coef_i · feature_i`` with the (original-scale)
     coefficients inlined as literals — scoring never references the
     model object, so no closure can capture its session-bearing
     training summary (see ``fit_quality_classifier``)."""
+    fcols = (feature_cols
+             or getattr(model, "_served_feature_cols", None)
+             or FEATURE_COLS)
     coefs = [float(c) for c in model.coefficients.toArray()]
     raw = F.lit(float(model.intercept))
-    for c, name in zip(coefs, FEATURE_COLS):
+    for c, name in zip(coefs, fcols):
         raw = raw + F.lit(c) * F.col(name)
     return raw
 
@@ -207,14 +224,15 @@ def score_quality(
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.functions import vector_to_array
 
+    fcols = getattr(model, "_served_feature_cols", None) or FEATURE_COLS
     if isinstance(model, LogisticRegressionModel):
-        raw = _lr_raw_score(model)
+        raw = _lr_raw_score(model, fcols)
         prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-raw))
         return feats.select(
             id_col, F.round(prob, 6).alias("quality_prob")
         )
     vec = VectorAssembler(
-        inputCols=FEATURE_COLS, outputCol="features"
+        inputCols=fcols, outputCol="features"
     ).transform(feats)
     return model.transform(vec).select(
         id_col,

@@ -99,12 +99,23 @@ def _partition_predicate(parts: list[dict], partition_cols: list[str]):
     return reduce(lambda a, b: a | b, clauses)
 
 
+def _target_exists(spark: SparkSession, path: str) -> bool:
+    """True when ``path`` exists AND holds a readable Parquet footprint
+    (any scheme the Hadoop FS supports — not just local files)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    return bool(fs.exists(p) and fs.listStatus(p))
+
+
 def merge_into_partitioned(
     spark: SparkSession,
     target_path: str,
     updates: DataFrame,
     key_cols: list[str],
     partition_cols: list[str],
+    allow_schema_evolution: bool = False,
 ) -> list[dict]:
     """Partition-pruned MERGE into a partitioned Parquet table.
 
@@ -113,11 +124,18 @@ def merge_into_partitioned(
        touches days, not history).
     2. Read ONLY those partitions from the target (literal partition
        predicate → directory pruning, no data read elsewhere).
-    3. ``merge_upsert`` the slice with the updates.
+    3. ``merge_upsert`` the slice with the updates
+       (``allow_schema_evolution`` plumbed through — a new column in
+       the batch lands as NULLs on historical rows).
     4. Write back under ``spark.sql.sources.partitionOverwriteMode=
        dynamic``: Spark replaces exactly the partitions present in the
        merged slice; every other partition's files are untouched on
        disk (asserted byte-for-byte in tests/test_incremental.py).
+
+    Bootstrap: a missing/empty ``target_path`` (first batch — e.g. the
+    opening micro-batch of ``streaming_merge_upsert``) CREATES the
+    table from the updates batch instead of throwing PATH_NOT_FOUND;
+    the batch is still uniqueness-validated first.
 
     Updates must not move a row across partitions (the old partition
     would keep the stale copy); callers changing partition keys must
@@ -129,8 +147,17 @@ def merge_into_partitioned(
     if not parts:
         return []
     pred = _partition_predicate(parts, partition_cols)
-    target_slice = spark.read.parquet(target_path).filter(pred)
-    merged = merge_upsert(target_slice, updates, key_cols)
+    if _target_exists(spark, target_path):
+        target_slice = spark.read.parquet(target_path).filter(pred)
+    else:
+        # Bootstrap: first batch creates the table. An empty, correctly
+        # typed slice keeps the merge path identical (the anti-join
+        # keeps nothing; the union emits the batch).
+        target_slice = spark.createDataFrame([], updates.schema)
+    merged = merge_upsert(
+        target_slice, updates, key_cols,
+        allow_schema_evolution=allow_schema_evolution,
+    )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

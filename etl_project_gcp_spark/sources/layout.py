@@ -169,11 +169,14 @@ def write_zordered_parquet(
 def table_manifest(spark: SparkSession, path: str) -> dict:
     """Export-consistency manifest for a Parquet directory: schema,
     row count, per-file inventory (name, bytes), and an order-
-    insensitive content hash (xor of per-row xxhash64 over all columns
-    — commutative, so partition order can't change it).
+    insensitive content hash (SUM of per-row xxhash64 mod 2^64 —
+    commutative like xor, so partition order can't change it, but
+    multiset-sensitive: a row appearing an even number of times still
+    contributes, where xor would cancel it out entirely and let two
+    datasets differing by a swapped duplicate pair collide).
 
     A consumer re-computes the same dict to prove a copied/replicated
-    dataset is intact; the row hash is one map-side pass (the xor
+    dataset is intact; the row hash is one map-side pass (the sum
     aggregates partially per partition, no shuffle of data rows).
     """
     df = spark.read.parquet(path)
@@ -183,7 +186,9 @@ def table_manifest(spark: SparkSession, path: str) -> dict:
     )
     agg = row_hash.agg(
         F.count(F.lit(1)).alias("n"),
-        F.expr("bit_xor(h)").alias("hsum"),  # commutative, overflow-free
+        # decimal(38,0) sum holds ~1e19 rows of |h|<=2^63 without
+        # overflow; reduced mod 2^64 on the driver below.
+        F.sum(F.col("h").cast("decimal(38,0)")).alias("hsum"),
     ).first()
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
@@ -197,9 +202,36 @@ def table_manifest(spark: SparkSession, path: str) -> dict:
     return {
         "schema": df.schema.simpleString(),
         "n_rows": agg["n"],
-        "content_hash": int(agg["hsum"] or 0) & 0xFFFFFFFFFFFFFFFF,
+        "content_hash": int(agg["hsum"] or 0) % (1 << 64),
         "files": [{"name": n, "bytes": b} for n, b in files],
     }
+
+
+# Characters Spark/Hive escape in partition directory names
+# (ExternalCatalogUtils.charToEscape): ASCII control chars 01-1F plus
+# the listed specials, written as %XX uppercase hex.
+_PATH_ESCAPE_CHARS = frozenset(
+    [chr(i) for i in range(0x01, 0x20)]
+    + ['"', "#", "%", "'", "*", "/", ":", "=", "?", "\\", "\x7f",
+       "{", "[", "]", "^"]
+)
+
+#: Directory name Spark writes for a NULL partition value.
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def escape_partition_value(value) -> str:
+    """Python twin of Spark's ``ExternalCatalogUtils.escapePathName``:
+    the escaping Spark applies to a partition VALUE when it becomes a
+    directory name (``ts=2024-01-01 00:00:00`` on disk is
+    ``ts=2024-01-01 00%3A00%3A00``). ``None`` maps to the
+    ``__HIVE_DEFAULT_PARTITION__`` sentinel directory."""
+    if value is None:
+        return HIVE_DEFAULT_PARTITION
+    return "".join(
+        f"%{ord(c):02X}" if c in _PATH_ESCAPE_CHARS else c
+        for c in str(value)
+    )
 
 
 def retention_vacuum(
@@ -208,11 +240,22 @@ def retention_vacuum(
     partition_col: str,
     keep_values: list,
     dry_run: bool = False,
+    drop_null_partition: bool = False,
 ) -> list[str]:
     """Retention enforcement on a partitioned table: drop every
     ``{partition_col}=value`` directory whose value is NOT in
     ``keep_values``. Returns the dropped (or would-drop, when
     ``dry_run``) directory names.
+
+    ``keep_values`` are RAW values — they are escaped here with the
+    same rule Spark uses writing partition directories
+    (``escapePathName``), so an allowlisted timestamp like
+    ``2024-01-01 00:00:00`` matches its on-disk form
+    ``2024-01-01 00%3A00%3A00`` instead of being silently deleted.
+    The NULL partition (``__HIVE_DEFAULT_PARTITION__``) can never be
+    named by a raw value, so it is SKIPPED unless the caller opts in
+    with ``drop_null_partition=True`` (a ``None`` in ``keep_values``
+    also protects it explicitly).
 
     Deletion is directory-granular via the Hadoop FS — no data read,
     no rewrite; at 100 TB expiring a day costs one namespace op.
@@ -221,7 +264,7 @@ def retention_vacuum(
     an empty-table edge case."""
     if not keep_values:
         raise ValueError("keep_values is empty — refusing to vacuum all")
-    keep = {str(v) for v in keep_values}
+    keep = {escape_partition_value(v) for v in keep_values}
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
@@ -232,7 +275,10 @@ def retention_vacuum(
         name = st.getPath().getName()
         if not (st.isDirectory() and name.startswith(prefix)):
             continue
-        if name[len(prefix):] not in keep:
+        disk_value = name[len(prefix):]
+        if disk_value == HIVE_DEFAULT_PARTITION and not drop_null_partition:
+            continue
+        if disk_value not in keep:
             dropped.append(name)
             if not dry_run:
                 fs.delete(st.getPath(), True)

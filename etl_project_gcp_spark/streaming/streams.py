@@ -365,6 +365,7 @@ def streaming_merge_upsert(
     schema: str,
     fmt: str = "parquet",
     order_col: str | None = None,
+    allow_schema_evolution: bool = False,
 ) -> StreamingQuery:
     """Continuous MERGE ingestion: every micro-batch of arriving files
     upserts into the partitioned target table via ``foreachBatch`` +
@@ -409,6 +410,7 @@ def streaming_merge_upsert(
         merge_into_partitioned(
             batch_df.sparkSession, target_path, batch_df,
             key_cols, partition_cols,
+            allow_schema_evolution=allow_schema_evolution,
         )
 
     return (

@@ -245,3 +245,61 @@ def test_merge_upsert_schema_evolution(spark):
     assert got == {
         (1, "a", None), (2, "b", None), (3, "C2", "cdc"), (4, "d", None)
     }
+
+
+def test_merge_into_partitioned_bootstraps_missing_target(spark, tmp_path):
+    """ADVICE r5: the first batch into a not-yet-existing target must
+    CREATE the table (the streaming_merge_upsert opening micro-batch),
+    not throw PATH_NOT_FOUND."""
+    from pyspark.sql import Row
+
+    from etl_project_gcp_spark.plans.incremental import (
+        merge_into_partitioned,
+    )
+
+    target = str(tmp_path / "fresh")
+    batch = spark.createDataFrame(
+        [Row(k=1, v="a", day="d1"), Row(k=2, v="b", day="d2")]
+    )
+    touched = merge_into_partitioned(spark, target, batch, ["k"], ["day"])
+    assert {t["day"] for t in touched} == {"d1", "d2"}
+    got = {(r.k, r.v, r.day)
+           for r in spark.read.parquet(target).collect()}
+    assert got == {(1, "a", "d1"), (2, "b", "d2")}
+
+    # second batch merges normally into the bootstrapped table
+    batch2 = spark.createDataFrame([Row(k=1, v="a2", day="d1")])
+    merge_into_partitioned(spark, target, batch2, ["k"], ["day"])
+    got = {(r.k, r.v) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, "a2"), (2, "b")}
+
+
+def test_merge_into_partitioned_schema_evolution(spark, tmp_path):
+    """allow_schema_evolution plumbs through the storage MERGE: a new
+    column arriving with the batch lands as NULLs on historical rows of
+    the touched partition."""
+    from pyspark.sql import Row
+
+    from etl_project_gcp_spark.plans.incremental import (
+        merge_into_partitioned,
+    )
+
+    target = str(tmp_path / "evolve")
+    spark.createDataFrame(
+        [Row(k=1, v="a", day="d1"), Row(k=2, v="b", day="d1")]
+    ).write.partitionBy("day").parquet(target)
+
+    batch = spark.createDataFrame([Row(k=1, v="a2", extra=7, day="d1")])
+    try:
+        merge_into_partitioned(spark, target, batch, ["k"], ["day"])
+    except Exception:
+        pass  # drift without the flag fails loudly (union mismatch)
+    else:
+        raise AssertionError("schema drift without the flag must fail")
+
+    merge_into_partitioned(
+        spark, target, batch, ["k"], ["day"], allow_schema_evolution=True
+    )
+    got = {(r.k, r.v, r.extra)
+           for r in spark.read.parquet(target).collect()}
+    assert got == {(1, "a2", 7), (2, "b", None)}

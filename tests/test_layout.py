@@ -155,3 +155,71 @@ def test_retention_vacuum_drops_only_expired_partitions(spark, tmp_path):
         pass
     else:
         raise AssertionError("empty keep_values must refuse")
+
+
+def test_retention_vacuum_escapes_values_and_protects_null_partition(
+    spark, tmp_path
+):
+    """ADVICE r5 (medium): keep_values must be compared under Spark's
+    partition-path escaping (':' → '%3A' on disk), and the NULL
+    partition (__HIVE_DEFAULT_PARTITION__) must survive unless the
+    caller opts in."""
+    import os
+
+    from pyspark.sql import Row
+
+    from etl_project_gcp_spark.sources.layout import (
+        HIVE_DEFAULT_PARTITION,
+        escape_partition_value,
+        retention_vacuum,
+    )
+
+    assert escape_partition_value("2024-01-01 00:00:00") == \
+        "2024-01-01 00%3A00%3A00"
+    assert escape_partition_value("a/b%c") == "a%2Fb%25c"
+    assert escape_partition_value(None) == HIVE_DEFAULT_PARTITION
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [Row(id=1, ts="2024-01-01 00:00:00"),
+         Row(id=2, ts="2024-01-02 00:00:00"),
+         Row(id=3, ts=None)]
+    ).write.partitionBy("ts").parquet(path)
+    on_disk = set(os.listdir(path))
+    assert "ts=2024-01-01 00%3A00%3A00" in on_disk  # Spark escaped it
+    assert f"ts={HIVE_DEFAULT_PARTITION}" in on_disk
+
+    # RAW value in the allowlist matches its escaped directory; NULL
+    # partition is skipped by default even though no keep value names it
+    dropped = retention_vacuum(
+        spark, path, "ts", ["2024-01-01 00:00:00"]
+    )
+    assert dropped == ["ts=2024-01-02 00%3A00%3A00"]
+    assert os.path.isdir(f"{path}/ts=2024-01-01 00%3A00%3A00")
+    assert os.path.isdir(f"{path}/ts={HIVE_DEFAULT_PARTITION}")
+
+    # opting in drops the NULL partition
+    dropped = retention_vacuum(
+        spark, path, "ts", ["2024-01-01 00:00:00"],
+        drop_null_partition=True,
+    )
+    assert dropped == [f"ts={HIVE_DEFAULT_PARTITION}"]
+    assert not os.path.exists(f"{path}/ts={HIVE_DEFAULT_PARTITION}")
+
+
+def test_table_manifest_hash_is_multiset_sensitive(spark, tmp_path):
+    """ADVICE r5: an XOR combiner cancels rows occurring an even number
+    of times — two equal-count datasets differing by which row is
+    duplicated would collide. The SUM-mod-2^64 combiner must not."""
+    from pyspark.sql import Row
+
+    from etl_project_gcp_spark.sources.layout import table_manifest
+
+    a = [Row(k="x"), Row(k="x"), Row(k="y")]   # x twice
+    b = [Row(k="x"), Row(k="y"), Row(k="y")]   # y twice — same count
+    pa_, pb_ = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.createDataFrame(a).write.parquet(pa_)
+    spark.createDataFrame(b).write.parquet(pb_)
+    ma, mb = table_manifest(spark, pa_), table_manifest(spark, pb_)
+    assert ma["n_rows"] == mb["n_rows"] == 3
+    assert ma["content_hash"] != mb["content_hash"]

@@ -63,3 +63,25 @@ def test_scoring_is_deterministic(spark):
     s1 = {r.doc_id: r.quality_prob for r in MQ.score_quality(feats, m1).collect()}
     s2 = {r.doc_id: r.quality_prob for r in MQ.score_quality(feats, m2).collect()}
     assert s1 == s2
+
+
+def test_classifier_generalizes_with_gate_signal_held_out(spark):
+    """Anti-circularity check: drop one gate signal
+    (stopword_hit_ratio) from the SERVED features — the label still
+    depends on it, so the model can only rank well by exploiting
+    correlated remaining signals. Distinct from the distillation AUC
+    above (module docstring)."""
+    feats = _feats(spark).cache()
+    try:
+        fc = [c for c in MQ.FEATURE_COLS if c != "stopword_hit_ratio"]
+        model, auc = MQ.fit_quality_classifier(
+            feats, model_type="gbt", feature_cols=fc
+        )
+        # measured 0.939 at sf0.001; floor leaves margin
+        assert 0.85 <= auc < 1.0, auc
+        # scoring must use the fitted feature set, not FEATURE_COLS
+        scored = MQ.score_quality(feats, model)
+        assert scored.columns == ["doc_id", "quality_prob"]
+        assert scored.count() == feats.count()
+    finally:
+        feats.unpersist()

@@ -454,3 +454,45 @@ def test_weekly_revenue_growth_lag_semantics(spark, sf01_dir):
     for prev, cur in zip(rows, rows[1:]):
         assert cur.prev_revenue == prev.revenue
         assert abs(cur.wow_growth - (cur.revenue / prev.revenue - 1.0)) < 1e-12
+
+
+def test_cohort_retention_month_and_day_granularity(spark):
+    """ADVICE r5: the offset must follow the granularity — calendar
+    months are not 7 days apart. Output columns are granularity-named;
+    unsupported granularities raise."""
+    import datetime as dt
+
+    from etl_project_gcp_spark.operators import events as EV
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, dt.datetime(2024, 1, 5)),    # u1 cohort Jan
+            (2, 1, dt.datetime(2024, 3, 20)),   # active Mar → offset 2
+            (3, 2, dt.datetime(2024, 2, 29)),   # u2 cohort Feb (leap)
+            (4, 2, dt.datetime(2024, 3, 1)),    # next month → offset 1
+        ],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    got = {
+        (r.cohort_month.date().isoformat(), r.month_offset): r.n_users
+        for r in EV.cohort_retention(ev, granularity="month").collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-02-01", 0): 1,
+        ("2024-02-01", 1): 1,
+    }
+
+    day = {
+        (r.cohort_day.date().isoformat(), r.day_offset): r.n_users
+        for r in EV.cohort_retention(ev, granularity="day").collect()
+    }
+    assert day[("2024-02-29", 1)] == 1  # Feb 29 → Mar 1 is one DAY
+
+    try:
+        EV.cohort_retention(ev, granularity="hour")
+    except ValueError as e:
+        assert "granularity" in str(e)
+    else:
+        raise AssertionError("unsupported granularity must raise")
