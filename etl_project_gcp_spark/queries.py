@@ -3876,19 +3876,44 @@ def doc_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TX.redact_text("text").alias("redacted"))
 
 
-@register("bpe_merges", None)  # iterative driver loop — rows-only
+@register(
+    "bpe_merges",
+    # The iterative fixpoint has no SQL twin, but the learned merge
+    # table IS deterministic (count-desc/pair-asc tiebreak) and pinned
+    # against an independent pure-Python reference BPE
+    # (tests/test_text_dedup.py) — so the oracle embeds the sf0.01
+    # table as literals, exactly the simhash_quality_report pattern.
+    """
+    SELECT * FROM (VALUES
+        (0,  'e',  'r',  'er'),
+        (1,  'i',  'n',  'in'),
+        (2,  'o',  'w',  'ow'),
+        (3,  'o',  'r',  'or'),
+        (4,  's',  't',  'st'),
+        (5,  'm',  'er', 'mer'),
+        (6,  'a',  't',  'at'),
+        (7,  'l',  'u',  'lu'),
+        (8,  'a',  'r',  'ar'),
+        (9,  'p',  'ar', 'par'),
+        (10, 'j',  'o',  'jo'),
+        (11, 'jo', 'in', 'join')
+    ) AS t(rank, "left", "right", merged)
+    """,
+)
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge learning (tokenizer fitting, X4 family):
     collapse the corpus to a word-frequency table once, then each round
     aggregates weighted adjacent-pair counts and applies the winning
     merge as a pure array fold (operators/text.py::bpe_learn_merges —
-    no UDF, deterministic count-desc/pair-asc tiebreak). Rows-only: the
-    iterative fixpoint has no SQL twin; the full merge table is pinned
-    against an independent pure-Python reference BPE run over the same
-    word-frequency table (tests/test_text_dedup.py), and the driver-fit
-    production path (fit='driver' — one collect of the capped vocab,
-    in-memory loop; how 30k-merge tokenizers actually train) is
-    equality-tested against this distributed loop."""
+    no UDF, deterministic count-desc/pair-asc tiebreak). The oracle is
+    the sf0.01 merge table as a VALUES literal (the driver's
+    correctness SF): deterministic, independently pinned against a
+    pure-Python reference BPE over a DuckDB word table
+    (tests/test_text_dedup.py), so any regression in pair counting,
+    tiebreaks, or the merge fold hash-fails. The driver-fit production
+    path (fit='driver' — one collect of the capped vocab, in-memory
+    loop; how 30k-merge tokenizers actually train) is equality-tested
+    against this distributed loop."""
     docs = _t(spark, sf_dir, "documents")
     return TX.bpe_learn_merges(docs, num_merges=12, fit="distributed")
 
