@@ -106,6 +106,8 @@ def fit_quality_classifier(
     model_type: str = "gbt",
     seed: int = 7,
     feature_cols: list[str] | None = None,
+    max_iter: int = 30,
+    max_depth: int = 4,
 ):
     """Fit a quality classifier on a deterministic hash-split.
 
@@ -148,7 +150,7 @@ def fit_quality_classifier(
         ).transform(feats)
         est = GBTClassifier(
             featuresCol="features", labelCol=label_col,
-            maxIter=30, maxDepth=4, seed=seed,
+            maxIter=max_iter, maxDepth=max_depth, seed=seed,
         )
         model = est.fit(vec.filter(bucket != 0))
         auc = BinaryClassificationEvaluator(
@@ -160,7 +162,7 @@ def fit_quality_classifier(
         ).transform(feats.filter(bucket != 0))
         est = LogisticRegression(
             featuresCol="features", labelCol=label_col,
-            maxIter=50, regParam=0.01, standardization=True,
+            maxIter=max(max_iter, 50), regParam=0.01, standardization=True,
         )
         model = est.fit(vec)
         hold = feats.filter(bucket == 0).select(
