@@ -42,19 +42,40 @@ def compact_parquet(
     src: str,
     dst: str,
     target_mb: int = 512,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Rewrite the Parquet directory ``src`` into ``dst`` with
-    ~``target_mb``-sized files. Returns the file count written.
+    ~``target_mb``-sized files. Returns the file count written (per
+    partition directory when ``partition_by`` is set).
 
     Sizing is computed from the source's on-disk bytes (compressed), so
     the output count is right even when the data is heavily encoded.
-    Uses ``coalesce`` when shrinking the file count (no shuffle — each
-    output task concatenates input splits) and ``repartition`` only
-    when growing it (a shuffle is unavoidable to split files).
+    Unpartitioned: ``coalesce`` when shrinking the file count (no
+    shuffle — each output task concatenates input splits),
+    ``repartition`` only when growing it (a shuffle is unavoidable to
+    split files). With ``partition_by``, rows hash-shuffle on the
+    partition keys into ~``n_files`` tasks per directory so each
+    partition directory compacts to approximately target-sized files
+    instead of every task writing a sliver into every directory.
     """
     total = _dir_bytes(spark, src)
-    n_files = max(1, round(total / (target_mb * 1024 * 1024)))
     df = spark.read.parquet(src)
+    if partition_by:
+        n_dirs = max(
+            1, df.select(*partition_by).distinct().count()
+        )  # bounded by partition count, never row count
+        n_files = max(1, round(total / n_dirs / (target_mb * 1024 * 1024)))
+        # Shuffle on (keys, salt): keys alone would map each directory's
+        # rows to ONE task (one file per dir no matter the target);
+        # a content-derived salt splits each directory across ~n_files
+        # tasks deterministically.
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_files)
+        )
+        out = df.repartition(n_files * n_dirs, *partition_by, salt)
+        out.write.mode("overwrite").partitionBy(*partition_by).parquet(dst)
+        return n_files
+    n_files = max(1, round(total / (target_mb * 1024 * 1024)))
     cur = df.rdd.getNumPartitions()
     out = df.coalesce(n_files) if n_files <= cur else df.repartition(n_files)
     out.write.mode("overwrite").parquet(dst)

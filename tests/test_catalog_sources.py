@@ -255,3 +255,34 @@ def test_orc_roundtrip_partitioned_with_pruning(spark, tmp_path):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "lang=es" in plan or "PartitionFilters: [isnotnull(lang" in plan
     assert [r.doc_id for r in filtered.collect()] == [2]
+
+
+def test_compact_parquet_partitioned_compacts_per_directory(spark, tmp_path):
+    """Partitioned compaction keeps the hive layout and lands ~target
+    file counts PER partition directory (a keys-only shuffle would give
+    exactly one file per dir; a keyless one a sliver per task per dir)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from etl_project_gcp_spark.sources.layout import compact_parquet
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(40_000).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("part"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    )
+    # many small files per partition dir: the fragmentation compaction fixes
+    df.repartition(32).write.partitionBy("part").parquet(src)
+    assert len(glob.glob(f"{src}/part=0/*.parquet")) >= 16
+
+    compact_parquet(spark, src, dst, target_mb=1, partition_by=["part"])
+    for p in range(4):
+        files = glob.glob(f"{dst}/part={p}/*.parquet")
+        # sized from on-disk bytes: a handful per dir, far below the
+        # 32-sliver input and never one-file-per-dir-only degenerate
+        assert 1 <= len(files) <= 8, (p, len(files))
+    got = spark.read.parquet(dst)
+    assert got.count() == 40_000
+    assert set(got.columns) == {"id", "part", "payload"}

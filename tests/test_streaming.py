@@ -407,3 +407,45 @@ def test_streaming_forward_fill_matches_batch(spark, event_dir):
     assert got == want
     assert any(v is not None for v in got.values())
     assert any(v is None for v in got.values())  # pre-first-purchase rows
+
+
+def test_streaming_merge_upsert_bootstraps_missing_target(
+    spark, tmp_path_factory
+):
+    """ADVICE r5: the OPENING micro-batch into a not-yet-existing target
+    must create the table through the same foreachBatch MERGE path, not
+    die with PATH_NOT_FOUND inside the stream."""
+    import os
+
+    from pyspark.sql import Row
+
+    from etl_project_gcp_spark.streaming import streaming_merge_upsert
+
+    root = tmp_path_factory.mktemp("merge_bootstrap")
+    target = str(root / "target")  # never created
+    source = str(root / "source")
+    ckpt = str(root / "ckpt")
+    os.makedirs(source)
+    schema = "id bigint, year int, val string"
+
+    spark.createDataFrame(
+        [Row(id=1, year=2023, val="a"), Row(id=2, year=2024, val="b")],
+        schema,
+    ).write.mode("append").parquet(source)
+    q = streaming_merge_upsert(
+        spark, source, target, ["id"], ["year"], ckpt, schema
+    )
+    q.awaitTermination(120)
+    got = {(r.id, r.year, r.val) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, 2023, "a"), (2, 2024, "b")}
+
+    # and the NEXT batch merges into the bootstrapped table normally
+    spark.createDataFrame([Row(id=2, year=2024, val="B2")], schema).write.mode(
+        "append"
+    ).parquet(source)
+    q2 = streaming_merge_upsert(
+        spark, source, target, ["id"], ["year"], ckpt, schema
+    )
+    q2.awaitTermination(120)
+    got = {(r.id, r.year, r.val) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, 2023, "a"), (2, 2024, "B2")}
