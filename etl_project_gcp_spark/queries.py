@@ -4652,6 +4652,7 @@ def zorder_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     approxQuantile pass + one ranged write (~2-3 s); the metadata scan
     is per-FILE (8 files), driver-side by construction."""
     import glob as _glob
+    import shutil
     import tempfile
 
     import pyarrow.parquet as _pq
@@ -4663,7 +4664,8 @@ def zorder_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .filter(F.pmod(F.xxhash64("l_orderkey", "l_partkey"), F.lit(10)) == 0)
     )
-    out = tempfile.mkdtemp(prefix="zorder_report_") + "/z"
+    tmp_root = tempfile.mkdtemp(prefix="zorder_report_")
+    out = tmp_root + "/z"
     write_zordered_parquet(
         li, out, ["l_orderkey", "l_partkey"], bits=6, n_files=8
     )
@@ -4689,10 +4691,15 @@ def zorder_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             return 1.0
         return sum((b - a) / (gmax - gmin) for a, b in per) / len(per)
 
-    rows = [
-        (f"range_fraction_{c}", 0.75, _avg_fraction(c) <= 0.75)
-        for c in ("l_orderkey", "l_partkey")
-    ]
+    try:
+        rows = [
+            (f"range_fraction_{c}", 0.75, _avg_fraction(c) <= 0.75)
+            for c in ("l_orderkey", "l_partkey")
+        ]
+    finally:
+        # the measurement is complete once the fractions are read —
+        # repeated bench/driver runs must not accumulate rewrites
+        shutil.rmtree(tmp_root, ignore_errors=True)
     return spark.createDataFrame(
         rows, "metric string, max_bound double, meets_bound boolean"
     )
@@ -4725,6 +4732,7 @@ def streaming_rollup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark bounding state (tests/test_streaming.py covers the
     incremental refresh); complete mode here is what makes the result
     oracle-comparable in one shot."""
+    import shutil
     import tempfile
 
     from etl_project_gcp_spark.streaming.streams import (
@@ -4733,7 +4741,8 @@ def streaming_rollup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _events(spark, sf_dir)
-    land = tempfile.mkdtemp(prefix="stream_drain_") + "/events"
+    land_root = tempfile.mkdtemp(prefix="stream_drain_")
+    land = land_root + "/events"
     ev.coalesce(4).write.mode("overwrite").parquet(land)
     stream = read_event_stream(spark, land)
     agg = (
@@ -4752,5 +4761,11 @@ def streaming_rollup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     q = run_to_memory_sink(agg, "streaming_rollup_drain_sink")
-    q.awaitTermination(300)
+    try:
+        q.awaitTermination(300)
+    finally:
+        # the drained rows live in the memory sink, not the landing
+        # files — safe to reclaim immediately (and repeated runs must
+        # not accumulate landed copies of the corpus)
+        shutil.rmtree(land_root, ignore_errors=True)
     return spark.table("streaming_rollup_drain_sink")
