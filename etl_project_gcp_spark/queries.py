@@ -4769,3 +4769,43 @@ def streaming_rollup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         # not accumulate landed copies of the corpus)
         shutil.rmtree(land_root, ignore_errors=True)
     return spark.table("streaming_rollup_drain_sink")
+
+
+@register(
+    "orc_roundtrip",
+    f"""
+    SELECT s_suppkey, s_name, s_nationkey,
+           {_oround('s_acctbal')} AS acctbal
+    FROM supplier
+    """,
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip as a driver-checked value claim (the
+    last pytest-only capability surface from the r5 list — readers.py::
+    read_orc / writers.py::write_orc): supplier lands as ORC partitioned
+    by nation, reads back through the native vectorized ORC reader, and
+    the result hash-compares against the PARQUET-sourced oracle — a
+    type-mapping, partition-encoding, or value-fidelity bug anywhere in
+    the ORC path breaks the hash. Decimal money goes through the exact
+    cross-engine rescale (exact.py) like every other money column.
+    The landed copy is reclaimed after the read materializes."""
+    import shutil
+    import tempfile
+
+    from etl_project_gcp_spark.sources.readers import read_orc
+    from etl_project_gcp_spark.sources.writers import write_orc
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey",
+        X.dround(F.col("s_acctbal")).alias("acctbal"),
+    )
+    tmp_root = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    out = tmp_root + "/supplier_orc"
+    write_orc(sup, out, partition_by=["s_nationkey"])
+    try:
+        back = read_orc(spark, out).select(
+            "s_suppkey", "s_name", "s_nationkey", "acctbal"
+        ).localCheckpoint()  # materialize before the files are reclaimed
+    finally:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+    return back
