@@ -4596,16 +4596,25 @@ def quality_model_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     share the computed signals. All seeding is deterministic, so the
     VALUES oracle asserts exact rows.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     docs = _t(spark, sf_dir, "documents")
     feats = MQ.quality_features(docs).localCheckpoint()
-    model, auc = MQ.fit_quality_classifier(
-        feats, model_type="gbt", max_iter=5, max_depth=3
-    )
     gen_cols = [c for c in MQ.FEATURE_COLS if c != "stopword_hit_ratio"]
-    _, gen_auc = MQ.fit_quality_classifier(
-        feats, model_type="gbt", feature_cols=gen_cols,
-        max_iter=5, max_depth=3,
-    )
+    # the two fits are independent — interleave their (many small)
+    # MLlib jobs, same lever as the other report gates
+    with ThreadPoolExecutor(2) as ex:
+        distill_f = ex.submit(
+            MQ.fit_quality_classifier, feats,
+            model_type="gbt", max_iter=5, max_depth=3,
+        )
+        gen_f = ex.submit(
+            MQ.fit_quality_classifier, feats,
+            model_type="gbt", feature_cols=gen_cols,
+            max_iter=5, max_depth=3,
+        )
+        model, auc = distill_f.result()
+        _, gen_auc = gen_f.result()
     s1 = MQ.score_quality(feats, model).withColumnRenamed(
         "quality_prob", "p1"
     )

@@ -223,3 +223,40 @@ def test_table_manifest_hash_is_multiset_sensitive(spark, tmp_path):
     ma, mb = table_manifest(spark, pa_), table_manifest(spark, pb_)
     assert ma["n_rows"] == mb["n_rows"] == 3
     assert ma["content_hash"] != mb["content_hash"]
+
+
+def test_escape_partition_value_matches_spark_on_disk_naming(
+    spark, tmp_path
+):
+    """Pin the Python escape rule to what Spark ACTUALLY writes: land
+    one partition per nasty value and assert every directory name is
+    exactly ts=<escape_partition_value(value)>."""
+    import os
+
+    from pyspark.sql import Row
+
+    from etl_project_gcp_spark.sources.layout import escape_partition_value
+
+    nasty = [
+        "plain",
+        "with space",
+        "colon:colon",
+        "slash/slash",
+        "pct%pct",
+        "eq=eq",
+        "hash#quote'q",
+        "br[ack]ets^{b}",
+        "q?star*back\\slash",
+        'dquote"dq',
+        "tab\there",
+    ]
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [Row(id=i, ts=v) for i, v in enumerate(nasty)]
+    ).write.partitionBy("ts").parquet(path)
+    on_disk = {
+        d for d in os.listdir(path)
+        if d.startswith("ts=") and os.path.isdir(f"{path}/{d}")
+    }
+    expected = {f"ts={escape_partition_value(v)}" for v in nasty}
+    assert on_disk == expected
