@@ -137,7 +137,11 @@ def fit_quality_classifier(
     ``feature_cols`` (default ``FEATURE_COLS``) selects the served
     features — pass a subset that EXCLUDES a gate signal (e.g. drop
     ``stopword_hit_ratio``) to measure generalization rather than
-    distillation (module docstring)."""
+    distillation (module docstring). ``max_iter``/``max_depth`` tune
+    the GBT exactly; the LR path clamps iterations to ≥50 (L-BFGS
+    under-converges below that and the resulting coefficients are not
+    a cheaper model, just a worse one), so the cost knob is
+    GBT-specific by design."""
     from pyspark.ml.classification import GBTClassifier, LogisticRegression
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
     from pyspark.ml.feature import VectorAssembler

@@ -100,13 +100,22 @@ def _partition_predicate(parts: list[dict], partition_cols: list[str]):
 
 
 def _target_exists(spark: SparkSession, path: str) -> bool:
-    """True when ``path`` exists AND holds a readable Parquet footprint
-    (any scheme the Hadoop FS supports — not just local files)."""
+    """True when ``path`` exists AND holds actual table data (any
+    scheme the Hadoop FS supports — not just local files). Marker-only
+    residue from a crashed first write (``_SUCCESS`` / ``_temporary``
+    with no data files or partition dirs) counts as NOT existing, so a
+    failed bootstrap retries the create instead of wedging every
+    subsequent batch on UNABLE_TO_INFER_SCHEMA."""
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(hconf)
-    return bool(fs.exists(p) and fs.listStatus(p))
+    if not fs.exists(p):
+        return False
+    return any(
+        not st.getPath().getName().startswith(("_", "."))
+        for st in fs.listStatus(p)
+    )
 
 
 def merge_into_partitioned(
@@ -148,7 +157,28 @@ def merge_into_partitioned(
         return []
     pred = _partition_predicate(parts, partition_cols)
     if _target_exists(spark, target_path):
-        target_slice = spark.read.parquet(target_path).filter(pred)
+        # mergeSchema ALWAYS: once any batch evolved the table, its
+        # files disagree on schema and a plain read resolves from ONE
+        # arbitrary footer — a later merge could then silently drop the
+        # evolved column from every partition it rewrites, regardless
+        # of what flag the later CALLER passes (evolution is a table
+        # property, not a batch property). The price is a parallel
+        # footer-listing pass; a production deployment graduates to a
+        # table format (Delta/Iceberg) that tracks one schema instead.
+        target_slice = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(target_path).filter(pred)
+        )
+        missing_in_updates = [
+            c for c in target_slice.columns if c not in updates.columns
+        ]
+        if missing_in_updates and not allow_schema_evolution:
+            raise ValueError(
+                f"updates batch lacks target columns "
+                f"{missing_in_updates}; rewriting touched partitions "
+                f"would null them out — pass allow_schema_evolution="
+                f"True to accept that, or align the batch schema"
+            )
     else:
         # Bootstrap: first batch creates the table. An empty, correctly
         # typed slice keeps the merge path identical (the anti-join

@@ -2298,46 +2298,25 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode nondeterminism, feature regression, or top-k tiebreak bug
     drops the overlap and flips meets_floor.
 
-    Cost shape (r5 ask #4 — this was 7.4 s cold / 8.1 s warm): every
-    path's result is a |Q|·k-row set, so the report COLLECTS each path
-    from a Python thread pool instead of unioning seven pipelines into
-    one sequential job graph — local[32] interleaves the tiny jobs, so
-    wall-clock tracks the slowest path, not the sum. Corpus/queries
-    are localCheckpointed once (seven plans otherwise each re-scan and
-    re-prep), the pixel panel is 60 docs (recall identically 1.0 at 60
-    or 200 — both routes are exact), and set-vs-set recall is computed
-    driver-side on the collected pairs. Values are unchanged — same
-    searches, same corpus, same floors; only the evaluation harness is
-    concurrent. Measured 8.1 → ~2.5-3 s warm."""
+    Cost shape (r5 ask #4 — this was 7.4 s cold / 8.1 s warm): the
+    method sweep lives in vector.py::recall_report (ONE source of truth
+    for the path list + threaded bounded-set collection — a new
+    retrieval path registers there, with its floor in RECALL_FLOORS);
+    this entry runs that report and the pixel gate CONCURRENTLY, so
+    wall-clock tracks the slower of the two. Measured 8.1 → ~2.5-3 s
+    warm at sf0.1, values unchanged."""
     from concurrent.futures import ThreadPoolExecutor
 
     ship_package_to_workers(spark)
     emb = _t(spark, sf_dir, "embeddings")
     path = _ivf_index_ensure(emb, sf_dir, n_lists=16)
     cents = _kmeans_centroids_ensure(spark, emb, sf_dir, n_lists=16)
-    corpus = emb.localCheckpoint()
-    q = corpus.filter(F.col("vec_id") < 5).localCheckpoint()
 
-    searches = {
-        "truth": lambda: VX.brute_force_topk(corpus, q, k=10),
-        "lsh": lambda: VX.lsh_topk(corpus, q, k=10),
-        "ivf": lambda: VX.ivf_topk(corpus, q, k=10),
-        "ivf_kmeans": lambda: VX.ivf_topk(
-            corpus, q, k=10, quantizer="kmeans", centroids=cents
-        ),
-        "int8": lambda: VX.quantized_topk(corpus, q, k=10),
-        "two_stage": lambda: VX.two_stage_topk(corpus, q, k=10),
-        "ivf_index": lambda: VX.ivf_search_index(spark, path, q, k=10),
-    }
-
-    def _pairs(item):
-        name, build = item
-        if name == "pixel":
-            return name, build()
-        return name, {
-            (r.query_id, r.neighbor_id)
-            for r in build().select("query_id", "neighbor_id").collect()
-        }
+    def _report():
+        return VX.recall_report(
+            emb, emb.filter(F.col("vec_id") < 5), k=10,
+            index_path=path, kmeans_centroids=cents,
+        ).collect()
 
     def _pixel():
         media = MM.synthesize_media(
@@ -2361,20 +2340,15 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         return (len(got & ref) / len(ref)) if ref else 0.0
 
-    items = list(searches.items()) + [("pixel", _pixel)]
-    with ThreadPoolExecutor(len(items)) as ex:
-        got = dict(ex.map(_pairs, items))
-    truth = got.pop("truth")
-    pixel_recall = got.pop("pixel")
-    floors = dict(VX.RECALL_FLOORS)
-    recalls = {
-        m: (len(s & truth) / len(truth)) if truth else 0.0
-        for m, s in got.items()
-    }
-    recalls["pixel"] = pixel_recall
-    floors["pixel"] = 0.90
+    with ThreadPoolExecutor(2) as ex:
+        rep_f = ex.submit(_report)
+        pix_f = ex.submit(_pixel)
+        rep_rows = rep_f.result()
+        pixel_recall = pix_f.result()
+    rows = [(r.method, r.recall_floor, r.meets_floor) for r in rep_rows]
+    rows.append(("pixel", 0.90, pixel_recall >= 0.90))
     return spark.createDataFrame(
-        [(m, floors[m], recalls[m] >= floors[m]) for m in sorted(recalls)],
+        sorted(rows),
         "method string, recall_floor double, meets_floor boolean",
     )
 
@@ -4675,9 +4649,6 @@ def zorder_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp_root = tempfile.mkdtemp(prefix="zorder_report_")
     out = tmp_root + "/z"
-    write_zordered_parquet(
-        li, out, ["l_orderkey", "l_partkey"], bits=6, n_files=8
-    )
 
     def _avg_fraction(col: str) -> float:
         per, gmin, gmax = [], None, None
@@ -4701,13 +4672,17 @@ def zorder_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         return sum((b - a) / (gmax - gmin) for a, b in per) / len(per)
 
     try:
+        write_zordered_parquet(
+            li, out, ["l_orderkey", "l_partkey"], bits=6, n_files=8
+        )
         rows = [
             (f"range_fraction_{c}", 0.75, _avg_fraction(c) <= 0.75)
             for c in ("l_orderkey", "l_partkey")
         ]
     finally:
         # the measurement is complete once the fractions are read —
-        # repeated bench/driver runs must not accumulate rewrites
+        # repeated (or FAILED) bench/driver runs must not accumulate
+        # rewrites
         shutil.rmtree(tmp_root, ignore_errors=True)
     return spark.createDataFrame(
         rows, "metric string, max_bound double, meets_bound boolean"
@@ -4752,30 +4727,38 @@ def streaming_rollup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     land_root = tempfile.mkdtemp(prefix="stream_drain_")
     land = land_root + "/events"
-    ev.coalesce(4).write.mode("overwrite").parquet(land)
-    stream = read_event_stream(spark, land)
-    agg = (
-        stream.groupBy(
-            F.window("ts", "1 hour").alias("win"), "event_type"
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            X.dsum_round(F.col("value")).alias("total_value"),
-        )
-        .select(
-            F.col("win.start").alias("window_start"),
-            "event_type",
-            "n_events",
-            "total_value",
-        )
-    )
-    q = run_to_memory_sink(agg, "streaming_rollup_drain_sink")
     try:
-        q.awaitTermination(300)
+        ev.coalesce(4).write.mode("overwrite").parquet(land)
+        stream = read_event_stream(spark, land)
+        agg = (
+            stream.groupBy(
+                F.window("ts", "1 hour").alias("win"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                X.dsum_round(F.col("value")).alias("total_value"),
+            )
+            .select(
+                F.col("win.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+        )
+        q = run_to_memory_sink(agg, "streaming_rollup_drain_sink")
+        finished = q.awaitTermination(300)
+        if not finished:
+            # a timed-out drain must fail LOUDLY, not return a partial
+            # memory table that reads as a rollup-correctness bug
+            q.stop()
+            raise RuntimeError(
+                "streaming_rollup_drain: availableNow drain did not "
+                "finish within 300 s"
+            )
     finally:
         # the drained rows live in the memory sink, not the landing
-        # files — safe to reclaim immediately (and repeated runs must
-        # not accumulate landed copies of the corpus)
+        # files — safe to reclaim once the query has terminated (and
+        # repeated or failed runs must not accumulate landed copies)
         shutil.rmtree(land_root, ignore_errors=True)
     return spark.table("streaming_rollup_drain_sink")
 
@@ -4810,8 +4793,8 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp_root = tempfile.mkdtemp(prefix="orc_roundtrip_")
     out = tmp_root + "/supplier_orc"
-    write_orc(sup, out, partition_by=["s_nationkey"])
     try:
+        write_orc(sup, out, partition_by=["s_nationkey"])
         back = read_orc(spark, out).select(
             "s_suppkey", "s_name", "s_nationkey", "acctbal"
         ).localCheckpoint()  # materialize before the files are reclaimed

@@ -57,6 +57,14 @@ def compact_parquet(
     partition keys into ~``n_files`` tasks per directory so each
     partition directory compacts to approximately target-sized files
     instead of every task writing a sliver into every directory.
+
+    Partitioned sizing uses the GLOBAL average (total bytes / distinct
+    partition count), so heavily skewed directories land above/below
+    ``target_mb`` (a hot dir holding 90% of the bytes compacts into
+    ~n_files oversized files); the return value is the per-directory
+    TARGET count, and salt-hash collisions can write fewer. Per-dir
+    exact sizing needs per-dir byte stats — at that point run
+    ``compact_parquet`` per partition directory with its own budget.
     """
     total = _dir_bytes(spark, src)
     df = spark.read.parquet(src)
@@ -199,6 +207,9 @@ def table_manifest(spark: SparkSession, path: str) -> dict:
     A consumer re-computes the same dict to prove a copied/replicated
     dataset is intact; the row hash is one map-side pass (the sum
     aggregates partially per partition, no shuffle of data rows).
+    ``hash_algo`` names the combiner so a manifest persisted under an
+    older algorithm reads as "different algorithm", never as
+    corruption.
     """
     df = spark.read.parquet(path)
     row_hash = df.select(
@@ -222,6 +233,7 @@ def table_manifest(spark: SparkSession, path: str) -> dict:
     )
     return {
         "schema": df.schema.simpleString(),
+        "hash_algo": "xxhash64-sum-mod64-v2",
         "n_rows": agg["n"],
         "content_hash": int(agg["hsum"] or 0) % (1 << 64),
         "files": [{"name": n, "bytes": b} for n, b in files],
@@ -245,9 +257,10 @@ def escape_partition_value(value) -> str:
     """Python twin of Spark's ``ExternalCatalogUtils.escapePathName``:
     the escaping Spark applies to a partition VALUE when it becomes a
     directory name (``ts=2024-01-01 00:00:00`` on disk is
-    ``ts=2024-01-01 00%3A00%3A00``). ``None`` maps to the
-    ``__HIVE_DEFAULT_PARTITION__`` sentinel directory."""
-    if value is None:
+    ``ts=2024-01-01 00%3A00%3A00``). ``None`` AND the empty string map
+    to the ``__HIVE_DEFAULT_PARTITION__`` sentinel directory — Spark's
+    ``getPartitionPathString`` treats both as the default partition."""
+    if value is None or str(value) == "":
         return HIVE_DEFAULT_PARTITION
     return "".join(
         f"%{ord(c):02X}" if c in _PATH_ESCAPE_CHARS else c

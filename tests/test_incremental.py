@@ -303,3 +303,72 @@ def test_merge_into_partitioned_schema_evolution(spark, tmp_path):
     got = {(r.k, r.v, r.extra)
            for r in spark.read.parquet(target).collect()}
     assert got == {(1, "a2", 7), (2, "b", None)}
+
+
+def test_merge_into_partitioned_preserves_evolved_column_across_batches(
+    spark, tmp_path
+):
+    """Code-review r6: after one batch evolves a partition's schema, a
+    LATER batch carrying the old schema must not silently null the
+    evolved column out of the partitions it rewrites — strict mode
+    fails loudly, evolution mode preserves the evolved values on
+    untouched rows (mergeSchema read + drift check)."""
+    from pyspark.sql import Row
+
+    from etl_project_gcp_spark.plans.incremental import (
+        merge_into_partitioned,
+    )
+
+    target = str(tmp_path / "evolve2")
+    spark.createDataFrame(
+        [Row(k=1, v="a", day="d1"), Row(k=2, v="b", day="d1"),
+         Row(k=3, v="c", day="d2")]
+    ).write.partitionBy("day").parquet(target)
+
+    # batch 1 evolves d1 with a new column
+    b1 = spark.createDataFrame([Row(k=1, v="a1", extra=7, day="d1")])
+    merge_into_partitioned(
+        spark, target, b1, ["k"], ["day"], allow_schema_evolution=True
+    )
+
+    # batch 2: OLD schema, touches d1 — strict mode must refuse
+    b2 = spark.createDataFrame([Row(k=2, v="b2", day="d1")])
+    try:
+        merge_into_partitioned(spark, target, b2, ["k"], ["day"])
+    except ValueError as e:
+        assert "extra" in str(e)
+    else:
+        raise AssertionError("old-schema batch must fail strict merge")
+
+    # with the flag, k=1's evolved value survives d1's rewrite
+    merge_into_partitioned(
+        spark, target, b2, ["k"], ["day"], allow_schema_evolution=True
+    )
+    got = {(r.k, r.v, r.extra)
+           for r in spark.read.option("mergeSchema", "true")
+                         .parquet(target).collect()}
+    assert got == {(1, "a1", 7), (2, "b2", None), (3, "c", None)}
+
+
+def test_merge_into_partitioned_rebootstraps_over_marker_only_residue(
+    spark, tmp_path
+):
+    """Code-review r6: a crashed first write can leave _SUCCESS (or
+    _temporary) with no data; the next batch must re-run the bootstrap
+    create instead of wedging on UNABLE_TO_INFER_SCHEMA forever."""
+    import os
+
+    from pyspark.sql import Row
+
+    from etl_project_gcp_spark.plans.incremental import (
+        merge_into_partitioned,
+    )
+
+    target = str(tmp_path / "wedged")
+    os.makedirs(target)
+    open(f"{target}/_SUCCESS", "w").close()
+
+    batch = spark.createDataFrame([Row(k=1, v="a", day="d1")])
+    merge_into_partitioned(spark, target, batch, ["k"], ["day"])
+    got = {(r.k, r.v, r.day) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, "a", "d1")}

@@ -249,6 +249,7 @@ def test_escape_partition_value_matches_spark_on_disk_naming(
         "q?star*back\\slash",
         'dquote"dq',
         "tab\there",
+        "",  # empty string: Spark maps it to the default partition
     ]
     path = str(tmp_path / "t")
     spark.createDataFrame(
