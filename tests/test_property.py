@@ -269,3 +269,74 @@ def test_merge_upsert_matches_dict_semantics(spark, target, updates):
     want = dict(target)
     want.update(updates)
     assert got == set(want.items())
+
+
+# ---------------------------------------------------------------------------
+# Incremental MERGE / SCD2 semantics (plans/incremental.py) — random
+# (target, batch) pairs vs a plain-Python reference of the SQL MERGE
+# contract. Hazards aimed at: keys present in both/either side only,
+# NULL attribute values, batches that change nothing.
+# ---------------------------------------------------------------------------
+
+kv_table = st.dictionaries(
+    st.integers(min_value=0, max_value=30),
+    st.one_of(st.none(), st.text(alphabet="abc", max_size=2)),
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(target=kv_table, batch=kv_table)
+def test_merge_upsert_matches_dict_semantics(spark, target, batch):
+    """merge_upsert == {**target, **batch}: updates win on collision,
+    new keys insert, untouched rows pass through — for ANY pair of
+    key→value maps including NULL values and empty sides."""
+    from etl_project_gcp_spark.plans.incremental import merge_upsert
+
+    schema = "k int, v string"
+    t = spark.createDataFrame(list(target.items()) or [], schema)
+    b = spark.createDataFrame(list(batch.items()) or [], schema)
+    got = {r.k: r.v for r in merge_upsert(t, b, ["k"]).collect()}
+    assert got == {**target, **batch}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(initial=kv_table, batch=kv_table)
+def test_scd2_apply_matches_reference_history(spark, initial, batch):
+    """scd2_apply vs a plain-Python SCD2: after one batch over a
+    version-1 history, every key's version chain, is_current flag, and
+    value must match the reference (NULL-safe change comparison)."""
+    from etl_project_gcp_spark.plans.incremental import (
+        scd2_apply,
+        scd2_init,
+    )
+
+    schema = "k int, v string"
+    hist = scd2_init(
+        spark.createDataFrame(list(initial.items()) or [], schema), "k"
+    )
+    b = spark.createDataFrame(list(batch.items()) or [], schema)
+    got = {
+        (r.k, r.version): (r.v, r.is_current)
+        for r in scd2_apply(hist, b, "k", ["v"]).collect()
+    }
+
+    want = {}
+    for k, v in initial.items():
+        if k in batch and batch[k] != v:      # changed: close + append
+            want[(k, 1)] = (v, False)
+            want[(k, 2)] = (batch[k], True)
+        else:                                 # untouched or no-op update
+            want[(k, 1)] = (v, True)
+    for k, v in batch.items():
+        if k not in initial:                  # brand-new key
+            want[(k, 1)] = (v, True)
+    assert got == want
