@@ -84,6 +84,13 @@ def asof_join(
     equal ts resolve right-before-left, giving the inclusive (>=)
     semantics of DuckDB/kdb ASOF.
 
+    Determinism: duplicate right rows at the same (key, ts) are broken
+    by the right-value struct itself (max payload wins — the window
+    orders by it, so the carried row never depends on partition or
+    input order; every sibling operator carries an explicit tiebreak
+    and this one is no exception). Requires orderable value columns —
+    true of every call site; wrap unorderable payloads before joining.
+
     ``right_value_cols`` must not collide with left column names.
     """
     rv = F.struct(*[F.col(c) for c in right_value_cols]).alias("_rv")
@@ -94,7 +101,11 @@ def asof_join(
     unioned = l.unionByName(r, allowMissingColumns=True)
     w = (
         W.partitionBy(*key_cols)
-        .orderBy(ts_col, "_side")
+        # "_rv" last: among duplicate right (key, ts) rows the MAX value
+        # struct sorts last and last() carries it — deterministic under
+        # any partitioning (left rows order with NULL _rv, which cannot
+        # affect the ignorenulls fill)
+        .orderBy(ts_col, "_side", "_rv")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     filled = unioned.withColumn("_rv", F.last("_rv", ignorenulls=True).over(w))
@@ -333,6 +344,9 @@ def forward_fill(
 
 __all__ = [
     "tumbling_window_agg",
+    "sliding_window_agg",
+    "asof_join",
+    "range_join",
     "sessionize",
     "session_summary",
     "extract_json_prop",

@@ -160,8 +160,19 @@ def stateful_sessionize(
                 closed.append((s, last, n, total))
                 s = last = t
                 n, total = 1, float(val)
+            elif t < s - gap_us:
+                # admitted late event older than the open session by
+                # more than the gap: it can never merge with the open
+                # session (and any session it truly belonged to is
+                # already emitted — unrecoverable under append mode),
+                # so emit it as its own closed singleton
+                closed.append((t, t, 1, float(val)))
             else:
-                last = t
+                # joins the open session — possibly extending it
+                # BACKWARD (a late cross-batch event must not rewind
+                # session_end/timeout: take max, not assignment)
+                s = min(s, t)
+                last = max(last, t)
                 n += 1
                 total += float(val)
 
@@ -300,10 +311,14 @@ def streaming_forward_fill(
     event-time micros) — bounded by live-user cardinality, independent
     of stream length. Within a micro-batch rows are ordered by
     (event-time, event_id) before the fold, so intra-batch order is
-    exact; an observation arriving LATER than the watermark delay after
-    newer events have already been emitted cannot retroactively rewrite
-    them — the same no-retraction contract every append-mode streaming
-    operator carries (the batch formulation is the replayable truth).
+    exact. Late-data contract (one-tuple state cannot replay history):
+    a late EVENT older than the carried observation emits NULL — never
+    a value from its future (the stored observation time gates every
+    fill); a late OBSERVATION older than the carried one never
+    regresses the state (newer-or-equal event time wins), though rows
+    already emitted are not retracted — the same no-retraction contract
+    every append-mode streaming operator carries (the batch formulation
+    is the replayable truth).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -326,9 +341,15 @@ def streaming_forward_fill(
         for ts, et, val in zip(
             rows[ts_col], rows["event_type"], rows["value"]
         ):
-            if et == observe_type:
-                v, t = float(val), ts.value // 1000
-            filled.append(v)
+            rt = ts.value // 1000
+            if et == observe_type and (t is None or rt >= t):
+                # newer-or-equal observation advances the carry; a LATE
+                # observation must not regress it for subsequent rows
+                v, t = float(val), rt
+            # fill only from an observation AT OR BEFORE this row — a
+            # late row older than the carry gets NULL, never a value
+            # from its future
+            filled.append(v if (t is not None and t <= rt) else None)
         if v is not None:
             state.update((v, t))
         out = pd.DataFrame(

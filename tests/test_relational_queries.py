@@ -496,3 +496,29 @@ def test_cohort_retention_month_and_day_granularity(spark):
         assert "granularity" in str(e)
     else:
         raise AssertionError("unsupported granularity must raise")
+
+
+def test_asof_join_is_deterministic_on_duplicate_right_timestamps(spark):
+    """Code-review r6: duplicate right rows at the same (key, ts) must
+    resolve to ONE deterministic payload (max value struct) under any
+    partitioning, not whichever row the shuffle happened to order last."""
+    import datetime as dt
+
+    from etl_project_gcp_spark.operators import events as EV
+
+    t = dt.datetime(2024, 1, 1, 10, 0)
+    right_rows = [(1, t, 100), (1, t, 7)]  # same user, same ts
+    left = spark.createDataFrame(
+        [(1, t + dt.timedelta(minutes=1))], "user_id bigint, ts timestamp"
+    )
+    outs = set()
+    for order in (right_rows, right_rows[::-1]):
+        for parts in (1, 7):
+            right = spark.createDataFrame(
+                order, "user_id bigint, ts timestamp, click_id bigint"
+            ).repartition(parts)
+            out = EV.asof_join(
+                left, right, ("user_id",), "ts", ("click_id",)
+            )
+            outs.add(out.collect()[0].click_id)
+    assert outs == {100}, outs  # max payload wins, always

@@ -449,3 +449,132 @@ def test_streaming_merge_upsert_bootstraps_missing_target(
     q2.awaitTermination(120)
     got = {(r.id, r.year, r.val) for r in spark.read.parquet(target).collect()}
     assert got == {(1, 2023, "a"), (2, 2024, "B2")}
+
+
+def _drain_to_parquet(plan, out, ckpt):
+    q = (
+        plan.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_stateful_sessionize_late_event_does_not_rewind_session(
+    spark, tmp_path_factory
+):
+    """Code-review r6: a late-but-admitted cross-batch event must join
+    the open session by extending it BACKWARD (min start, max end) —
+    the old unconditional `last = t` rewound session_end and split the
+    session spuriously."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from etl_project_gcp_spark.streaming import (
+        read_event_stream,
+        stateful_sessionize,
+    )
+
+    root = tmp_path_factory.mktemp("late_sess")
+    source, out, ckpt = (str(root / d) for d in ("src", "out", "ckpt"))
+
+    def land(*rows):
+        spark.createDataFrame(
+            [Row(event_id=i, ts=t, user_id=1, event_type="click",
+                 value=1.0, props="{}")
+             for i, t in enumerate(rows)],
+        ).write.mode("append").parquet(source)
+
+    def drain():
+        _drain_to_parquet(
+            stateful_sessionize(
+                read_event_stream(spark, source), gap_seconds=1800
+            ),
+            out, ckpt,
+        )
+
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    land(base)                                     # 10:00
+    drain()
+    # late 09:56 (admitted: watermark 09:50) + 10:27 (27 min after the
+    # TRUE last event 10:00 — must stay in the same session)
+    land(base - dt.timedelta(minutes=4), base + dt.timedelta(minutes=27))
+    drain()
+    # 11:30: 63 min after 10:27 — closes the session
+    land(base + dt.timedelta(minutes=90))
+    drain()
+
+    closed = [
+        (r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    ]
+    assert (
+        base - dt.timedelta(minutes=4),  # extended backward to 09:56
+        base + dt.timedelta(minutes=27),  # never rewound below 10:27
+        3,
+    ) in closed, closed
+    # and no spurious split ending at the late event's time
+    assert not any(end == base - dt.timedelta(minutes=4)
+                   for _, end, _ in closed), closed
+
+
+def test_streaming_forward_fill_late_rows_never_see_the_future(
+    spark, tmp_path_factory
+):
+    """Code-review r6: a late event older than the carried observation
+    must emit NULL (not a value observed AFTER it), and a late
+    observation must not regress the carry for subsequent rows."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from etl_project_gcp_spark.streaming import (
+        read_event_stream,
+        streaming_forward_fill,
+    )
+
+    root = tmp_path_factory.mktemp("late_ff")
+    source, out, ckpt = (str(root / d) for d in ("src", "out", "ckpt"))
+
+    def land(*rows):
+        spark.createDataFrame(
+            [Row(event_id=i, ts=t, user_id=1, event_type=et, value=v,
+                 props="{}")
+             for i, (t, et, v) in enumerate(rows)],
+        ).write.mode("append").parquet(source)
+
+    def drain():
+        _drain_to_parquet(
+            streaming_forward_fill(
+                read_event_stream(spark, source), observe_type="purchase"
+            ),
+            out, ckpt,
+        )
+
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    land((base, "purchase", 50.0))                                # 10:00
+    drain()
+    land(
+        (base + dt.timedelta(minutes=5), "click", 0.0),           # 10:05
+        (base - dt.timedelta(minutes=4), "click", 0.0),           # 09:56 late
+    )
+    drain()
+    land(
+        (base - dt.timedelta(minutes=3), "purchase", 10.0),       # late obs
+        (base + dt.timedelta(minutes=6), "click", 0.0),           # 10:06
+    )
+    drain()
+
+    got = {
+        (r.ts, r.event_type): r.last_obs_value
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[(base + dt.timedelta(minutes=5), "click")] == 50.0
+    # late row older than the carry: NULL, never the 10:00 value
+    assert got[(base - dt.timedelta(minutes=4), "click")] is None
+    # late observation must not regress the carry for the 10:06 row
+    assert got[(base + dt.timedelta(minutes=6), "click")] == 50.0
