@@ -354,10 +354,16 @@ def mixture_weighted_sample(
 def stable_bucket(col: Column | str, modulus: int = 100) -> Column:
     """Deterministic engine/partitioning-independent hash bucket from
     the md5 prefix of the stringified key (same recipe as
-    doc_stable_sample — reproducible in any SQL engine)."""
+    doc_stable_sample — reproducible in any SQL engine).
+
+    Eight hex chars (32 bits): a 16-bit prefix made buckets non-uniform
+    whenever the modulus didn't divide 65536 (at modulus 10000, buckets
+    0-5535 drew 7/65536 vs 6/65536 — a ~6.8% relative oversampling of
+    exactly the low buckets acceptance tests keep; code-review r6). At
+    32 bits the residual bias is ≤ 1/429496 per bucket."""
     c = F.col(col) if isinstance(col, str) else col
     return (
-        F.conv(F.substring(F.md5(c.cast("string")), 1, 4), 16, 10)
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
         .cast("long")
         % modulus
     )
@@ -421,14 +427,26 @@ def chunk_documents(
     chunk text and its token count.
 
     All expression-level (split → sequence over window starts → slice →
-    array_join): shuffle-free, linear in total tokens. Short docs emit
-    exactly one chunk; the final window is allowed to be short rather
-    than dropped (training pipelines keep tails)."""
+    array_join): shuffle-free, linear in total tokens. Docs of ≤
+    ``chunk_tokens`` tokens emit exactly one chunk; the final window is
+    allowed to be short rather than dropped (training pipelines keep
+    tails), but a window whose coverage is fully CONTAINED in the
+    previous chunk is never emitted (code-review r6: starts used to run
+    to the last stride multiple below n, so any doc with
+    n mod stride < chunk − stride got a pure-duplicate suffix chunk —
+    duplicated training text and a contradicted one-chunk contract)."""
     toks = F.split(F.col(text_col), r"\s+")
     n = F.size(toks)  # split never yields an empty array → n ≥ 1
-    # window starts: 0, stride, …, stride·floor((n-1)/stride) — the last
-    # multiple of stride strictly below n, so every chunk is non-empty
-    last_start = (F.floor((n - 1) / stride) * stride).cast("long")
+    # window starts: 0, stride, …, stride·ceil((n − chunk)/stride) — the
+    # first start whose PREDECESSOR already reaches the end is excluded,
+    # so every chunk contributes ≥1 new token and none is a contained
+    # duplicate of its predecessor
+    last_start = (
+        F.greatest(
+            F.lit(0).cast("long"),
+            (F.ceil((n - F.lit(chunk_tokens)) / stride) * stride).cast("long"),
+        )
+    )
     starts = F.sequence(F.lit(0).cast("long"), last_start, F.lit(stride).cast("long"))
     t = docs.select(F.col(id_col), toks.alias("_toks"), starts.alias("_starts"))
     ch = t.select(

@@ -1670,7 +1670,7 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id, lang
     FROM documents
-    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
           % 100 < 10
     """,
 )
@@ -1681,12 +1681,9 @@ def doc_stable_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     none of those). At 100 TB this is also join-stable: sampling both
     sides of a key by hash(key) keeps referential integrity."""
     docs = _t(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("long")
-        % 100
+    return docs.filter(TX.stable_bucket("doc_id", 100) < 10).select(
+        "doc_id", "lang"
     )
-    return docs.filter(bucket < 10).select("doc_id", "lang")
 
 
 @register(
@@ -3832,7 +3829,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id, lang
     FROM documents
-    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
           % 100 < CASE lang WHEN 'en' THEN 10 ELSE 40 END
     """,
 )
@@ -4124,8 +4121,8 @@ def source_mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM a, m)
     SELECT d.doc_id, d.source, d.lang
     FROM documents d JOIN w USING (source)
-    WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
-               AS INTEGER) % 10000
+    WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 10000
           < rel_weight * 10000
     """,
 )
@@ -4148,7 +4145,9 @@ def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents),
     s AS (
         SELECT doc_id, toks, n,
-               unnest(range(0, ((n - 1) // 48) * 48 + 1, 48)) AS start
+               unnest(range(0, greatest(0,
+                   CAST(ceil((n - 64) / 48.0) AS BIGINT)) * 48 + 1, 48))
+                   AS start
         FROM t)
     SELECT doc_id,
            CAST(start // 48 AS INTEGER)                    AS chunk_index,

@@ -224,9 +224,10 @@ def test_shingle_docs_plan_has_no_window_exchange(spark, sf01_dir):
 
 
 def test_chunk_documents_boundaries_and_overlap(spark):
-    """Chunk math: 10 tokens at chunk=4/stride=3 -> starts 0,3,6,9;
-    final chunk short but kept; overlap = chunk - stride; short and
-    single-token docs emit exactly one chunk."""
+    """Chunk math: 10 tokens at chunk=4/stride=3 -> starts 0,3,6 (a
+    start at 9 would cover only t9, fully contained in chunk 2 — never
+    emitted); overlap = chunk - stride; short and single-token docs
+    emit exactly one chunk."""
     docs = _docs(
         spark,
         [
@@ -242,10 +243,20 @@ def test_chunk_documents_boundaries_and_overlap(spark):
     assert out[(1, 0)] == ("t0 t1 t2 t3", 4)
     assert out[(1, 1)] == ("t3 t4 t5 t6", 4)
     assert out[(1, 2)] == ("t6 t7 t8 t9", 4)
-    assert out[(1, 3)] == ("t9", 1)
+    assert (1, 3) not in out  # contained-duplicate tail never emitted
     assert out[(2, 0)] == ("single", 1)
     assert out[(3, 0)] == ("a b c", 3)
-    assert len([k for k in out if k[0] == 1]) == 4
+    assert len([k for k in out if k[0] == 1]) == 3
+    # a doc needing a genuinely short tail still keeps it: 11 tokens ->
+    # starts 0,3,6,9; chunk 3 carries the NEW token t10
+    out11 = {
+        (r.doc_id, r.chunk_index): (r.chunk_text, r.n_chunk_tokens)
+        for r in TX.chunk_documents(
+            _docs(spark, [(9, " ".join(f"t{i}" for i in range(11)))]),
+            chunk_tokens=4, stride=3,
+        ).collect()
+    }
+    assert out11[(9, 3)] == ("t9 t10", 2)
 
 
 def test_word_ngrams_short_docs_yield_empty_not_crash(spark):
