@@ -72,7 +72,9 @@ def quality_features(
     n_distinct = F.size(F.array_distinct(toks))
     n_alpha = F.length(F.regexp_replace(text, r"\s", ""))
     stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
-    n_stop = F.size(F.array_intersect(toks, stop))
+    # occurrence density, not distinct-marker hits (see
+    # text.quality_score — the distinct form is length-confounded)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
     stop_ratio = X.ddiv_round(n_stop, n_tokens, 4)
     frac_distinct = X.ddiv_round(n_distinct, n_tokens, 4)
     mean_len = X.ddiv_round(n_alpha, n_tokens, 2)

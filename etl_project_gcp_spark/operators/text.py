@@ -27,9 +27,16 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def tokens(col: Column | str, pattern: str = r"\s+") -> Column:
-    """Whitespace tokenization (lowercased)."""
+    """Whitespace tokenization (lowercased). Empty tokens are dropped:
+    ``split`` emits ``''`` for empty text and for leading/trailing
+    whitespace, which silently inflated ``n_tokens`` and every derived
+    ratio on padded docs (code-review r6 — a 9-real-token doc with
+    leading whitespace passed ``n_tokens >= 10``). Every DuckDB oracle
+    mirrors the drop with ``list_filter(..., t -> t <> '')``."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.lower(c), pattern)
+    return F.filter(
+        F.split(F.lower(c), pattern), lambda t: t != F.lit("")
+    )
 
 
 def token_count(col: Column | str) -> Column:
@@ -73,14 +80,21 @@ def quality_score(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Heuristic quality signals: length, punctuation ratio, stopword
-    ratio, all-caps ratio — the standard pre-training filters."""
+    DENSITY, all-caps ratio — the standard pre-training filters.
+
+    ``stopword_hit_ratio`` counts stopword OCCURRENCES over tokens
+    (the C4/Gopher-style fraction-of-tokens statistic). The previous
+    ``array_intersect`` formulation counted DISTINCT markers hit —
+    capped at the 10-word marker list, so the "ratio" decayed toward 0
+    with document length and any threshold on it length-confounded the
+    filter (code-review r6)."""
     text = F.col(text_col)
     toks = tokens(text_col)
     n_tokens = F.size(toks)
     n_chars = F.length(text)
     n_punct = F.length(F.regexp_replace(text, r"[\w\s]", ""))
     stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
-    n_stop = F.size(F.array_intersect(toks, stop))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
     return docs.select(
         id_col,
         n_chars.alias("n_chars"),
@@ -250,11 +264,9 @@ def unigram_lm_scores(
     tok = docs.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("word")
     ).filter(F.col("word") != "")
-    vocab = (
-        tok.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.desc("c"), F.asc("word"))
-        .limit(vocab_limit)
+    # same single vocabulary pipeline as bpe_learn_merges (see there)
+    vocab = word_frequencies(docs, text_col, top=vocab_limit).select(
+        "word", F.col("n").alias("c")
     )
     # Window over the LIMITED frame only: input is ≤ vocab_limit rows by
     # construction, so the single-partition window is bounded, not a
@@ -866,13 +878,12 @@ def bpe_learn_merges(
     application order, as a DataFrame of the caller's session.
     """
     spark = docs.sparkSession
+    # ONE vocabulary pipeline for the whole module (word_frequencies)
+    # so tokenization + tie order can never silently diverge between
+    # the BPE fit, the LM, and the frequency query (code-review r6)
     words = (
-        docs.select(F.explode(tokens(text_col)).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("w"))
-        .limit(vocab_limit)
+        word_frequencies(docs, text_col, top=vocab_limit)
+        .select(F.col("word").alias("w"), F.col("n").alias("cnt"))
     )
     if fit not in ("auto", "driver", "distributed"):
         raise ValueError(f"fit must be auto|driver|distributed, got {fit!r}")

@@ -1629,7 +1629,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH t AS (
         SELECT doc_id,
-               CAST(len(string_split_regex(lower(text), '\\s+')) AS INTEGER) AS n_tokens,
+               CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS INTEGER) AS n_tokens,
                CAST(length(text) AS INTEGER)                                 AS n_chars,
                length(regexp_replace(text, '\\s', '', 'g'))                  AS n_alpha
         FROM documents
@@ -1691,8 +1691,8 @@ def doc_stable_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH t AS (
         SELECT doc_id,
-               CAST(len(string_split_regex(lower(text), '\\s+')) AS INTEGER)  AS n_tokens,
-               CAST(len(list_distinct(string_split_regex(lower(text), '\\s+')))
+               CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS INTEGER)  AS n_tokens,
+               CAST(len(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')))
                     AS INTEGER)                                               AS n_distinct,
                length(regexp_replace(text, '\\s', '', 'g'))                   AS n_alpha
         FROM documents
@@ -1722,11 +1722,12 @@ def doc_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
         SELECT doc_id,
                CAST(length(text) AS INTEGER)                                 AS n_chars,
-               CAST(len(string_split_regex(lower(text), '\\s+')) AS INTEGER) AS n_tokens,
+               CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS INTEGER) AS n_tokens,
                length(regexp_replace(text, '[\\w\\s]', '', 'g'))             AS n_punct,
-               len(list_intersect(
-                   string_split_regex(lower(text), '\\s+'),
-                   ['the','a','of','and','to','in','is','that','it','for']
+               len(list_filter(
+                   list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''),
+                   t -> list_contains(
+                       ['the','a','of','and','to','in','is','that','it','for'], t)
                ))                                                            AS n_stop
         FROM documents
     )
@@ -1747,7 +1748,7 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "word_counts_top20",
     """
     SELECT word, count(*) AS n FROM (
-        SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS word
         FROM documents
     ) WHERE word <> ''
     GROUP BY word
@@ -1810,7 +1811,7 @@ def _lang_id_oracle() -> str:
     return rf"""
     WITH t AS (
       SELECT doc_id,
-             list_distinct(string_split_regex(lower(text), '\s+')) AS toks
+             list_distinct(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS toks
       FROM documents),
     s AS (
       SELECT doc_id,
@@ -1858,7 +1859,7 @@ def _jaccard_pairs_oracle(k: int, thr: float, canonical_first: bool) -> str:
     )
     return rf"""
     WITH {src}
-    tok AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM src),
+    tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts FROM src),
     sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+{k - 1}], ' ') AS sh
            FROM tok, unnest(range(1, greatest(len(ts)-{k - 1}, 1)+1)) AS u(i)),
     sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
@@ -3737,7 +3738,7 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon AS (
       SELECT d.doc_id, d.text FROM documents d JOIN canon_ids USING (doc_id)),
     tok AS (
-      SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM canon),
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts FROM canon),
     sh AS (
       SELECT DISTINCT doc_id, array_to_string(ts[i:i+4], ' ') AS sh
       FROM tok, unnest(range(1, greatest(len(ts)-4, 1)+1)) AS u(i)),
@@ -3800,7 +3801,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH tok AS (
       SELECT doc_id,
-             unnest(string_split_regex(lower(text), '\\s+')) AS term
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS term
       FROM documents),
     tf AS (
       SELECT doc_id, term, count(*) AS tf
@@ -3960,7 +3961,7 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH t AS (
       SELECT doc_id, lang,
-             CAST(len(string_split_regex(lower(text), '\s+')) AS INTEGER) AS n_tok
+             CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS INTEGER) AS n_tok
       FROM documents),
     q AS (SELECT lang, quantile_cont(n_tok, 0.25) AS p25 FROM t GROUP BY lang)
     SELECT doc_id, t.lang, n_tok,
@@ -3994,7 +3995,7 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_common_token_ratio",
     f"""
     WITH tok AS (
-        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok
         FROM documents),
     v AS (
         SELECT tok FROM (
@@ -4050,7 +4051,7 @@ def doc_common_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tok AS (
         SELECT doc_id, tok
         FROM (SELECT doc_id,
-                     unnest(string_split_regex(lower(text), '\s+')) AS tok
+                     unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS tok
               FROM documents)
         WHERE tok <> ''),
     v AS (
@@ -4087,7 +4088,7 @@ def doc_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH a AS (
         SELECT source, count(*) AS n_docs,
-               CAST(sum(len(string_split_regex(lower(text), '\s+'))) AS BIGINT)
+               CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''))) AS BIGINT)
                    AS n_tokens
         FROM documents GROUP BY source),
     m AS (SELECT max(n_tokens) AS mx FROM a)
@@ -4111,7 +4112,7 @@ def source_mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH a AS (
         SELECT source,
-               CAST(sum(len(string_split_regex(lower(text), '\s+'))) AS BIGINT)
+               CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''))) AS BIGINT)
                    AS n_tokens
         FROM documents GROUP BY source),
     m AS (SELECT max(n_tokens) AS mx FROM a),
@@ -4171,7 +4172,7 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
       SELECT doc_id,
-             CAST(len(string_split_regex(lower(text), '\\s+')) AS INTEGER) AS n_tok
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS INTEGER) AS n_tok
       FROM documents),
     c AS (
       SELECT doc_id, n_tok,
@@ -4269,7 +4270,7 @@ def catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_decontaminate",
     r"""
-    WITH tok AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+    WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
                  FROM documents),
     g AS (
       SELECT doc_id, array_to_string(toks[i : i + 2], ' ') AS gram
@@ -4305,7 +4306,7 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_repetition",
     r"""
-    WITH tok AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+    WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
                  FROM documents),
     g AS (
       SELECT doc_id, array_to_string(toks[i : i + 2], ' ') AS gram
@@ -4332,7 +4333,7 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_duplicate_spans",
     r"""
-    WITH tok AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+    WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
                  FROM documents),
     spans AS (
       SELECT doc_id,
@@ -4366,7 +4367,7 @@ def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bigram_collocations",
     r"""
-    WITH tok AS (SELECT string_split_regex(lower(text), '\s+') AS t
+    WITH tok AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
                  FROM documents),
     bi AS (
       SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS n_pair

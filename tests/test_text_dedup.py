@@ -668,3 +668,56 @@ def test_mixture_weighted_sample_rates_and_determinism(spark):
     # identical selection regardless of partitioning
     out2 = TX.mixture_weighted_sample(docs.repartition(7)).collect()
     assert {r.doc_id for r in out2} == {r.doc_id for r in out}
+
+
+def test_padded_docs_cross_engine_token_stats(spark, tmp_path):
+    """Code-review r6: '' tokens from padded/empty text must not count.
+    Build a dirty corpus (leading/trailing/double whitespace, empty and
+    all-whitespace docs) and hash-compare doc_token_stats and
+    doc_gopher_flags against their DuckDB oracles on it — the exact
+    cross-engine contract the driver enforces, on data the driver
+    corpus never exercises."""
+    import os
+    import shutil
+
+    from etl_project_gcp_spark import queries as Q
+    from tests.oracle import CORPUS, compare
+
+    sf_dir = str(tmp_path)
+    rows = [
+        (1, "  leading pad", "en", "webA"),
+        (2, "trailing pad   ", "en", "webA"),
+        (3, "  both  double  spaced  ", "de", "webB"),
+        (4, "", "en", "webB"),
+        (5, "   ", "fr", "webB"),
+        (6, "clean middle doc", "en", "webA"),
+    ]
+    import pandas as pd
+
+    # single FILE (not a Spark part-dir): the oracle helper reads
+    # {sf_dir}/{t}.parquet exactly like the driver does
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source"]
+    ).to_parquet(f"{sf_dir}/documents.parquet", index=False)
+    for t in CORPUS:  # oracle helper binds every table's view eagerly
+        if t == "documents":
+            continue
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        dst = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy(src, dst)
+
+    reg = Q.queries()
+    osql = Q.oracle_sql()
+    for name in ("doc_token_stats", "doc_gopher_flags"):
+        compare(reg[name](spark, sf_dir), osql[name], sf_dir)
+
+    # and the semantic claim itself: padded text counts REAL tokens
+    got = {
+        r.doc_id: r.n_tokens
+        for r in reg["doc_token_stats"](spark, sf_dir).collect()
+    }
+    assert got[1] == 2 and got[2] == 2 and got[3] == 3
+    assert got[4] == 0 and got[5] == 0 and got[6] == 3
