@@ -32,11 +32,14 @@ def tokens(col: Column | str, pattern: str = r"\s+") -> Column:
     whitespace, which silently inflated ``n_tokens`` and every derived
     ratio on padded docs (code-review r6 — a 9-real-token doc with
     leading whitespace passed ``n_tokens >= 10``). Every DuckDB oracle
-    mirrors the drop with ``list_filter(..., t -> t <> '')``."""
+    mirrors the drop with ``list_filter(..., t -> t <> '')``.
+
+    Implementation is ``array_remove`` (a codegen collection
+    expression) — an ``F.filter`` HOF here measured 1.3-2.2x slower on
+    every token-heavy entry (interpreted per row, and tokenization is
+    the hot path of the whole text family)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(
-        F.split(F.lower(c), pattern), lambda t: t != F.lit("")
-    )
+    return F.array_remove(F.split(F.lower(c), pattern), "")
 
 
 def token_count(col: Column | str) -> Column:
