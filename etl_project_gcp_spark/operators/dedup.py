@@ -32,12 +32,22 @@ from pyspark.sql import functions as F
 def exact_dedup(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """X1: one canonical row per distinct content; count of copies."""
-    return docs.groupBy(text_col).agg(
-        F.min(id_col).alias(id_col),
-        F.count(F.lit(1)).alias("n_copies"),
-        F.sha2(F.col(text_col), 256).alias("content_sha256"),
-    ).drop(text_col)
+    """X1: one canonical row per distinct content; count of copies.
+
+    Groups by sha256(content), NOT the raw text: the groupBy shuffle
+    then carries (64-char hash, id) rows instead of every document
+    body — at 100 TB the text-keyed shuffle IS the operator's cost.
+    Collision risk is the standard 2^-128 content-address assumption
+    (the same one the output column advertises); the oracle groups by
+    text itself, so a collision would surface as a hash mismatch."""
+    return (
+        docs.select(
+            F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_sha256")
+        )
+        .groupBy("content_sha256")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .select(id_col, "n_copies", "content_sha256")
+    )
 
 
 def _rot(h: F.Column, bits: int) -> F.Column:
@@ -73,8 +83,14 @@ def shingle_arrays(
     """
     tok = docs.select(
         F.col(id_col),
+        # trim first: leading/trailing whitespace would otherwise emit
+        # empty-string tokens that shift every shingle (the oracles
+        # list_filter them out; \s+ already collapses interior runs).
+        # A fully-empty/whitespace-only doc keeps its single ""-token →
+        # one padded shingle, matching the oracle's one ''-shingle.
         F.transform(
-            F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t)
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            lambda t: F.xxhash64(t),
         ).alias("th"),
     )
     n = F.size(F.col("th"))
@@ -119,7 +135,9 @@ def _shingle_docs_window(
     the shuffle-free array formulation."""
     tok = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "tok"),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("pos", "tok"),
     ).select(id_col, "pos", F.xxhash64("tok").alias("h"))
     w = W.partitionBy(id_col).orderBy("pos")
     acc = F.col("h")

@@ -159,26 +159,39 @@ def sort_by(df: DataFrame, *order: Column) -> DataFrame:
 def summary_stats(df: DataFrame, cols: Sequence[str], scale: int = 2) -> DataFrame:
     """describe()-equivalent (A8) as an explicit typed aggregation:
     one row per column with count/mean/stddev/min/max, numerics rounded
-    for cross-engine comparability."""
-    pieces = []
+    for cross-engine comparability.
+
+    ONE scan for all columns: every per-column aggregate lands in a
+    single ``agg`` row which then unpivots via an array-of-structs
+    explode. The previous union-of-per-column-aggs formulation scanned
+    the table once PER COLUMN — at 100 TB a 5-column describe was 5
+    full scans for one pass of arithmetic."""
+    aggs: list[Column] = []
     for c in cols:
         # mean via exact decimal sum / count: partition-order-independent,
         # so it matches a single-threaded oracle engine bit-for-bit.
         exact_sum = F.sum(F.col(c).cast("decimal(18,4)")).cast("double")
-        pieces.append(
-            df.agg(
+        aggs += [
+            F.count(c).alias(f"__n_{c}"),
+            F.round(exact_sum / F.count(c), scale).alias(f"__mean_{c}"),
+            F.round(F.stddev_samp(c), scale).alias(f"__sd_{c}"),
+            F.round(F.min(c), scale).cast("double").alias(f"__min_{c}"),
+            F.round(F.max(c), scale).cast("double").alias(f"__max_{c}"),
+        ]
+    rows = F.array(
+        *[
+            F.struct(
                 F.lit(c).alias("column"),
-                F.count(c).alias("n"),
-                F.round(exact_sum / F.count(c), scale).alias("mean"),
-                F.round(F.stddev_samp(c), scale).alias("stddev"),
-                F.round(F.min(c), scale).alias("min"),
-                F.round(F.max(c), scale).alias("max"),
+                F.col(f"__n_{c}").alias("n"),
+                F.col(f"__mean_{c}").alias("mean"),
+                F.col(f"__sd_{c}").alias("stddev"),
+                F.col(f"__min_{c}").alias("min"),
+                F.col(f"__max_{c}").alias("max"),
             )
-        )
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
-    return out
+            for c in cols
+        ]
+    )
+    return df.agg(*aggs).select(F.explode(rows).alias("r")).select("r.*")
 
 
 def salted_skew_join(

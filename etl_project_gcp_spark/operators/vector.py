@@ -668,8 +668,13 @@ def cosine_pairs_blocked(
         c.join(F.broadcast(bp), F.col("blk") == F.col("ba"))
         .select("ba", "bb", "vid", "v", F.lit(0).alias("side"))
         .unionByName(
-            c.join(F.broadcast(bp), F.col("blk") == F.col("bb"))
-            .select("ba", "bb", "vid", "v", F.lit(1).alias("side"))
+            # ba == bb excluded: the diagonal task self-joins its side-0
+            # rows, so mirroring them as side-1 would only double-ship
+            # every row through the shuffle for rows block_pairs ignores.
+            c.join(
+                F.broadcast(bp),
+                (F.col("blk") == F.col("bb")) & (F.col("ba") != F.col("bb")),
+            ).select("ba", "bb", "vid", "v", F.lit(1).alias("side"))
         )
     )
 
