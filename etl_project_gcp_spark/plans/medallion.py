@@ -181,7 +181,17 @@ class MedallionPipeline:
 
     def _gold_product_metrics(self) -> DataFrame:
         """Dim→fact rollup incl. zero-sale products (etl_medallion.py:
-        182-195): COUNT=0 with NULL sums for unmatched — not coalesced."""
+        182-195): COUNT=0 with NULL sums for unmatched — not coalesced.
+
+        Deliberately the reference's literal join-then-group shape, NOT
+        relational.dim_fact_rollup: this pipeline is the parity surface,
+        and its SUM(total_amount) is a plain double sum whose value
+        depends on accumulation order — regrouping the plan (tried)
+        shifts the last double bits away from the SQL twin's result.
+        The scale-correct aggregation-below-join version of this query,
+        with order-independent decimal-exact money sums, is the
+        registry's ``product_metrics`` (queries.py, dim_fact_rollup +
+        exact.dsum_round)."""
         p = self.table("silver", "products").alias("p")
         s = self.table("silver", "sales").alias("s")
         return (
