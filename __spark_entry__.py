@@ -27,19 +27,22 @@ from etl_project_gcp_spark import queries as Q  # noqa: E402
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # Registry entries the verify harness should reach first this round —
-# entries whose EXPECTED OUTPUT changed in round 5 (per-SF simhash
-# floors; the new 'pixel' row in the recall report) plus the paths
-# whose implementation changed (cached k-means centroids, split
-# approx-distinct aggregation, CC pair materialization). Priority only
-# breaks ties within a green-count tier, so never-checked entries still
-# come first.
+# entries whose EXPECTED OUTPUT changed in round 6 (32-bit stable_bucket
+# re-keyed every md5-bucket sample; chunking stopped emitting contained
+# tails; stopword ratio became a density) plus paths whose
+# implementation changed in round 6 (hash-keyed exact dedup, one-pass
+# summary stats, trimmed shingle tokenization, vocab-pipeline dedupe).
+# Priority only breaks ties within a green-count tier, so never-checked
+# entries still come first.
 _PRIORITY = [
-    "simhash_quality_report",
-    "ann_recall_report",
-    "ann_ivf_kmeans_topk",
-    "approx_distinct_customers",
-    "dedup_cluster_canonical",
-    "embedding_dedup_clusters",
+    "mixture_weighted_sample",
+    "doc_stable_sample",
+    "doc_chunks",
+    "doc_quality",
+    "dedup_exact",
+    "lineitem_stats",
+    "dedup_minhash",
+    "doc_unigram_lm_score",
     "bpe_merges",
 ]
 

@@ -56,6 +56,20 @@ def _rot(h: F.Column, bits: int) -> F.Column:
     return F.shiftleft(h, bits).bitwiseOR(F.shiftrightunsigned(h, 64 - bits))
 
 
+def _clean_tokens(text_col: str) -> F.Column:
+    """Whitespace tokens with empties removed — any leading/trailing
+    whitespace (of ANY kind; F.trim strips only 0x20 spaces) would
+    otherwise emit empty-string tokens that shift every shingle, where
+    the oracles list_filter them out. A doc that degenerates to ZERO
+    tokens (empty or all-whitespace) is re-padded to a single ""-token
+    so it still emits exactly one shingle — the oracle's one
+    ''-shingle — identically in both shingle formulations."""
+    toks = F.array_remove(
+        F.split(F.lower(F.col(text_col)), r"\s+"), ""
+    )
+    return F.when(F.size(toks) == 0, F.array(F.lit(""))).otherwise(toks)
+
+
 def shingle_arrays(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
 ) -> DataFrame:
@@ -83,15 +97,9 @@ def shingle_arrays(
     """
     tok = docs.select(
         F.col(id_col),
-        # trim first: leading/trailing whitespace would otherwise emit
-        # empty-string tokens that shift every shingle (the oracles
-        # list_filter them out; \s+ already collapses interior runs).
-        # A fully-empty/whitespace-only doc keeps its single ""-token →
-        # one padded shingle, matching the oracle's one ''-shingle.
-        F.transform(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
-            lambda t: F.xxhash64(t),
-        ).alias("th"),
+        F.transform(_clean_tokens(text_col), lambda t: F.xxhash64(t)).alias(
+            "th"
+        ),
     )
     n = F.size(F.col("th"))
     m = F.greatest(n - (k - 1), F.lit(1))
@@ -135,9 +143,7 @@ def _shingle_docs_window(
     the shuffle-free array formulation."""
     tok = docs.select(
         F.col(id_col),
-        F.posexplode(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-        ).alias("pos", "tok"),
+        F.posexplode(_clean_tokens(text_col)).alias("pos", "tok"),
     ).select(id_col, "pos", F.xxhash64("tok").alias("h"))
     w = W.partitionBy(id_col).orderBy("pos")
     acc = F.col("h")

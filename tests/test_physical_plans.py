@@ -339,3 +339,20 @@ def test_rolling_actives_explodes_after_dedup(spark, sf01_dir):
     aggs_below = [i for i, l in enumerate(lines) if "HashAggregate" in l and i > gen]
     assert aggs_below, "explode must consume an aggregated (deduped) input"
     assert "Expand" not in plan
+
+
+def test_exact_dedup_shuffles_content_hash_not_text(spark, sf01_dir):
+    """The dedup groupBy must key its exchange on the 64-char sha256,
+    never the raw document body — at 100 TB a text-keyed shuffle ships
+    the whole corpus through the wire as grouping keys."""
+    plan = _plan(spark, "dedup_exact", sf01_dir, mode="simple")
+    assert "hashpartitioning(content_sha256" in plan, plan
+    assert "hashpartitioning(text" not in plan
+
+
+def test_summary_stats_is_single_scan(spark, sf01_dir):
+    """All per-column describe aggregates must ride ONE scan of the
+    table (agg-then-unpivot); the union-of-single-column-aggs shape
+    scanned once per column."""
+    plan = _plan(spark, "lineitem_stats", sf01_dir, mode="simple")
+    assert plan.count("lineitem.parquet") == 1, plan

@@ -721,3 +721,36 @@ def test_padded_docs_cross_engine_token_stats(spark, tmp_path):
     }
     assert got[1] == 2 and got[2] == 2 and got[3] == 3
     assert got[4] == 0 and got[5] == 0 and got[6] == 3
+
+
+def test_shingles_ignore_leading_trailing_whitespace(spark):
+    """Whitespace padding and interior double-spacing must not shift
+    shingles: all four variants of the same text form one exact-clique
+    of jaccard-1.0 near-dup pairs (the oracle list_filters empty tokens
+    out, so the engine must tokenize to the same effect)."""
+    dirty = _docs(
+        spark,
+        [
+            (1, "  \t" + BASE),
+            (2, BASE + " \n "),
+            (3, BASE.replace(" ", "  ")),
+            (4, BASE),
+        ],
+    )
+    rows = {
+        (r.a, r.b): r.jaccard
+        for r in DD.minhash_near_duplicates(dirty).collect()
+    }
+    assert set(rows) == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    assert all(j == 1.0 for j in rows.values())
+
+
+def test_empty_and_whitespace_docs_shingle_identically(spark):
+    """Empty and whitespace-only docs collapse to ONE shared padded
+    shingle (the oracle's single ''-shingle): they pair with each other
+    and with nothing else."""
+    docs = _docs(spark, [(1, ""), (2, "   "), (3, "\n\t"), (4, BASE)])
+    sh = {(r.doc_id, r.sh) for r in DD.shingle_docs(docs).collect()}
+    empties = {s for d, s in sh if d in (1, 2, 3)}
+    assert len(empties) == 1, "all degenerate docs must share one shingle"
+    assert not (empties & {s for d, s in sh if d == 4})
