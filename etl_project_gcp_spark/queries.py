@@ -3116,10 +3116,18 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape (top supplier): suppliers whose quarterly revenue
-    equals the global max. The max is a window over the *aggregated*
-    frame (|suppliers| rows), not a second scan+agg of lineitem — the
-    empty-window single-partition exchange moves only the tiny rollup,
-    the same trick as davg_over (exact.py)."""
+    equals the global max.
+
+    The max is a partial-aggregable second aggregation of the
+    *aggregated* frame, broadcast back via a 1-row crossJoin — NOT an
+    empty-frame window: the per-supplier rollup GROWS with the corpus
+    (TPC-H suppliers scale with SF), and a global window would funnel
+    every rollup row through one task, where max() reduces each
+    partition to one candidate before any exchange. The rollup subtree
+    is shared between the two consumers through exchange reuse
+    (ReusedExchange in the executed plan — verified, so lineitem is
+    scanned once), and both sides read bit-identical decimal-exact
+    sums, making the equality filter safe."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
@@ -3134,9 +3142,9 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_revenue")
         )
     )
-    mx = F.max("total_revenue").over(W.partitionBy())
+    mx_row = rev.agg(F.max("total_revenue").alias("mx"))
     return (
-        rev.withColumn("mx", mx)
+        rev.crossJoin(F.broadcast(mx_row))
         .filter(F.col("total_revenue") == F.col("mx"))
         .drop("mx")
     )
