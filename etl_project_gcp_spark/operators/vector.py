@@ -49,8 +49,15 @@ def _norm(a: F.Column) -> F.Column:
 
 def cosine(a: F.Column, b: F.Column) -> F.Column:
     """Cosine similarity, computed in double with sequential
-    accumulation (matches DuckDB's list_cosine_similarity on DOUBLE[])."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    accumulation (matches DuckDB's list_cosine_similarity on DOUBLE[]).
+
+    NULL (not NaN) when either vector has zero norm: a raw 0/0 yields
+    NaN, and NaN sorts FIRST under Spark's descending order — a single
+    zero embedding (a failed encoder output, real at corpus scale)
+    would otherwise rank as every query's top neighbor. The scored
+    paths filter the NULLs, so zero-norm vectors are EXCLUDED from
+    results (and a zero-norm query returns no rows)."""
+    return _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
 
 
 def _as_double(col: str) -> F.Column:
@@ -90,7 +97,8 @@ def brute_force_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.filter(F.col("cosine").isNotNull())
+        .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
     )
 
@@ -129,10 +137,18 @@ def brute_force_topk_arrow(
             f"got > {max_queries} query rows. Batch the queries or use "
             f"lsh_topk/ivf_topk for large query sets."
         )
+    def _unit_rows(mat):
+        # zero-norm rows become nan rows (cosine undefined) instead of
+        # raising a divide warning; nan scores are filtered below —
+        # same excluded-from-results contract as the expression path
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return np.where(nrm == 0, np.nan, mat / np.where(nrm == 0, 1, nrm))
+
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows])
     qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
-    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn = _unit_rows(qmat)
 
     def local_topk(batches):
         import pandas as pd
@@ -142,10 +158,10 @@ def brute_force_topk_arrow(
                 continue
             ids = pdf[id_col].to_numpy()
             cmat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-            cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+            cn = _unit_rows(cmat)
             scores = np.round(cn @ qn.T, round_scores)  # |batch| × |Q|
             for j, qid in enumerate(qids):
-                mask = ids != qid
+                mask = (ids != qid) & ~np.isnan(scores[:, j])
                 cand_ids, cand_s = ids[mask], scores[mask, j]
                 order = np.lexsort((cand_ids, -cand_s))[:k]
                 yield pd.DataFrame(
@@ -256,7 +272,11 @@ def lsh_topk(
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    return (
+        scored.filter(F.col("cosine").isNotNull())
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
 
 
 def ivf_assign(
@@ -309,7 +329,14 @@ def _normalized_vectors(
         F.zip_with(
             raw, F.array_repeat(nrm, F.size(raw)), lambda x, n: x / n
         ).alias("v"),
-    )
+        nrm.alias("_nrm"),
+    ).filter(
+        # zero-norm vectors have no direction: a 0/0 NaN element would
+        # poison every centroid mean it is summed into (NaN propagates
+        # through the k·d update stats) — excluded from clustering, the
+        # same contract as the scored search paths
+        F.col("_nrm") > 0
+    ).drop("_nrm")
 
 
 def _argmax_assign(vn: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -510,7 +537,11 @@ def ivf_topk(
         F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
     )
     w2 = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return scored.withColumn("rk", F.row_number().over(w2)).filter(F.col("rk") <= k)
+    return (
+        scored.filter(F.col("cosine").isNotNull())
+        .withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+    )
 
 
 def quantize_embeddings(
@@ -580,15 +611,20 @@ def quantized_topk(
             "neighbor_id",
             (
                 (idot(F.col("qv"), F.col("cv")) * F.col("qs") * F.col("cs"))
-                / (
+                / F.nullif(
                     F.sqrt(idot(F.col("qv"), F.col("qv")).cast("double")) * F.col("qs")
-                    * F.sqrt(idot(F.col("cv"), F.col("cv")).cast("double")) * F.col("cs")
+                    * F.sqrt(idot(F.col("cv"), F.col("cv")).cast("double")) * F.col("cs"),
+                    F.lit(0.0),
                 )
             ).alias("cosine_q"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_q"), F.asc("neighbor_id"))
-    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    return (
+        scored.filter(F.col("cosine_q").isNotNull())
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
 
 
 def two_stage_topk(
@@ -623,7 +659,11 @@ def two_stage_topk(
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return rescored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    return (
+        rescored.filter(F.col("cosine").isNotNull())
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
 
 
 def cosine_pairs_blocked(
@@ -688,7 +728,11 @@ def cosine_pairs_blocked(
             return empty
         ids_a = a_pdf["vid"].to_numpy()
         mat_a = np.array([list(v) for v in a_pdf["v"]], dtype=np.float64)
-        na = mat_a / np.linalg.norm(mat_a, axis=1, keepdims=True)
+        # zero-norm rows -> nan scores; nan >= threshold is False, so
+        # they fall out of the pair set (excluded contract), and errstate
+        # silences the benign divide warning
+        with np.errstate(invalid="ignore", divide="ignore"):
+            na = mat_a / np.linalg.norm(mat_a, axis=1, keepdims=True)
         if ba == bb:
             scores = np.round(na @ na.T, round_scores)
             bi, bj = np.nonzero(np.triu(scores >= threshold, k=1))
@@ -700,7 +744,8 @@ def cosine_pairs_blocked(
                 return empty
             ids_b = b_pdf["vid"].to_numpy()
             mat_b = np.array([list(v) for v in b_pdf["v"]], dtype=np.float64)
-            nb = mat_b / np.linalg.norm(mat_b, axis=1, keepdims=True)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                nb = mat_b / np.linalg.norm(mat_b, axis=1, keepdims=True)
             scores = np.round(na @ nb.T, round_scores)
             bi, bj = np.nonzero(scores >= threshold)
             xa, xb = ids_a[bi], ids_b[bj]
@@ -794,7 +839,11 @@ def ivf_search_index(
         F.round(cosine(F.col("qv"), F.col("cv")), round_scores).alias("cosine"),
     )
     w2 = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return scored.withColumn("rk", F.row_number().over(w2)).filter(F.col("rk") <= k)
+    return (
+        scored.filter(F.col("cosine").isNotNull())
+        .withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+    )
 
 
 # --- Recall measurement: the approximate paths' correctness claim ----------

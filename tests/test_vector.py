@@ -232,3 +232,39 @@ def test_ivf_index_path_is_deterministic_and_reused(spark, sf01_dir):
     # unchanged _SUCCESS mtime == the second call reused, not rebuilt
     assert os.path.getmtime(f"{p1}/vectors/_SUCCESS") == mtime
     assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+
+def test_zero_norm_vectors_are_excluded_not_ranked_first(spark):
+    """A zero embedding (failed encoder output) must never appear as a
+    neighbor: a raw 0/0 NaN cosine sorts FIRST under desc order, which
+    would put the zero vector at the top of EVERY query's list. The
+    contract: zero-norm corpus vectors are excluded from results, a
+    zero-norm query returns no rows, and kmeans never ingests one (a
+    NaN element would poison every centroid mean it touches)."""
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (99, [0.0, 0.0, 0.0]),  # the zero vector
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") == 1)
+
+    for fn in (VX.brute_force_topk, VX.brute_force_topk_arrow,
+               VX.quantized_topk, VX.two_stage_topk, VX.lsh_topk):
+        got = fn(emb, q, k=3).collect()
+        ids = [r.neighbor_id for r in got]
+        assert 99 not in ids, f"{fn.__name__} ranked the zero vector: {ids}"
+        assert ids[0] == 2, f"{fn.__name__} top neighbor wrong: {ids}"
+
+    zq = emb.filter(F.col("vec_id") == 99)
+    assert VX.brute_force_topk(emb, zq, k=3).count() == 0
+    assert VX.brute_force_topk_arrow(emb, zq, k=3).count() == 0
+
+    cents, assigned, _ = VX.kmeans_fit(emb, k=2)
+    crows = [list(r.centroid) for r in cents.collect()]
+    assert all(x == x for c in crows for x in c), f"NaN centroid: {crows}"
+    assert 99 not in {r.vec_id for r in assigned.collect()}
+
+    pairs = VX.cosine_pairs_blocked(emb, threshold=0.5, n_blocks=2).collect()
+    assert all(99 not in (r.a, r.b) for r in pairs)
