@@ -127,12 +127,17 @@ def test_idle_customer_balance_anti_join_and_tiny_broadcast(spark, sf01_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
-def test_top_supplier_revenue_windows_aggregated_frame_only(spark, sf01_dir):
-    # Q15 shape: the global max is a window over the per-supplier rollup
-    # (|suppliers| rows), never a second scan of lineitem.
-    plan = _plan(spark, "top_supplier_revenue", sf01_dir, mode="simple")
-    assert plan.count("lineitem.parquet") == 1
-    assert "Window" in plan
+def test_top_supplier_revenue_reuses_rollup_without_global_window(spark, sf01_dir):
+    # Q15 shape: the global max is a partial-aggregable aggregate of the
+    # per-supplier rollup, broadcast back via a 1-row crossJoin. The
+    # rollup subtree is shared through exchange reuse (lineitem scanned
+    # once), and NO global window funnels the |suppliers|-row rollup —
+    # which grows with the corpus — through a single task.
+    df = Q.queries()["top_supplier_revenue"](spark, sf01_dir)
+    df.collect()  # finalize the AQE plan so exchange reuse is visible
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
+    assert "Window" not in plan
 
 
 def test_customer_order_distribution_single_fact_shuffle(spark, sf01_dir):
