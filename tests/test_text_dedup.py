@@ -458,6 +458,54 @@ def test_bpe_merges_match_reference_on_real_corpus(spark, sf01_dir):
     assert got == expected
 
 
+def test_bpe_merges_entry_is_sf_keyed(spark, sf_dir):
+    """The VALUES oracle is pinned at sf0.01, but the learned table
+    differs per corpus — at the smoke SF the entry must (a) learn a
+    table equal to its OWN SF's pinned expectation and (b) return the
+    sf0.01 oracle literals so an oracle check at any pinned SF is exact
+    (ADVICE r6: the un-keyed entry false-failed at sf0.001)."""
+    from etl_project_gcp_spark import queries as Q
+    from etl_project_gcp_spark.operators import text as TX
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    learned = [
+        tuple(r)
+        for r in TX.bpe_learn_merges(docs, num_merges=12, fit="distributed")
+        .orderBy("rank")
+        .collect()
+    ]
+    assert learned == Q._BPE_MERGES_PINNED["sf0.001"]
+    # the corpora genuinely diverge — the keying is load-bearing
+    assert learned != Q._BPE_MERGES_PINNED["sf0.01"]
+    got = [
+        tuple(r)
+        for r in Q.queries()["bpe_merges"](spark, sf_dir).orderBy("rank").collect()
+    ]
+    assert got == Q._BPE_MERGES_PINNED["sf0.01"]
+
+
+def test_bpe_merges_entry_unknown_sf_returns_learned(spark, tmp_path):
+    """An unpinned corpus must surface the raw learned table (loud
+    hash-fail at the driver, never a silently-borrowed sf0.01 literal)."""
+    from etl_project_gcp_spark import queries as Q
+
+    docs = spark.createDataFrame(
+        [(1, "zig zag zig zag"), (2, "zig zag zoo")], "doc_id int, text string"
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = [
+        tuple(r)
+        for r in Q.queries()["bpe_merges"](spark, str(tmp_path))
+        .orderBy("rank")
+        .collect()
+    ]
+    assert str(tmp_path).rsplit("/", 1)[-1] not in Q._BPE_MERGES_PINNED
+    assert got and got != Q._BPE_MERGES_PINNED["sf0.01"]
+    # genuinely learned from the toy corpus: counts tie at 3 for
+    # (a,g),(i,g),(z,a),(z,i) → pair-asc tiebreak picks (a,g)
+    assert got[0][1:] == ("a", "g", "ag")
+
+
 def test_bpe_driver_fit_matches_distributed(spark, sf_dir):
     """fit='driver' (collect capped vocab, in-memory loop) and
     fit='distributed' (per-round Spark aggregate) must learn identical
