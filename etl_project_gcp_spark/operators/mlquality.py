@@ -192,6 +192,15 @@ def _lr_raw_score(model, feature_cols: list[str] | None = None):
              or getattr(model, "_served_feature_cols", None)
              or FEATURE_COLS)
     coefs = [float(c) for c in model.coefficients.toArray()]
+    if len(coefs) != len(fcols):
+        # zip() would silently truncate — a model fit on a feature
+        # subset scored against a different column list is wrong in
+        # every row, so refuse loudly instead
+        raise ValueError(
+            f"LR model has {len(coefs)} coefficients but the feature "
+            f"column list has {len(fcols)} entries ({fcols}) — pass the "
+            f"training column list explicitly"
+        )
     raw = F.lit(float(model.intercept))
     for c, name in zip(coefs, fcols):
         raw = raw + F.lit(c) * F.col(name)
@@ -232,7 +241,29 @@ def score_quality(
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.functions import vector_to_array
 
-    fcols = getattr(model, "_served_feature_cols", None) or FEATURE_COLS
+    served = getattr(model, "_served_feature_cols", None)
+    fcols = served or FEATURE_COLS
+    if served is None:
+        # _served_feature_cols is a Python-only attribute that does NOT
+        # survive MLlib save/load — a subset-trained model reloaded
+        # from disk would otherwise be scored against the full
+        # FEATURE_COLS list: silently misaligned vectors (GBT feature
+        # indices shift), wrong probabilities, no error. Cross-check
+        # the fallback width against what the model was actually fit on
+        # and refuse to score on a mismatch.
+        n_model = (
+            len(model.coefficients)
+            if isinstance(model, LogisticRegressionModel)
+            else int(model.numFeatures)
+        )
+        if n_model != len(fcols):
+            raise ValueError(
+                f"model was fit on {n_model} features but "
+                f"_served_feature_cols is absent and the FEATURE_COLS "
+                f"fallback has {len(fcols)} — pass the training column "
+                f"list explicitly (scoring misaligned vectors would be "
+                f"silently wrong)"
+            )
     if isinstance(model, LogisticRegressionModel):
         raw = _lr_raw_score(model, fcols)
         prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-raw))

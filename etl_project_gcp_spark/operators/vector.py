@@ -896,6 +896,18 @@ def recall_report(
     from concurrent.futures import ThreadPoolExecutor
 
     floors = dict(RECALL_FLOORS if floors is None else floors)
+    # every swept method needs a floor BEFORE any search launches — a
+    # caller-supplied dict missing one otherwise dies on a bare
+    # KeyError after all the expensive searches have already run
+    swept = {"lsh", "ivf", "ivf_kmeans", "int8", "two_stage"} | (
+        {"ivf_index"} if index_path is not None else set()
+    )
+    missing = sorted(swept - set(floors))
+    if missing:
+        raise ValueError(
+            f"floors missing for swept methods: {missing} "
+            f"(provide a floor per method in {sorted(swept)})"
+        )
     spark = corpus.sparkSession
     corpus_c = corpus.localCheckpoint()
     queries_c = queries.localCheckpoint()
@@ -917,6 +929,9 @@ def recall_report(
         )
     else:
         floors.pop("ivf_index", None)
+    assert set(searches) - {"truth"} == swept, (
+        "recall_report: swept-method list drifted from the searches dict"
+    )
 
     def _pairs(item):
         name, build = item
@@ -931,7 +946,7 @@ def recall_report(
     rows = []
     for m in sorted(got):
         recall = (len(got[m] & truth) / len(truth)) if truth else 0.0
-        floor = float(floors[m])  # a run method without a floor is a bug
+        floor = float(floors[m])  # validated up front, cannot KeyError here
         rows.append((m, floor, recall >= floor))
     return spark.createDataFrame(
         rows, "method string, recall_floor double, meets_floor boolean"

@@ -4818,6 +4818,109 @@ def streaming_rollup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sessionize_drain",
+    """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts)  AS session_start,
+           max(ts)  AS session_end,
+           count(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def streaming_sessionize_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful sessionizer (applyInPandasWithState,
+    streams.py::stateful_sessionize) drained availableNow against the
+    batch lag+cumsum sessionization oracle — the driver-checkable proof
+    for the one streaming path with per-key Python close-out logic
+    (r7 verdict ask #5; streaming_rollup_drain covers the windowed agg).
+
+    Append mode only emits CLOSED sessions, and end-of-stream leaves
+    each user's last session open in the state store — so the landing
+    step appends ONE far-future sentinel event per user (global max ts
+    + 2 h ≫ the 30-min gap). In-batch the sentinel closes the user's
+    final real session and then sits open in state, never emitted: the
+    drained table is exactly the real session set, no watermark advance
+    needed. total_value stays out of the projection: the stateful sum
+    adds Python doubles in event order while the oracle's sum(value)
+    is engine-ordered — the exact columns (bounds + count) are the
+    semantics under test, and money-summing is already driver-gated by
+    streaming_rollup_drain's decimal path."""
+    import shutil
+    import tempfile
+
+    from etl_project_gcp_spark.streaming.streams import (
+        read_event_stream,
+        run_to_memory_sink,
+        stateful_sessionize,
+    )
+
+    ev = _events(spark, sf_dir)
+    gmax = ev.agg(F.max("ts").alias("m")).first().m
+    sentinels = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            F.lit(-1).cast("bigint").alias("event_id"),
+            (F.lit(gmax).cast("timestamp") + F.expr("INTERVAL 2 HOURS")).alias(
+                "ts"
+            ),
+            "user_id",
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+    )
+    landed = ev.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).unionByName(sentinels)
+    land_root = tempfile.mkdtemp(prefix="stream_sess_drain_")
+    land = land_root + "/events"
+    try:
+        # one file → one availableNow micro-batch: every user's events
+        # and their sentinel reach the state function together, so all
+        # real sessions close in-batch (cross-batch behavior is covered
+        # by tests/test_streaming.py)
+        landed.coalesce(1).write.mode("overwrite").parquet(land)
+        plan = stateful_sessionize(
+            read_event_stream(spark, land), gap_seconds=1800
+        )
+        q = run_to_memory_sink(
+            plan, "streaming_sessionize_drain_sink", output_mode="append"
+        )
+        finished = q.awaitTermination(300)
+        if not finished:
+            q.stop()
+            raise RuntimeError(
+                "streaming_sessionize_drain: availableNow drain did not "
+                "finish within 300 s"
+            )
+    finally:
+        shutil.rmtree(land_root, ignore_errors=True)
+    return spark.table("streaming_sessionize_drain_sink").select(
+        "user_id",
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
+@register(
     "orc_roundtrip",
     f"""
     SELECT s_suppkey, s_name, s_nationkey,

@@ -151,6 +151,16 @@ def stateful_sessionize(
             n, total = 0, 0.0
 
         closed = []
+        # Running late-session accumulator: admitted late events (older
+        # than the open session by more than the gap) can never merge
+        # with the open session, but consecutive late events within gap
+        # of EACH OTHER must still merge — emitting each as its own
+        # singleton would turn one late session into N (ADVICE r6).
+        # Rows are sorted, so the late events form a prefix and one
+        # running (start, last, n, total) group suffices; late events in
+        # DIFFERENT micro-batches still close separately (their session
+        # may already be emitted — unrecoverable under append mode).
+        late = None
         for ts, val in zip(rows[ts_col], rows["value"]):
             t = ts.value // 1000  # ns → us
             if s is None:
@@ -161,12 +171,15 @@ def stateful_sessionize(
                 s = last = t
                 n, total = 1, float(val)
             elif t < s - gap_us:
-                # admitted late event older than the open session by
-                # more than the gap: it can never merge with the open
-                # session (and any session it truly belonged to is
-                # already emitted — unrecoverable under append mode),
-                # so emit it as its own closed singleton
-                closed.append((t, t, 1, float(val)))
+                if late is None:
+                    late = [t, t, 1, float(val)]
+                elif t - late[1] > gap_us:
+                    closed.append(tuple(late))
+                    late = [t, t, 1, float(val)]
+                else:
+                    late[1] = t
+                    late[2] += 1
+                    late[3] += float(val)
             else:
                 # joins the open session — possibly extending it
                 # BACKWARD (a late cross-batch event must not rewind
@@ -176,6 +189,8 @@ def stateful_sessionize(
                 n += 1
                 total += float(val)
 
+        if late is not None:
+            closed.append(tuple(late))
         state.update((s, last, n, total))
         state.setTimeoutTimestamp((last + gap_us) // 1000)  # us → ms
         if closed:

@@ -85,3 +85,29 @@ def test_classifier_generalizes_with_gate_signal_held_out(spark):
         assert scored.count() == feats.count()
     finally:
         feats.unpersist()
+
+
+def test_scoring_refuses_feature_width_mismatch_without_served_cols(spark):
+    """_served_feature_cols is Python-only (does not survive MLlib
+    save/load). A subset-trained model without it must NOT be scored
+    against the full FEATURE_COLS fallback — GBT feature indices would
+    shift and every probability would be silently wrong (ADVICE r6)."""
+    import pytest
+
+    feats = _feats(spark).cache()
+    try:
+        fc = [c for c in MQ.FEATURE_COLS if c != "stopword_hit_ratio"]
+        for model_type in ("gbt", "lr"):
+            model, _ = MQ.fit_quality_classifier(
+                feats, model_type=model_type, feature_cols=fc
+            )
+            del model._served_feature_cols  # simulate save/load round-trip
+            with pytest.raises(ValueError, match="feature"):
+                MQ.score_quality(feats, model)
+        # full-width model without the attribute still scores: the
+        # fallback is only unsafe when the widths disagree
+        model, _ = MQ.fit_quality_classifier(feats, model_type="lr")
+        del model._served_feature_cols
+        assert MQ.score_quality(feats, model).count() == feats.count()
+    finally:
+        feats.unpersist()

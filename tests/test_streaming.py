@@ -522,6 +522,70 @@ def test_stateful_sessionize_late_event_does_not_rewind_session(
                    for _, end, _ in closed), closed
 
 
+def test_stateful_sessionize_late_events_merge_within_gap(
+    spark, tmp_path_factory
+):
+    """ADVICE r6: admitted late events that fall within the gap of EACH
+    OTHER must close as ONE merged late session (the batch formulation's
+    answer), not N singletons — while a late event a full gap away still
+    closes separately."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from etl_project_gcp_spark.streaming import (
+        read_event_stream,
+        stateful_sessionize,
+    )
+
+    root = tmp_path_factory.mktemp("late_merge")
+    source, out, ckpt = (str(root / d) for d in ("src", "out", "ckpt"))
+
+    def land(*rows):
+        spark.createDataFrame(
+            [Row(event_id=i, ts=t, user_id=1, event_type="click",
+                 value=1.0, props="{}")
+             for i, t in enumerate(rows)],
+        ).write.mode("append").parquet(source)
+
+    def drain():
+        _drain_to_parquet(
+            stateful_sessionize(
+                read_event_stream(spark, source),
+                gap_seconds=1800,
+                watermark="4 hours",  # admit the 3h-late events
+            ),
+            out, ckpt,
+        )
+
+    base = dt.datetime(2024, 1, 1, 13, 0)
+    land(base)                                      # open session 13:00
+    drain()
+    # three late events, all > gap older than the open session:
+    # 10:00 + 10:05 are within gap of each other (ONE late session),
+    # 10:50 is 45 min after 10:05 (its own late session)
+    land(base - dt.timedelta(minutes=180),
+         base - dt.timedelta(minutes=175),
+         base - dt.timedelta(minutes=130))
+    drain()
+    land(base + dt.timedelta(hours=3))              # 16:00 closes 13:00
+    drain()
+
+    closed = {
+        (r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (base - dt.timedelta(minutes=180),
+            base - dt.timedelta(minutes=175), 2, 2.0) in closed, closed
+    assert (base - dt.timedelta(minutes=130),
+            base - dt.timedelta(minutes=130), 1, 1.0) in closed, closed
+    assert (base, base, 1, 1.0) in closed, closed
+    # no singleton fragments of the merged pair
+    assert not any(
+        s == e == base - dt.timedelta(minutes=180) for s, e, _, _ in closed
+    ), closed
+
+
 def test_streaming_forward_fill_late_rows_never_see_the_future(
     spark, tmp_path_factory
 ):

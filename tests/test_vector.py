@@ -208,6 +208,22 @@ def test_recall_report_flags_a_degraded_method(spark, sf01_dir):
     assert got["ivf"] is True
 
 
+def test_recall_report_validates_floors_before_searching(spark, sf01_dir):
+    """A floors dict missing a swept method must raise a descriptive
+    ValueError up front, not a bare KeyError after every search already
+    ran (ADVICE r6)."""
+    import pytest
+
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="two_stage"):
+        VX.recall_report(
+            emb,
+            emb.filter(F.col("vec_id") < 3),
+            k=5,
+            floors={"lsh": 0.5, "ivf": 0.7, "ivf_kmeans": 0.45, "int8": 0.9},
+        )
+
+
 def test_ivf_index_path_is_deterministic_and_reused(spark, sf01_dir):
     """Production lifecycle guard: repeat invocations of the persisted-
     index query hit the SAME path and skip the rebuild (no per-call
