@@ -279,3 +279,49 @@ def score_quality(
             vector_to_array(F.col("probability")).getItem(1), 6
         ).alias("quality_prob"),
     )
+
+
+def save_quality_model(model, auc: float, path: str) -> None:
+    """Persist a fitted quality model + its training-time metadata.
+
+    MLlib's writer keeps the trees/coefficients bit-exact, but the
+    Python-only ``_served_feature_cols`` attribute and the held-out AUC
+    do NOT survive save/load — both go into a ``meta.json`` sidecar so
+    a reloaded model scores the exact column set it was fit on (see the
+    width guard in ``score_quality``) and report entries can reuse the
+    fit-time AUC without refitting. Caller owns atomicity (build into a
+    temp sibling, rename into place — the IVF-index pattern)."""
+    import json
+    import os
+
+    model.write().overwrite().save(f"{path}/model")
+    meta = {
+        "auc": float(auc),
+        "feature_cols": list(model._served_feature_cols),
+        "model_class": type(model).__name__,
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_quality_model(path: str):
+    """Reload a ``save_quality_model`` artifact → ``(model, auc)`` with
+    ``_served_feature_cols`` restored from the sidecar (without it a
+    subset-trained model would refuse to score — by design)."""
+    import json
+    import os
+
+    from pyspark.ml.classification import (
+        GBTClassificationModel,
+        LogisticRegressionModel,
+    )
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    cls = {
+        "GBTClassificationModel": GBTClassificationModel,
+        "LogisticRegressionModel": LogisticRegressionModel,
+    }[meta["model_class"]]
+    model = cls.load(f"{path}/model")
+    model._served_feature_cols = list(meta["feature_cols"])
+    return model, float(meta["auc"])
