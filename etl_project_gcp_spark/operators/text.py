@@ -593,27 +593,55 @@ def decontaminate(
 
     Plan shape for 100 TB: the BENCHMARK side is the small one by
     definition (eval suites are ~1e5 items), so its distinct n-grams
-    broadcast; the corpus side explodes its n-grams shuffle-free and
-    hash-joins against the broadcast — rows survive the join only on a
-    hit, so the per-doc hit count aggregates over matches (tiny), never
-    the full corpus gram stream. The final flag attaches with one join
-    of corpus keys against the small hit table.
+    collect once (bounded by the eval suite, not the corpus) and
+    broadcast as a Python set; the corpus side is then ONE map-only
+    Arrow pass — per doc, the distinct-gram intersection against the
+    broadcast set. The r6 shape exploded every corpus gram into a
+    broadcast-join probe and aggregated the hits back per doc (two
+    extra stages + a hit-table join); per-doc overlap against a
+    bounded reference set never needs the corpus gram stream
+    materialized as rows (measured 4.0 → ~0.7 s warm at sf0.1).
 
-    Returns the corpus with ``n_hit_grams`` and ``contaminated``.
+    Returns ``(id_col, n_hit_grams, contaminated)`` — one row per
+    corpus document, zero-hit docs included.
     """
-    grams = F.explode(word_ngrams(text_col, n)).alias("gram")
-    corpus_grams = corpus.select(F.col(id_col), grams)
-    bench_grams = benchmark.select(grams).distinct()
-    hits = (
-        corpus_grams.join(F.broadcast(bench_grams), "gram")
-        .groupBy(id_col)
-        .agg(F.count_distinct("gram").alias("n_hit_grams"))
-    )
-    return (
-        corpus.join(hits, id_col, "left")
-        .withColumn("n_hit_grams", F.coalesce("n_hit_grams", F.lit(0)))
-        .withColumn("contaminated", F.col("n_hit_grams") > 0)
-    )
+    import pandas as pd
+
+    # Gram identity is the token TUPLE on both sides (building gram
+    # strings via slice+concat_ws was the operator's dominant cost —
+    # see repetition_signals); the JVM tokenizer keeps parity, and
+    # tokens contain no whitespace so tuple equality == joined-string
+    # equality.
+    def _tok_df(df):
+        return df.select(
+            F.col(id_col), tokens(F.lower(F.col(text_col))).alias("toks")
+        )
+
+    bench_set = set()
+    for r in _tok_df(benchmark).collect():
+        tk = r.toks
+        bench_set.update(zip(*(tk[i:] for i in range(n))))
+    bc = corpus.sparkSession.sparkContext.broadcast(frozenset(bench_set))
+    toks_df = _tok_df(corpus)
+    id_type = dict(toks_df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, n_hit_grams long, contaminated boolean"
+
+    def _hits(batches):
+        bench = bc.value
+        for pdf in batches:
+            hits = [
+                len(set(zip(*(tk[i:] for i in range(n)))) & bench)
+                for tk in pdf["toks"]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_hit_grams": pd.Series(hits, dtype="int64"),
+                    "contaminated": [h > 0 for h in hits],
+                }
+            )
+
+    return toks_df.mapInPandas(_hits, schema)
 
 
 def repetition_signals(
@@ -627,24 +655,62 @@ def repetition_signals(
     the fraction claimed by the single most frequent n-gram. High
     values mark boilerplate/spam — standard pre-training filters.
 
-    Two-level aggregation: per-(doc, gram) counts partial-aggregate
-    map-side, then one per-doc rollup — the canonical Spark shape for
-    nested grouping; no window, no driver state. Ratios are IEEE
-    double divisions of exact longs (cross-engine deterministic,
-    emitted unrounded — see NOTES.md on ratio queries).
+    This is a strictly PER-DOCUMENT statistic, so the plan is map-only:
+    grams build as a JVM array expression, then one Arrow pass computes
+    each doc's multiset stats — no exchange anywhere. The r6 shape
+    shuffled every (doc, gram) pair through groupBy(doc, gram) +
+    groupBy(doc); at 100 TB that moved the whole corpus gram stream
+    across the cluster for a row-local quantity (measured 4.7 → ~0.55 s
+    warm at sf0.1). Sub-n-gram docs emit no row (no grams to
+    aggregate), matching the oracle. Ratios are IEEE double divisions
+    of exact longs (identical bit patterns in the JVM, Python, and
+    DuckDB — cross-engine deterministic, emitted unrounded; see
+    NOTES.md on ratio queries).
     """
-    grams = F.explode(word_ngrams(text_col, n)).alias("gram")
-    per_gram = (
-        corpus.select(F.col(id_col), grams)
-        .groupBy(id_col, "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
+    import pandas as pd
+
+    # Ship TOKEN arrays, not gram strings: the JVM tokenizer keeps
+    # cross-engine parity, while gram identity is the token TUPLE —
+    # materializing each gram as a slice+concat_ws string was the
+    # dominant cost of the whole operator (3.9 of 4.4 s at sf0.1;
+    # tokens() + tuple zip measures ~0.4 s). Tokens contain no
+    # whitespace, so tuple equality == joined-string equality.
+    toks_df = corpus.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("toks")
     )
-    return per_gram.groupBy(id_col).agg(
-        F.sum("c").alias("n_grams"),
-        F.count(F.lit(1)).alias("n_distinct_grams"),
-        (F.lit(1.0) - F.count(F.lit(1)) / F.sum("c")).alias("dup_gram_ratio"),
-        (F.max("c") / F.sum("c")).alias("top_gram_ratio"),
+    id_type = dict(toks_df.dtypes)[id_col]
+    schema = (
+        f"{id_col} {id_type}, n_grams long, n_distinct_grams long, "
+        "dup_gram_ratio double, top_gram_ratio double"
     )
+
+    def _stats(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            ids, ngs, nds, dups, tops = [], [], [], [], []
+            for did, tk in zip(pdf[id_col], pdf["toks"]):
+                if len(tk) < n:
+                    continue
+                c = Counter(zip(*(tk[i:] for i in range(n))))
+                ng = len(tk) - (n - 1)
+                nd = len(c)
+                ids.append(did)
+                ngs.append(ng)
+                nds.append(nd)
+                dups.append(1.0 - nd / ng)
+                tops.append(max(c.values()) / ng)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                    "n_grams": pd.Series(ngs, dtype="int64"),
+                    "n_distinct_grams": pd.Series(nds, dtype="int64"),
+                    "dup_gram_ratio": pd.Series(dups, dtype="float64"),
+                    "top_gram_ratio": pd.Series(tops, dtype="float64"),
+                }
+            )
+
+    return toks_df.mapInPandas(_stats, schema)
 
 
 def duplicated_spans(

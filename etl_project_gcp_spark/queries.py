@@ -4412,8 +4412,9 @@ def catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (X4): flag corpus docs sharing any word
     3-gram with the held-out benchmark slice (doc_id % 50 = 7 stands in
-    for an eval suite). Broadcast the benchmark's distinct grams; only
-    HITS flow through the shuffle (operators/text.py::decontaminate)."""
+    for an eval suite). The benchmark's distinct grams (bounded by the
+    eval suite) broadcast as a set; the corpus side is one map-only
+    Arrow pass (operators/text.py::decontaminate)."""
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 50 != 7)
     benchmark = docs.filter(F.col("doc_id") % 50 == 7)
