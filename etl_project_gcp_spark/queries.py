@@ -4987,6 +4987,144 @@ def streaming_sessionize_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _drain_stream_once(spark, landed: DataFrame, plan_fn, sink_name: str):
+    """Shared availableNow-drain harness for the streaming driver gates:
+    land ``landed`` as ONE parquet file in a temp dir (single file → one
+    micro-batch, so batch-equivalent semantics hold — cross-batch
+    behavior is covered in tests/test_streaming.py), run
+    ``plan_fn(stream)`` into a memory sink, reclaim the landing, return
+    the drained table. Fails loudly on a drain that does not finish."""
+    import shutil
+    import tempfile
+
+    from etl_project_gcp_spark.streaming.streams import (
+        read_event_stream,
+        run_to_memory_sink,
+    )
+
+    land_root = tempfile.mkdtemp(prefix=f"{sink_name}_")
+    land = land_root + "/events"
+    try:
+        landed.coalesce(1).write.mode("overwrite").parquet(land)
+        q = run_to_memory_sink(
+            plan_fn(read_event_stream(spark, land)),
+            sink_name,
+            output_mode="append",
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                f"{sink_name}: availableNow drain did not finish within 300 s"
+            )
+    finally:
+        shutil.rmtree(land_root, ignore_errors=True)
+    return spark.table(sink_name)
+
+
+@register(
+    "streaming_interval_join_drain",
+    """
+    SELECT e.user_id,
+           e.event_id AS left_id,
+           e.ts       AS left_ts,
+           c.event_id AS right_id,
+           c.ts       AS right_ts
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id
+     AND c.ts <= e.ts AND c.ts > e.ts - INTERVAL 5 MINUTE
+    """,
+)
+def streaming_interval_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join drained availableNow against the raw
+    range-join SQL — the driver gate for streams.py::
+    streaming_interval_join (the batch bucketed formulation is gated by
+    ``errors_recent_clicks``; this proves the STREAMING join condition,
+    state bounds, and column mapping emit the identical pair set). An
+    inner stream-stream join emits matches as both sides arrive, so a
+    single-batch drain needs no sentinel or watermark advance."""
+    from etl_project_gcp_spark.streaming.streams import streaming_interval_join
+
+    ev = _events(spark, sf_dir)
+
+    def _plan(stream):
+        return streaming_interval_join(
+            stream.filter(F.col("event_type") == "error"),
+            stream.filter(F.col("event_type") == "click"),
+            lookback_seconds=300,
+        )
+
+    return _drain_stream_once(
+        spark, ev, _plan, "streaming_interval_join_drain_sink"
+    )
+
+
+@register(
+    "streaming_forward_fill_drain",
+    """
+    SELECT event_id, user_id, event_type,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value
+    FROM events
+    """,
+)
+def streaming_forward_fill_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful LOCF operator (streams.py::streaming_forward_fill,
+    applyInPandasWithState with one fixed-width tuple per user) drained
+    availableNow against the batch window oracle shared with
+    ``user_purchase_fill`` — in one micro-batch the per-user
+    (event-time, event_id)-sorted fold from empty state IS the batch
+    last_value(...) IGNORE NULLS window, so every event's carried
+    purchase value must hash-match exactly (values are copied, never
+    computed)."""
+    from etl_project_gcp_spark.streaming.streams import streaming_forward_fill
+
+    ev = _events(spark, sf_dir)
+    drained = _drain_stream_once(
+        spark,
+        ev,
+        lambda s: streaming_forward_fill(s, observe_type="purchase"),
+        "streaming_forward_fill_drain_sink",
+    )
+    return drained.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("last_obs_value").alias("last_purchase_value"),
+    )
+
+
+@register(
+    "streaming_dedup_drain",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events
+    """,
+)
+def streaming_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming exact dedup
+    (streams.py::streaming_dedup, dropDuplicatesWithinWatermark) as a
+    driver-checked value claim: the landing is the corpus DOUBLED
+    (unionAll with itself — every event a within-watermark duplicate),
+    and the drained output must hash-equal the plain events table — a
+    suppression bug in either direction (dropped original or surviving
+    duplicate) breaks the row count and hash."""
+    from etl_project_gcp_spark.streaming.streams import streaming_dedup
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    return _drain_stream_once(
+        spark,
+        ev.unionAll(ev),
+        lambda s: streaming_dedup(s, keys=("event_id",)),
+        "streaming_dedup_drain_sink",
+    )
+
+
 @register(
     "orc_roundtrip",
     f"""
