@@ -4928,14 +4928,7 @@ def streaming_sessionize_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     is engine-ordered — the exact columns (bounds + count) are the
     semantics under test, and money-summing is already driver-gated by
     streaming_rollup_drain's decimal path."""
-    import shutil
-    import tempfile
-
-    from etl_project_gcp_spark.streaming.streams import (
-        read_event_stream,
-        run_to_memory_sink,
-        stateful_sessionize,
-    )
+    from etl_project_gcp_spark.streaming.streams import stateful_sessionize
 
     ev = _events(spark, sf_dir)
     gmax = ev.agg(F.max("ts").alias("m")).first().m
@@ -4956,30 +4949,13 @@ def streaming_sessionize_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     landed = ev.select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     ).unionByName(sentinels)
-    land_root = tempfile.mkdtemp(prefix="stream_sess_drain_")
-    land = land_root + "/events"
-    try:
-        # one file → one availableNow micro-batch: every user's events
-        # and their sentinel reach the state function together, so all
-        # real sessions close in-batch (cross-batch behavior is covered
-        # by tests/test_streaming.py)
-        landed.coalesce(1).write.mode("overwrite").parquet(land)
-        plan = stateful_sessionize(
-            read_event_stream(spark, land), gap_seconds=1800
-        )
-        q = run_to_memory_sink(
-            plan, "streaming_sessionize_drain_sink", output_mode="append"
-        )
-        finished = q.awaitTermination(300)
-        if not finished:
-            q.stop()
-            raise RuntimeError(
-                "streaming_sessionize_drain: availableNow drain did not "
-                "finish within 300 s"
-            )
-    finally:
-        shutil.rmtree(land_root, ignore_errors=True)
-    return spark.table("streaming_sessionize_drain_sink").select(
+    drained = _drain_stream_once(
+        spark,
+        landed,
+        lambda s: stateful_sessionize(s, gap_seconds=1800),
+        "streaming_sessionize_drain_sink",
+    )
+    return drained.select(
         "user_id",
         "session_start",
         "session_end",
@@ -4987,7 +4963,13 @@ def streaming_sessionize_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _drain_stream_once(spark, landed: DataFrame, plan_fn, sink_name: str):
+def _drain_stream_once(
+    spark,
+    landed: DataFrame,
+    plan_fn,
+    sink_name: str,
+    stream_shuffle_partitions: int | None = None,
+):
     """Shared availableNow-drain harness for the streaming driver gates:
     land ``landed`` as ONE parquet file in a temp dir (single file → one
     micro-batch, so batch-equivalent semantics hold — cross-batch
@@ -5005,16 +4987,49 @@ def _drain_stream_once(spark, landed: DataFrame, plan_fn, sink_name: str):
     land_root = tempfile.mkdtemp(prefix=f"{sink_name}_")
     land = land_root + "/events"
     try:
-        landed.coalesce(1).write.mode("overwrite").parquet(land)
-        q = run_to_memory_sink(
-            plan_fn(read_event_stream(spark, land)),
-            sink_name,
-            output_mode="append",
-        )
-        if not q.awaitTermination(300):
+        # 8 files still form ONE micro-batch (no maxFilesPerTrigger set,
+        # so availableNow takes everything available in the first
+        # trigger) while letting the scan + stateful shuffle run on 8
+        # input partitions instead of 1 — the single-batch premise is
+        # ASSERTED below, not assumed, because a multi-batch drain
+        # would silently weaken the gates' batch-equivalence contract.
+        landed.coalesce(8).write.mode("overwrite").parquet(land)
+        # A streaming query binds shuffle.partitions into its (fresh)
+        # checkpoint at start. The right width is operator-specific:
+        # every stateful partition carries a state STORE, so a
+        # stream-stream join (2 stores/partition) at gate scale is
+        # store-setup-bound and wants FEW partitions (32→8 measured
+        # 6.9→2.7 s), while a Python applyInPandasWithState fold is
+        # CPU-bound and wants the full core count (8→32 measured
+        # 9.0→5.3 s on the sessionizer). None = keep the session value;
+        # production redeploys size this to the cluster.
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        if stream_shuffle_partitions is not None:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(stream_shuffle_partitions),
+            )
+        try:
+            q = run_to_memory_sink(
+                plan_fn(read_event_stream(spark, land)),
+                sink_name,
+                output_mode="append",
+            )
+            finished = q.awaitTermination(300)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if not finished:
             q.stop()
             raise RuntimeError(
                 f"{sink_name}: availableNow drain did not finish within 300 s"
+            )
+        data_batches = sum(
+            1 for p in q.recentProgress if p["numInputRows"] > 0
+        )
+        if data_batches > 1:
+            raise RuntimeError(
+                f"{sink_name}: drain split input across {data_batches} "
+                f"micro-batches — single-batch semantics no longer hold"
             )
     finally:
         shutil.rmtree(land_root, ignore_errors=True)
@@ -5055,7 +5070,11 @@ def streaming_interval_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame
         )
 
     return _drain_stream_once(
-        spark, ev, _plan, "streaming_interval_join_drain_sink"
+        spark,
+        ev,
+        _plan,
+        "streaming_interval_join_drain_sink",
+        stream_shuffle_partitions=8,
     )
 
 
@@ -5122,6 +5141,7 @@ def streaming_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.unionAll(ev),
         lambda s: streaming_dedup(s, keys=("event_id",)),
         "streaming_dedup_drain_sink",
+        stream_shuffle_partitions=8,
     )
 
 
