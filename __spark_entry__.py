@@ -43,6 +43,10 @@ _FORCE_RECHECK = [
     "dedup_cluster_canonical",
     "embedding_near_dups",
     "embedding_dedup_clusters",
+    # r6 verdict ask #2's single-HASH-green list includes this entry
+    # (rows-only r2/r3 rounds inflate its local green count to 3, so
+    # the rotation alone parks it at the tail — force it).
+    "binary_resize_meta",
 ]
 
 # Registry entries the verify harness should reach first this round —
