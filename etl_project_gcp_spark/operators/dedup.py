@@ -50,6 +50,42 @@ def exact_dedup(
     )
 
 
+def incremental_dedup(
+    delta: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """X1 at ingest time: dedup a DELTA batch against an existing
+    corpus, then within itself — the production shape at 100 TB (a
+    daily crawl drop never re-dedups the whole corpus; it anti-joins
+    the increment's content hashes against the corpus side, which in a
+    deployed pipeline is a maintained hash manifest, not a rescan).
+
+    Both sides project down to content hashes BEFORE the join, so the
+    anti-join shuffle carries (64-char hash[, id]) rows, never document
+    bodies (the exact_dedup discipline); survivors then exact-dedup
+    within the batch (min-id canonical + copy count). No distinct on
+    the corpus side — left_anti is set-semantic on the probe side
+    already, and a pre-distinct would add a full extra shuffle.
+    """
+    d = delta.select(
+        F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_sha256")
+    )
+    seen = corpus.select(
+        F.sha2(F.col(text_col), 256).alias("content_sha256")
+    )
+    return (
+        d.join(seen, "content_sha256", "left_anti")
+        .groupBy("content_sha256")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_new_copies"),
+        )
+        .select(id_col, "n_new_copies", "content_sha256")
+    )
+
+
 def _rot(h: F.Column, bits: int) -> F.Column:
     """Rotate-left a 64-bit hash (shift counts are mod-64 in the JVM, so
     bits=0 degrades to h|h == h)."""

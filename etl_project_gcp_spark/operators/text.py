@@ -384,6 +384,39 @@ def stable_bucket(col: Column | str, modulus: int = 100) -> Column:
     )
 
 
+def shard_manifest(
+    docs: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Export planning for training-shard writes: assign every document
+    a deterministic, engine/partitioning-independent shard (the
+    ``stable_bucket`` md5 recipe on the id — the same expression a
+    ``df.repartition(n_shards, shard).write`` export keys on), and
+    report per-shard doc/token/char totals.
+
+    At 100 TB this is the cheap dry run of the shard write: one scan +
+    one n_shards-row aggregate makes shard skew visible BEFORE the
+    expensive export job, where a hot shard would only surface as a
+    straggler task. Token counts use the corpus-standard ``tokens()``
+    expression so the manifest's totals agree with every other text
+    operator (and the DuckDB oracles' list_filter mirror)."""
+    return (
+        docs.select(
+            stable_bucket(id_col, n_shards).alias("shard"),
+            F.size(tokens(text_col)).cast("long").alias("tok"),
+            F.length(F.col(text_col)).cast("long").alias("chars"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("n_tokens"),
+            F.sum("chars").alias("n_chars"),
+        )
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     strata_col: str,

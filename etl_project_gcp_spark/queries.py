@@ -1625,6 +1625,80 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental",
+    """
+    WITH delta AS (
+        SELECT doc_id, sha256(text) AS h
+        FROM documents WHERE doc_id % 10 = 3
+        UNION ALL
+        SELECT doc_id, sha256(text) AS h
+        FROM documents WHERE doc_id % 10 = 3
+        UNION ALL
+        SELECT doc_id, sha256(text) AS h
+        FROM documents WHERE doc_id % 20 = 8
+    ), corpus AS (
+        SELECT sha256(text) AS h
+        FROM documents WHERE doc_id % 10 <> 3
+    )
+    SELECT min(doc_id) AS doc_id,
+           count(*)    AS n_new_copies,
+           h           AS content_sha256
+    FROM delta
+    WHERE h NOT IN (SELECT h FROM corpus)
+    GROUP BY h
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup (X1, production shape): a delta batch
+    anti-joins its content hashes against the existing corpus before
+    deduping within itself — never a whole-corpus re-dedup
+    (operators/dedup.py::incremental_dedup).
+
+    The fixture delta models a real crawl drop against this corpus
+    (which has NO exact duplicates, verified — its near-dups feed the
+    MinHash family): the fresh slice (doc_id % 10 = 3) arrives
+    DOUBLE-SENT (within-batch duplicates → n_new_copies = 2 exercises
+    the in-batch groupBy) plus a RE-CRAWLED slice already in the corpus
+    (doc_id % 20 = 8 → excluded by the anti-join). Both failure
+    directions break the hash: a lost original changes min(doc_id)/row
+    count, a surviving re-crawl adds rows."""
+    docs = _t(spark, sf_dir, "documents")
+    fresh = docs.filter(F.col("doc_id") % 10 == 3)
+    recrawl = docs.filter(F.col("doc_id") % 20 == 8)
+    return DD.incremental_dedup(
+        fresh.unionAll(fresh).unionAll(recrawl),
+        docs.filter(F.col("doc_id") % 10 != 3),
+    )
+
+
+@register(
+    "training_shard_manifest",
+    """
+    WITH t AS (
+        SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 16 AS shard,
+               CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '')) AS BIGINT) AS tok,
+               CAST(length(text) AS BIGINT) AS chars
+        FROM documents
+    )
+    SELECT shard,
+           count(*)   AS n_docs,
+           sum(tok)   AS n_tokens,
+           sum(chars) AS n_chars
+    FROM t
+    GROUP BY shard
+    """,
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export manifest (X4 [EXT]): deterministic md5
+    shard assignment + per-shard doc/token/char totals — the dry run
+    that surfaces shard skew before the export write
+    (operators/text.py::shard_manifest)."""
+    return TX.shard_manifest(_t(spark, sf_dir, "documents"), n_shards=16)
+
+
+@register(
     "doc_token_stats",
     f"""
     WITH t AS (

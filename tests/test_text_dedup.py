@@ -56,6 +56,50 @@ def test_exact_dedup_counts(spark):
     assert out == {1: 3, 2: 1}
 
 
+def test_incremental_dedup_excludes_seen_and_dedups_batch(spark):
+    corpus = _docs(spark, [(1, "seen one"), (2, "seen two")])
+    delta = _docs(
+        spark,
+        [
+            (10, "seen one"),       # re-crawl of corpus content → excluded
+            (11, "fresh alpha"),
+            (12, "fresh alpha"),    # within-batch duplicate → one row, 2 copies
+            (13, "fresh beta"),
+        ],
+    )
+    out = {
+        r.doc_id: r.n_new_copies
+        for r in DD.incremental_dedup(delta, corpus).collect()
+    }
+    assert out == {11: 2, 13: 1}
+
+
+def test_incremental_dedup_empty_delta_and_empty_corpus(spark):
+    corpus = _docs(spark, [(1, "seen")])
+    empty = _docs(spark, [(99, "x")]).filter("doc_id < 0")
+    assert DD.incremental_dedup(empty, corpus).count() == 0
+    # empty corpus degrades to plain within-batch exact dedup
+    delta = _docs(spark, [(5, "a"), (6, "a")])
+    out = {
+        r.doc_id: r.n_new_copies
+        for r in DD.incremental_dedup(delta, empty).collect()
+    }
+    assert out == {5: 2}
+
+
+def test_shard_manifest_totals_and_determinism(spark):
+    rows = [(i, f"doc {i} body with five tokens") for i in range(40)]
+    docs = _docs(spark, rows)
+    man = TX.shard_manifest(docs, n_shards=4).collect()
+    assert {r.shard for r in man} <= set(range(4))
+    assert sum(r.n_docs for r in man) == 40
+    assert sum(r.n_tokens for r in man) == 40 * 6
+    assert sum(r.n_chars for r in man) == sum(len(t) for _, t in rows)
+    # partitioning-independent: same manifest from a different layout
+    man2 = TX.shard_manifest(docs.repartition(7), n_shards=4).collect()
+    assert sorted(map(tuple, man)) == sorted(map(tuple, man2))
+
+
 def test_language_id_on_clear_samples(spark):
     docs = _docs(
         spark,
