@@ -366,6 +366,49 @@ def mixture_weighted_sample(
     )
 
 
+def source_budget_cap(
+    docs: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source token-budget capping: keep each source's
+    highest-quality documents until its cumulative token count reaches
+    the budget — the C4/Gopher-style domain cap that stops one
+    boilerplate-heavy source from dominating a pre-training mix.
+
+    Quality is the stopword-occurrence density (``quality_score``'s
+    statistic — exact-rounded, so cross-engine deterministic), with an
+    id tiebreak so the kept set is unique. The running sum is a window
+    PARTITIONED BY source (the customer_running_total shape — never a
+    global window): each source's prefix sum is independent, so the
+    operator scales with the largest single source, not the corpus.
+    Exact prefix sums are order-defined and cannot be salted — a
+    pathologically dominant source is a data problem the manifest-style
+    skew report surfaces, not a plan defect."""
+    from pyspark.sql import Window
+
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    scored = docs.select(
+        id_col,
+        source_col,
+        n_tokens.alias("n_tokens"),
+        X.ddiv_round(n_stop, n_tokens, 4).alias("quality"),
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.desc_nulls_last("quality"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return scored.withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w).cast("long")
+    ).filter(F.col("cum_tokens") <= budget_tokens)
+
+
 def stable_bucket(col: Column | str, modulus: int = 100) -> Column:
     """Deterministic engine/partitioning-independent hash bucket from
     the md5 prefix of the stringified key (same recipe as

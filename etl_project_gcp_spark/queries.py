@@ -1699,6 +1699,47 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_token_budget_cap",
+    f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '')) AS INTEGER) AS n_tokens,
+               len(list_filter(
+                   list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
+                   x -> list_contains(
+                       ['the','a','of','and','to','in','is','that','it','for'], x)
+               )) AS n_stop
+        FROM documents
+    ), r AS (
+        SELECT doc_id, source, n_tokens,
+               {X.odiv_round('n_stop', 'n_tokens', 4)} AS quality
+        FROM t
+    ), c AS (
+        SELECT doc_id, source, n_tokens, quality,
+               CAST(sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY quality DESC NULLS LAST, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM r
+    )
+    SELECT doc_id, source, n_tokens, quality, cum_tokens
+    FROM c WHERE cum_tokens <= 800
+    """,
+)
+def source_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget cap (X4 [EXT]): keep each source's
+    highest-quality docs (stopword density, id tiebreak) until the
+    source hits an 800-token budget — the domain cap of C4/Gopher
+    mixes. Source-partitioned running sum, never a global window
+    (operators/text.py::source_budget_cap)."""
+    return TX.source_budget_cap(
+        _t(spark, sf_dir, "documents"), budget_tokens=800
+    )
+
+
+@register(
     "doc_token_stats",
     f"""
     WITH t AS (

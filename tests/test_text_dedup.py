@@ -100,6 +100,24 @@ def test_shard_manifest_totals_and_determinism(spark):
     assert sorted(map(tuple, man)) == sorted(map(tuple, man2))
 
 
+def test_source_budget_cap_orders_by_quality_and_stops_at_budget(spark):
+    rows = [
+        # src A: q(1)=3/6 stop density, q(2)=1/6, q(3)=0 — kept in that
+        # order; budget 12 admits doc 1 (6) + doc 2 (6), rejects doc 3
+        (1, "the cat is on a mat", "A"),
+        (2, "cat mat dog fish the bird", "A"),
+        (3, "cat mat dog fish bird tree", "A"),
+        # src B independent budget: single doc under budget survives
+        (4, "the dog", "B"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r.doc_id: (r.cum_tokens, r.quality) for r in
+           TX.source_budget_cap(docs, budget_tokens=12).collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1][0] == 6 and out[2][0] == 12 and out[4][0] == 2
+    assert out[1][1] == 0.5
+
+
 def test_language_id_on_clear_samples(spark):
     docs = _docs(
         spark,
