@@ -224,6 +224,34 @@ def minhash_signatures(
     return shingle_arrs.select(id_col, F.array(*elems).alias("sig"))
 
 
+def _stack_bands(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """(id, band, bh) — the banded signature in stacked form, the join
+    key of every LSH candidate-generation variant (self-join for
+    whole-corpus dedup, delta×corpus join for incremental)."""
+    band_cols = [
+        F.xxhash64(
+            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
+            F.lit(b),
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select(id_col, *band_cols)
+    return banded.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bh"))
+                for b in range(bands)
+            ])
+        ).alias("e"),
+    ).select(id_col, F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -235,23 +263,7 @@ def lsh_candidate_pairs(
     pairs (a < b). Buckets larger than ``max_bucket`` are dropped —
     boilerplate-skew protection (they'd be caught by exact dedup anyway).
     """
-    band_cols = [
-        F.xxhash64(
-            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
-            F.lit(b),
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = signatures.select(id_col, *band_cols)
-    stacked = banded.select(
-        id_col,
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bh"))
-                for b in range(bands)
-            ])
-        ).alias("e"),
-    ).select(id_col, F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    stacked = _stack_bands(signatures, id_col, bands, rows_per_band)
 
     # skew guard: drop pathological buckets before the self-join
     sized = stacked.withColumn(
@@ -330,6 +342,100 @@ def minhash_near_duplicates(
         id_col, F.explode_outer(F.col("sh_arr")).alias("sh")
     ).repartition(id_col)
     return jaccard_verify(cands, shingled, id_col, threshold)
+
+
+def incremental_near_dedup(
+    delta: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """X2 at ingest time: flag delta docs that are NEAR-duplicates of
+    existing corpus content — the approximate counterpart of
+    ``incremental_dedup`` and the second half of the production ingest
+    gate (a crawl drop is screened exact-first, then near-dup, against
+    the corpus — never a whole-corpus re-dedup).
+
+    Candidates come from joining the DELTA's banded signature against
+    the CORPUS's (a delta×corpus band join, not the whole-corpus
+    self-join): cost ∝ |delta| × bucket density, not |corpus|². At
+    100 TB the corpus side of this join is a maintained signature
+    table (built once, appended per ingest — the IVF-index lifecycle
+    for LSH); here it derives inline from the same shuffle-free
+    shingle lineage as ``minhash_near_duplicates``. Candidates verify
+    with exact cross-side Jaccard (side-tagged shingle joins, so a
+    re-sent id can exist on both sides without ambiguity).
+
+    Returns one row per delta doc: ``n_near_dups`` (corpus partners at
+    ≥ threshold), ``max_jaccard`` (NULL when none), ``is_near_dup``.
+    In-batch near-dup among delta survivors is ``near_dup_pipeline``'s
+    job — this operator's contract is the delta-vs-corpus screen."""
+    rows_per_band = num_hashes // bands
+    d_sh = shingle_arrays(delta, id_col, text_col, shingle_k)
+    c_sh = shingle_arrays(corpus, id_col, text_col, shingle_k)
+    d_band = _stack_bands(
+        minhash_signatures(d_sh, id_col, num_hashes),
+        id_col, bands, rows_per_band,
+    ).select(F.col(id_col).alias("a"), "band", "bh")
+    c_band = _stack_bands(
+        minhash_signatures(c_sh, id_col, num_hashes),
+        id_col, bands, rows_per_band,
+    )
+    # skew guard on the corpus side (the one that carries boilerplate
+    # mass at scale): cap bucket width before the delta join
+    c_sized = c_band.withColumn(
+        "_bsz", F.count(F.lit(1)).over(W.partitionBy("band", "bh"))
+    ).filter(F.col("_bsz") <= max_bucket)
+    cands = (
+        d_band.join(
+            c_sized.select(F.col(id_col).alias("b"), "band", "bh"),
+            ["band", "bh"],
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    # cross-side exact-Jaccard verify: shingles stay side-tagged, so
+    # identical ids on both sides (a re-sent doc) join unambiguously
+    d_shingled = d_sh.select(
+        F.col(id_col).alias("a"), F.explode_outer("sh_arr").alias("sh")
+    ).repartition("a")
+    c_shingled = c_sh.select(
+        F.col(id_col).alias("b"), F.explode_outer("sh_arr").alias("sh")
+    ).repartition("b")
+    sz_a = d_shingled.groupBy("a").agg(F.count(F.lit(1)).alias("sza"))
+    sz_b = c_shingled.groupBy("b").agg(F.count(F.lit(1)).alias("szb"))
+    pairs = (
+        cands.join(d_shingled, "a")
+        .join(c_shingled, ["b", "sh"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .join(sz_a, "a")
+        .join(sz_b, "b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    matches = pairs.groupBy("a").agg(
+        F.count(F.lit(1)).alias("n_near_dups"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    return (
+        delta.select(F.col(id_col))
+        .join(matches.withColumnRenamed("a", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_near_dups", F.lit(0)).alias("n_near_dups"),
+            "max_jaccard",
+            (F.coalesce("n_near_dups", F.lit(0)) > 0).alias("is_near_dup"),
+        )
+    )
 
 
 def simhash_signatures(

@@ -1996,6 +1996,62 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_near_duplicates(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "dedup_incremental_near",
+    r"""
+    WITH delta AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 = 3
+    ), corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3
+    ), tokd AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                   t -> t <> '') AS ts FROM delta
+    ), tokc AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                   t -> t <> '') AS ts FROM corpus
+    ), shd AS (
+        SELECT DISTINCT doc_id, array_to_string(ts[i:i+4], ' ') AS sh
+        FROM tokd, unnest(range(1, greatest(len(ts)-4, 1)+1)) AS u(i)
+    ), shc AS (
+        SELECT DISTINCT doc_id, array_to_string(ts[i:i+4], ' ') AS sh
+        FROM tokc, unnest(range(1, greatest(len(ts)-4, 1)+1)) AS u(i)
+    ), szd AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY 1),
+    szc AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY 1),
+    common AS (
+        SELECT d.doc_id AS a, c.doc_id AS b, count(*) AS c
+        FROM shd d JOIN shc c ON d.sh = c.sh GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a, b, c * 1.0 / (sa.sz + sb.sz - c) AS jaccard
+        FROM common
+        JOIN szd sa ON sa.doc_id = a JOIN szc sb ON sb.doc_id = b
+        WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.7
+    ), m AS (
+        SELECT a, count(*) AS n_near_dups, max(jaccard) AS max_jaccard
+        FROM pairs GROUP BY a
+    )
+    SELECT delta.doc_id,
+           coalesce(m.n_near_dups, 0)      AS n_near_dups,
+           m.max_jaccard                   AS max_jaccard,
+           coalesce(m.n_near_dups, 0) > 0  AS is_near_dup
+    FROM delta LEFT JOIN m ON m.a = delta.doc_id
+    """,
+)
+def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time NEAR-dup screen (X2, production shape): the delta
+    slice's banded MinHash signatures join the corpus's (delta×corpus,
+    never a whole-corpus self-join), candidates verify with exact
+    cross-side Jaccard (operators/dedup.py::incremental_near_dedup).
+    Oracle: LSH-free full delta×corpus Jaccard replay — same banding-
+    recall guarantee (and corpus guard) as dedup_minhash's oracle.
+    The fixture split crosses real near-dup pairs (6 at sf0.01,
+    verified), so both the hit and miss paths are value-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.incremental_near_dedup(
+        docs.filter(F.col("doc_id") % 10 == 3),
+        docs.filter(F.col("doc_id") % 10 != 3),
+    )
+
+
 @register("dedup_simhash", None)  # non-SQL-expressible — rows-only check
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs: 64-bit signature, chunk banding,

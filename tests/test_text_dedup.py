@@ -87,6 +87,21 @@ def test_incremental_dedup_empty_delta_and_empty_corpus(spark):
     assert out == {5: 2}
 
 
+def test_incremental_near_dedup_flags_corpus_partners(spark):
+    near = BASE.replace("window", "portal", 1)
+    far = "completely different content about oceanic tides and moonlight"
+    corpus = _docs(spark, [(1, BASE), (2, far)])
+    # doc 10 near-dups corpus doc 1; doc 11 matches nothing; doc 1 is a
+    # re-sent id that ALSO exists corpus-side (id collision must join
+    # unambiguously and flag as a perfect match)
+    delta = _docs(spark, [(10, near), (11, "unrelated text entirely here"), (1, BASE)])
+    out = {r.doc_id: (r.n_near_dups, r.is_near_dup, r.max_jaccard)
+           for r in DD.incremental_near_dedup(delta, corpus).collect()}
+    assert out[10][1] and out[10][0] == 1
+    assert out[11] == (0, False, None)
+    assert out[1][1] and out[1][2] == 1.0
+
+
 def test_shard_manifest_totals_and_determinism(spark):
     rows = [(i, f"doc {i} body with five tokens") for i in range(40)]
     docs = _docs(spark, rows)
