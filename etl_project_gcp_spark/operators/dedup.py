@@ -378,14 +378,40 @@ def incremental_near_dedup(
     rows_per_band = num_hashes // bands
     d_sh = shingle_arrays(delta, id_col, text_col, shingle_k)
     c_sh = shingle_arrays(corpus, id_col, text_col, shingle_k)
-    d_band = _stack_bands(
-        minhash_signatures(d_sh, id_col, num_hashes),
-        id_col, bands, rows_per_band,
-    ).select(F.col(id_col).alias("a"), "band", "bh")
     c_band = _stack_bands(
         minhash_signatures(c_sh, id_col, num_hashes),
         id_col, bands, rows_per_band,
     )
+    c_shingled = c_sh.select(
+        F.col(id_col), F.explode_outer("sh_arr").alias("sh")
+    )
+    return _near_dup_screen(
+        delta, d_sh, c_band, c_shingled,
+        id_col, num_hashes, bands, rows_per_band, threshold, max_bucket,
+    )
+
+
+def _near_dup_screen(
+    delta: DataFrame,
+    d_sh: DataFrame,
+    c_band: DataFrame,
+    c_shingled: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    rows_per_band: int,
+    threshold: float,
+    max_bucket: int,
+) -> DataFrame:
+    """Core of the ingest near-dup screen, shared by the inline
+    (``incremental_near_dedup``) and persisted-index
+    (``lsh_search_index``) paths: delta bands × corpus bands →
+    candidates → cross-side exact-Jaccard verify → per-delta-doc
+    summary. ``c_band`` is (id, band, bh); ``c_shingled`` is (id, sh)."""
+    d_band = _stack_bands(
+        minhash_signatures(d_sh, id_col, num_hashes),
+        id_col, bands, rows_per_band,
+    ).select(F.col(id_col).alias("a"), "band", "bh")
     # skew guard on the corpus side (the one that carries boilerplate
     # mass at scale): cap bucket width before the delta join
     c_sized = c_band.withColumn(
@@ -404,8 +430,8 @@ def incremental_near_dedup(
     d_shingled = d_sh.select(
         F.col(id_col).alias("a"), F.explode_outer("sh_arr").alias("sh")
     ).repartition("a")
-    c_shingled = c_sh.select(
-        F.col(id_col).alias("b"), F.explode_outer("sh_arr").alias("sh")
+    c_shingled = c_shingled.select(
+        F.col(id_col).alias("b"), F.col("sh")
     ).repartition("b")
     sz_a = d_shingled.groupBy("a").agg(F.count(F.lit(1)).alias("sza"))
     sz_b = c_shingled.groupBy("b").agg(F.count(F.lit(1)).alias("szb"))
@@ -435,6 +461,87 @@ def incremental_near_dedup(
             "max_jaccard",
             (F.coalesce("n_near_dups", F.lit(0)) > 0).alias("is_near_dup"),
         )
+    )
+
+
+def lsh_build_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus near-dup screen artifacts on disk — the
+    maintained signature table the at-scale ingest gate searches
+    instead of rescanning corpus text:
+
+    - ``{path}/bands``: (id, band, bh) stacked banded signatures
+    - ``{path}/shingles``: (id, sh) exploded shingle hashes (the exact
+      Jaccard verify side)
+
+    ``mode="append"`` is the maintenance op: after a batch's survivors
+    are admitted, append THEIR rows — the index stays current without
+    touching existing files (call via :func:`lsh_append_index`). At
+    production scale both tables would be bucketed by their join key
+    (``bh`` / id) so the delta join shuffles one side only; plain
+    parquet keeps the lifecycle here engine-portable."""
+    sh_arr = shingle_arrays(corpus, id_col, text_col, shingle_k)
+    sigs = minhash_signatures(sh_arr, id_col, num_hashes)
+    _stack_bands(sigs, id_col, bands, num_hashes // bands).write.mode(
+        mode
+    ).parquet(f"{path}/bands")
+    sh_arr.select(id_col, F.explode_outer("sh_arr").alias("sh")).write.mode(
+        mode
+    ).parquet(f"{path}/shingles")
+
+
+def lsh_append_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> None:
+    """Append an admitted batch's signatures to an existing index —
+    same parameters MUST match the build (band hashes are parameter-
+    dependent); equality with a from-scratch rebuild is pytest-pinned."""
+    lsh_build_index(
+        batch, path, id_col, text_col, shingle_k, num_hashes, bands,
+        mode="append",
+    )
+
+
+def lsh_search_index(
+    spark,
+    path: str,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Screen a delta batch against a persisted LSH index
+    (:func:`lsh_build_index`) — same contract and output as
+    :func:`incremental_near_dedup`, but the corpus side reads the
+    materialized band/shingle tables: NO corpus-text rescan, no
+    signature recompute (equality with the inline path and
+    rescan-freeness are both pytest-pinned). Search cost ∝ |delta| ×
+    bucket density + matched-candidate shingle I/O."""
+    c_band = spark.read.parquet(f"{path}/bands")
+    c_shingled = spark.read.parquet(f"{path}/shingles")
+    d_sh = shingle_arrays(delta, id_col, text_col, shingle_k)
+    return _near_dup_screen(
+        delta, d_sh, c_band, c_shingled,
+        id_col, num_hashes, bands, num_hashes // bands, threshold,
+        max_bucket,
     )
 
 

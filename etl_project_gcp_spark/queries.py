@@ -1996,9 +1996,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_near_duplicates(_t(spark, sf_dir, "documents"))
 
 
-@register(
-    "dedup_incremental_near",
-    r"""
+_INCR_NEAR_ORACLE = r"""
     WITH delta AS (
         SELECT doc_id, text FROM documents WHERE doc_id % 10 = 3
     ), corpus AS (
@@ -2034,8 +2032,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
            m.max_jaccard                   AS max_jaccard,
            coalesce(m.n_near_dups, 0) > 0  AS is_near_dup
     FROM delta LEFT JOIN m ON m.a = delta.doc_id
-    """,
-)
+    """
+
+
+@register("dedup_incremental_near", _INCR_NEAR_ORACLE)
 def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time NEAR-dup screen (X2, production shape): the delta
     slice's banded MinHash signatures join the corpus's (delta×corpus,
@@ -2050,6 +2050,72 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 10 == 3),
         docs.filter(F.col("doc_id") % 10 != 3),
     )
+
+
+def _lsh_index_path(sf_dir: str) -> str:
+    """Deterministic cache location for the persisted LSH screen index
+    of a corpus — keyed by the documents file's path + size + mtime
+    plus the signature parameters (same keying as _ivf_index_path; a
+    parameter change or corpus refresh re-keys instead of serving a
+    mismatched band table)."""
+    import hashlib
+    import os
+
+    src = os.path.abspath(f"{sf_dir}/documents.parquet")
+    cfg = "k=5|h=64|b=16|delta=mod10ne3"
+    try:
+        st = os.stat(src)
+        sig = f"{src}|{cfg}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        sig = f"{src}|{cfg}"
+    key = hashlib.sha1(sig.encode()).hexdigest()[:16]
+    return os.path.join(_cache_root("lsh"), key)
+
+
+def _lsh_index_ensure(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once lifecycle for the LSH screen index (the
+    _ivf_index_ensure discipline: pid-suffixed build dir, atomic
+    rename, ownership-checked readiness, loser-deletes-own on a race)."""
+    import os
+    import shutil
+
+    path = _lsh_index_path(sf_dir)
+
+    def _ready(p: str) -> bool:
+        return _dir_ready(f"{p}/bands") and _dir_ready(f"{p}/shingles")
+
+    if _ready(path):
+        return path
+    corpus = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 3)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.build-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        DD.lsh_build_index(corpus, tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            if not _ready(path):
+                raise
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+@register("dedup_incremental_near_indexed", _INCR_NEAR_ORACLE)
+def dedup_incremental_near_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest near-dup screen against the PERSISTED corpus
+    signature index (operators/dedup.py::lsh_build_index /
+    lsh_search_index) — the 100 TB lifecycle made concrete: the corpus
+    bands/shingles materialize once (content-keyed cache, atomic
+    rename — the IVF-index discipline), each ingest batch searches the
+    index with NO corpus-text rescan, and admitted batches append via
+    lsh_append_index (append==rebuild equality pytest-pinned). Same
+    oracle as dedup_incremental_near: the persisted path must produce
+    the identical screen verdict."""
+    path = _lsh_index_ensure(spark, sf_dir)
+    delta = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 3)
+    return DD.lsh_search_index(spark, path, delta)
 
 
 @register("dedup_simhash", None)  # non-SQL-expressible — rows-only check

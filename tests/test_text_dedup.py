@@ -102,6 +102,40 @@ def test_incremental_near_dedup_flags_corpus_partners(spark):
     assert out[1][1] and out[1][2] == 1.0
 
 
+def test_lsh_index_search_equals_inline_and_never_rescans_corpus(spark, tmp_path):
+    near = BASE.replace("quick", "rapid", 1)
+    corpus_rows = [(1, BASE), (2, "other content about sailing ships at dawn")]
+    corpus_pq = str(tmp_path / "corpus.parquet")
+    _docs(spark, corpus_rows).write.parquet(corpus_pq)
+    corpus = spark.read.parquet(corpus_pq)
+    delta = _docs(spark, [(10, near), (11, "nothing similar at all here")])
+    idx = str(tmp_path / "idx")
+    DD.lsh_build_index(corpus, idx)
+    via_index = DD.lsh_search_index(spark, idx, delta)
+    inline = DD.incremental_near_dedup(delta, corpus)
+    assert sorted(map(tuple, via_index.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+    # the whole point: the search never rescans corpus TEXT
+    assert not any(corpus_pq in f for f in via_index.inputFiles())
+
+
+def test_lsh_index_append_equals_rebuild(spark, tmp_path):
+    part1 = _docs(spark, [(1, BASE), (2, "first tranche filler text")])
+    part2 = _docs(spark, [(3, BASE.replace("dog", "wolf", 1))])
+    delta = _docs(spark, [(10, BASE)])
+    inc = str(tmp_path / "inc")
+    DD.lsh_build_index(part1, inc)
+    DD.lsh_append_index(part2, inc)
+    full = str(tmp_path / "full")
+    DD.lsh_build_index(part1.unionByName(part2), full)
+    a = sorted(map(tuple, DD.lsh_search_index(spark, inc, delta).collect()))
+    b = sorted(map(tuple, DD.lsh_search_index(spark, full, delta).collect()))
+    assert a == b
+    # the appended doc (a BASE near-dup) must be visible to the screen
+    assert any(r[3] for r in a)
+
+
 def test_shard_manifest_totals_and_determinism(spark):
     rows = [(i, f"doc {i} body with five tokens") for i in range(40)]
     docs = _docs(spark, rows)
