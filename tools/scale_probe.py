@@ -194,6 +194,18 @@ def main() -> int:
     ap.add_argument("--skip-build", action="store_true")
     ap.add_argument("--decontaminate-fixed", action="store_true")
     ap.add_argument("--merge-probe", action="store_true")
+    ap.add_argument(
+        "--ladder",
+        default=None,
+        help="Multi-corpus ladder: comma list of tag:dir pairs (e.g. "
+        "'1x:/root/testdata/sf0.1,10x:/tmp/sf1eq,100x:/tmp/sf10eq'). "
+        "Runs --names across every corpus, warm min-of-2, "
+        "noop-materialized (NEVER count() — Catalyst prunes aggregate "
+        "values and eliminates provably-cardinality-neutral left joins "
+        "under a bare count, see NOTES '100x ladder' methodology note). "
+        "Implies --skip-build; size SPARK_DRIVER_MEMORY for the "
+        "largest corpus.",
+    )
     args = ap.parse_args()
 
     from etl_project_gcp_spark import queries as Q
@@ -203,10 +215,35 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     Q._ensure_session_confs(spark)  # events.parquet is TIMESTAMP(NANOS)
 
-    if not args.skip_build:
+    if not args.skip_build and not args.ladder:
         t0 = time.time()
         build(spark, args.base, args.out, args.k)
         print(f"built {args.k}x corpus at {args.out} in {time.time() - t0:.0f}s", flush=True)
+
+    if args.ladder:
+        registry = Q.queries()
+        names = args.names.split(",") if args.names else PROBE_QUERIES
+        rungs = [p.split(":", 1) for p in args.ladder.split(",")]
+        res = {}
+        for name in names:
+            for tag, d in rungs:
+                ts = []
+                for _ in range(2):
+                    t0 = time.time()
+                    registry[name](spark, d).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    ts.append(time.time() - t0)
+                res[(name, tag)] = min(ts)
+                print(f"{name} @ {tag}: {min(ts):.2f}s", flush=True)
+        hdr = " | ".join(f"{t} (s)" for t, _ in rungs)
+        print(f"| query | {hdr} | {rungs[-1][0]} ratio |")
+        print("|" + "---|" * (len(rungs) + 2))
+        for name in names:
+            cells = " | ".join(f"{res[(name, t)]:.2f}" for t, _ in rungs)
+            ratio = res[(name, rungs[-1][0])] / res[(name, rungs[0][0])]
+            print(f"| {name} | {cells} | {ratio:.1f}x |", flush=True)
+        return 0
 
     if args.merge_probe:
         probe_merge_scale(spark, args.base, "/tmp")
