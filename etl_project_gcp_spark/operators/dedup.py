@@ -487,15 +487,57 @@ def lsh_build_index(
     touching existing files (call via :func:`lsh_append_index`). At
     production scale both tables would be bucketed by their join key
     (``bh`` / id) so the delta join shuffles one side only; plain
-    parquet keeps the lifecycle here engine-portable."""
+    parquet keeps the lifecycle here engine-portable.
+
+    A ``params.json`` sidecar records (shingle_k, num_hashes, bands):
+    band hashes and shingle hashes are parameter-DEPENDENT, so an
+    append or search under different parameters would silently corrupt
+    or miss — :func:`_lsh_check_params` refuses instead."""
     sh_arr = shingle_arrays(corpus, id_col, text_col, shingle_k)
     sigs = minhash_signatures(sh_arr, id_col, num_hashes)
+    if mode == "append":
+        _lsh_check_params(path, shingle_k, num_hashes, bands)
     _stack_bands(sigs, id_col, bands, num_hashes // bands).write.mode(
         mode
     ).parquet(f"{path}/bands")
     sh_arr.select(id_col, F.explode_outer("sh_arr").alias("sh")).write.mode(
         mode
     ).parquet(f"{path}/shingles")
+    if mode != "append":
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "params.json"), "w") as f:
+            json.dump(
+                {"shingle_k": shingle_k, "num_hashes": num_hashes,
+                 "bands": bands},
+                f,
+            )
+
+
+def _lsh_check_params(
+    path: str, shingle_k: int, num_hashes: int, bands: int
+) -> None:
+    """Refuse an append/search whose signature parameters differ from
+    the ones the index was built with (hash spaces would not line up —
+    silently wrong screens, not an error, without this). A pre-sidecar
+    index (no params.json) is accepted for compatibility."""
+    import json
+    import os
+
+    p = os.path.join(path, "params.json")
+    if not os.path.exists(p):
+        return
+    with open(p) as f:
+        built = json.load(f)
+    asked = {"shingle_k": shingle_k, "num_hashes": num_hashes, "bands": bands}
+    if built != asked:
+        raise ValueError(
+            f"LSH index at {path} was built with {built} but the call "
+            f"asked for {asked} — signature hash spaces would not match; "
+            f"rebuild the index or pass the build-time parameters"
+        )
 
 
 def lsh_append_index(
@@ -534,7 +576,9 @@ def lsh_search_index(
     materialized band/shingle tables: NO corpus-text rescan, no
     signature recompute (equality with the inline path and
     rescan-freeness are both pytest-pinned). Search cost ∝ |delta| ×
-    bucket density + matched-candidate shingle I/O."""
+    bucket density + matched-candidate shingle I/O. Parameters are
+    validated against the index's params.json sidecar."""
+    _lsh_check_params(path, shingle_k, num_hashes, bands)
     c_band = spark.read.parquet(f"{path}/bands")
     c_shingled = spark.read.parquet(f"{path}/shingles")
     d_sh = shingle_arrays(delta, id_col, text_col, shingle_k)

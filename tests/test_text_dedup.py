@@ -120,6 +120,23 @@ def test_lsh_index_search_equals_inline_and_never_rescans_corpus(spark, tmp_path
     assert not any(corpus_pq in f for f in via_index.inputFiles())
 
 
+def test_lsh_index_refuses_mismatched_params(spark, tmp_path):
+    import os
+
+    import pytest
+
+    idx = str(tmp_path / "idx")
+    DD.lsh_build_index(_docs(spark, [(1, BASE)]), idx)
+    delta = _docs(spark, [(9, BASE)])
+    with pytest.raises(ValueError, match="hash spaces"):
+        DD.lsh_search_index(spark, idx, delta, shingle_k=3)
+    with pytest.raises(ValueError, match="hash spaces"):
+        DD.lsh_append_index(_docs(spark, [(2, "x y z")]), idx, bands=8)
+    # pre-sidecar index (no params.json) is accepted for compatibility
+    os.remove(os.path.join(idx, "params.json"))
+    assert DD.lsh_search_index(spark, idx, delta).count() == 1
+
+
 def test_lsh_index_append_equals_rebuild(spark, tmp_path):
     part1 = _docs(spark, [(1, BASE), (2, "first tranche filler text")])
     part2 = _docs(spark, [(3, BASE.replace("dog", "wolf", 1))])
