@@ -340,3 +340,40 @@ def test_scd2_apply_matches_reference_history(spark, initial, batch):
         if k not in initial:                  # brand-new key
             want[(k, 1)] = (v, True)
     assert got == want
+
+
+_itext = st.text(alphabet="xy ", min_size=0, max_size=6)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    delta=st.lists(_itext, min_size=1, max_size=8),
+    corpus=st.lists(_itext, min_size=0, max_size=8),
+)
+def test_incremental_dedup_matches_set_reference(spark, delta, corpus):
+    """incremental_dedup must equal the plain-Python set semantics:
+    group delta by content, drop contents present in the corpus, keep
+    (min id, copy count) — on arbitrary tiny corpora where in-batch
+    duplicates and delta∩corpus overlaps both actually occur (tiny
+    'xy ' alphabet forces collisions)."""
+    schema = "doc_id long, text string"
+    d_df = spark.createDataFrame(list(enumerate(delta)), schema)
+    c_df = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(corpus)], schema
+    )
+    got = {
+        r.doc_id: r.n_new_copies
+        for r in DD.incremental_dedup(d_df, c_df).collect()
+    }
+    seen = set(corpus)
+    want: dict[str, list[int]] = {}
+    for i, t in enumerate(delta):
+        if t not in seen:
+            want.setdefault(t, []).append(i)
+    assert got == {min(ids): len(ids) for ids in want.values()}, (
+        delta, corpus,
+    )
