@@ -1644,7 +1644,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)    AS n_new_copies,
            h           AS content_sha256
     FROM delta
-    WHERE h NOT IN (SELECT h FROM corpus)
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = delta.h)
     GROUP BY h
     """,
 )
@@ -1683,9 +1683,9 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT shard,
-           count(*)   AS n_docs,
-           sum(tok)   AS n_tokens,
-           sum(chars) AS n_chars
+           count(*)                     AS n_docs,
+           CAST(sum(tok) AS BIGINT)    AS n_tokens,
+           CAST(sum(chars) AS BIGINT)  AS n_chars
     FROM t
     GROUP BY shard
     """,
