@@ -190,7 +190,19 @@ def stateful_sessionize(
                 total += float(val)
 
         if late is not None:
-            closed.append(tuple(late))
+            # A later event in THIS batch can backward-extend the open
+            # session (s = min(s, t)) to within gap of the late group —
+            # batch semantics (the lag+cumsum oracle) then make them ONE
+            # session. Merge instead of closing (ADVICE r7): the late
+            # group precedes s, so it becomes the new session start and
+            # last is unchanged. Only a late group still > gap from the
+            # final s closes separately.
+            if s is not None and s - late[1] <= gap_us:
+                s = late[0]
+                n += late[2]
+                total += late[3]
+            else:
+                closed.append(tuple(late))
         state.update((s, last, n, total))
         state.setTimeoutTimestamp((last + gap_us) // 1000)  # us → ms
         if closed:

@@ -586,6 +586,68 @@ def test_stateful_sessionize_late_events_merge_within_gap(
     ), closed
 
 
+def test_stateful_sessionize_bridged_late_group_merges_into_open(
+    spark, tmp_path_factory
+):
+    """ADVICE r7: a late event is classified against the open session's
+    start AT PROCESSING TIME, but a later event in the same sorted batch
+    can backward-extend the session (s = min(s, t)) to within gap of the
+    late group. Batch semantics (the lag+cumsum oracle) then make them
+    ONE session — the late group must merge into the open session at
+    end-of-batch, not close as a spurious singleton."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from etl_project_gcp_spark.streaming import (
+        read_event_stream,
+        stateful_sessionize,
+    )
+
+    root = tmp_path_factory.mktemp("late_bridge")
+    source, out, ckpt = (str(root / d) for d in ("src", "out", "ckpt"))
+
+    def land(*rows):
+        spark.createDataFrame(
+            [Row(event_id=i, ts=t, user_id=1, event_type="click",
+                 value=1.0, props="{}")
+             for i, t in enumerate(rows)],
+        ).write.mode("append").parquet(source)
+
+    def drain():
+        _drain_to_parquet(
+            stateful_sessionize(
+                read_event_stream(spark, source),
+                gap_seconds=1800,
+                watermark="4 hours",  # admit the late events
+            ),
+            out, ckpt,
+        )
+
+    base = dt.datetime(2024, 1, 1, 13, 0)
+    land(base)                                      # open session 13:00
+    drain()
+    # 12:10 is > gap older than s=13:00 -> provisionally late; 12:35 is
+    # within gap of 13:00 and pulls s back to 12:35, bridging 12:10
+    # (12:35 - 12:10 = 25 min <= gap) -> all three are ONE session
+    land(base - dt.timedelta(minutes=50),
+         base - dt.timedelta(minutes=25))
+    drain()
+    land(base + dt.timedelta(hours=3))              # 16:00 closes it
+    drain()
+
+    closed = {
+        (r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (base - dt.timedelta(minutes=50), base, 3, 3.0) in closed, closed
+    # no spurious singleton for the bridged late event
+    assert not any(
+        s == e == base - dt.timedelta(minutes=50)
+        for s, e, _, _ in closed
+    ), closed
+
+
 def test_streaming_forward_fill_late_rows_never_see_the_future(
     spark, tmp_path_factory
 ):
