@@ -402,12 +402,18 @@ def _near_dup_screen(
     rows_per_band: int,
     threshold: float,
     max_bucket: int,
+    corpus_prepartitioned: bool = False,
 ) -> DataFrame:
     """Core of the ingest near-dup screen, shared by the inline
     (``incremental_near_dedup``) and persisted-index
     (``lsh_search_index``) paths: delta bands × corpus bands →
     candidates → cross-side exact-Jaccard verify → per-delta-doc
-    summary. ``c_band`` is (id, band, bh); ``c_shingled`` is (id, sh)."""
+    summary. ``c_band`` is (id, band, bh); ``c_shingled`` is (id, sh).
+
+    ``corpus_prepartitioned`` says the corpus inputs arrive already
+    clustered on their join keys (a bucketed index): skip the explicit
+    corpus-side repartition so the bucketed layout flows through with
+    no Exchange."""
     d_band = _stack_bands(
         minhash_signatures(d_sh, id_col, num_hashes),
         id_col, bands, rows_per_band,
@@ -430,9 +436,9 @@ def _near_dup_screen(
     d_shingled = d_sh.select(
         F.col(id_col).alias("a"), F.explode_outer("sh_arr").alias("sh")
     ).repartition("a")
-    c_shingled = c_shingled.select(
-        F.col(id_col).alias("b"), F.col("sh")
-    ).repartition("b")
+    c_shingled = c_shingled.select(F.col(id_col).alias("b"), F.col("sh"))
+    if not corpus_prepartitioned:
+        c_shingled = c_shingled.repartition("b")
     sz_a = d_shingled.groupBy("a").agg(F.count(F.lit(1)).alias("sza"))
     sz_b = c_shingled.groupBy("b").agg(F.count(F.lit(1)).alias("szb"))
     pairs = (
@@ -464,6 +470,72 @@ def _near_dup_screen(
     )
 
 
+def _lsh_table_names(table_prefix: str) -> tuple[str, str]:
+    return f"{table_prefix}_bands", f"{table_prefix}_shingles"
+
+
+def _lsh_append_marker(path: str, state: str) -> None:
+    """Record append progress so a crash between the two table writes is
+    DETECTABLE: ``pending`` is written before the first append and
+    flipped to ``committed`` only after both tables landed. A search
+    that finds ``pending`` refuses instead of silently screening against
+    a half-appended corpus (bands visible, shingles absent) — each
+    directory's per-append ``_SUCCESS`` rewrite cannot distinguish the
+    two (ADVICE r7)."""
+    import json
+    import os
+
+    p = os.path.join(path, "append_state.json")
+    epoch = 0
+    if os.path.exists(p):
+        try:
+            with open(p) as f:
+                epoch = json.load(f).get("epoch", 0)
+        except (OSError, ValueError):
+            pass
+    if state == "pending":
+        epoch += 1
+    with open(p, "w") as f:
+        json.dump({"epoch": epoch, "state": state}, f)
+
+
+def _lsh_check_append_state(path: str) -> None:
+    import json
+    import os
+
+    p = os.path.join(path, "append_state.json")
+    if not os.path.exists(p):
+        return
+    with open(p) as f:
+        st = json.load(f)
+    if st.get("state") != "committed":
+        raise ValueError(
+            f"LSH index at {path} has a partial append (epoch "
+            f"{st.get('epoch')} still '{st.get('state')}'): bands and "
+            f"shingles may disagree — rebuild the index or re-run the "
+            f"failed append before searching"
+        )
+
+
+def _ensure_bucketed_table(
+    spark, name: str, location: str, bucket_cols: list[str], n_buckets: int
+) -> None:
+    """Re-register a bucketed external table in a FRESH session whose
+    catalog (in-memory derby) no longer knows it: the bucketed files on
+    disk carry their bucket ids in the file names, so a CREATE TABLE
+    with the same CLUSTERED BY spec over the same location restores
+    shuffle-free reads without rewriting a byte."""
+    if spark.catalog.tableExists(name):
+        return
+    ddl = spark.read.parquet(location).schema.toDDL()
+    cols = ", ".join(bucket_cols)
+    spark.sql(
+        f"CREATE TABLE {name} ({ddl}) USING PARQUET "
+        f"CLUSTERED BY ({cols}) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{location}'"
+    )
+
+
 def lsh_build_index(
     corpus: DataFrame,
     path: str,
@@ -473,6 +545,8 @@ def lsh_build_index(
     num_hashes: int = 64,
     bands: int = 16,
     mode: str = "overwrite",
+    bucket_by: int | None = None,
+    table_prefix: str | None = None,
 ) -> None:
     """Materialize the corpus near-dup screen artifacts on disk — the
     maintained signature table the at-scale ingest gate searches
@@ -484,36 +558,94 @@ def lsh_build_index(
 
     ``mode="append"`` is the maintenance op: after a batch's survivors
     are admitted, append THEIR rows — the index stays current without
-    touching existing files (call via :func:`lsh_append_index`). At
-    production scale both tables would be bucketed by their join key
-    (``bh`` / id) so the delta join shuffles one side only; plain
-    parquet keeps the lifecycle here engine-portable.
+    touching existing files (call via :func:`lsh_append_index`). The
+    two appends are bracketed by an epoch marker
+    (:func:`_lsh_append_marker`): a crash between them leaves the
+    marker ``pending`` and searches refuse instead of silently serving
+    a half-appended corpus.
+
+    ``bucket_by=N`` writes both artifacts as BUCKETED external tables
+    (bands clustered by its join key ``(band, bh)``, shingles by the
+    doc id) so an ingest search shuffles the DELTA side only — the
+    corpus-side exchange a plain-parquet index pays on every search is
+    paid once at build time (the `write_bucketed_table` discipline;
+    plan-tested). Table names come from ``table_prefix`` (default:
+    derived from the path basename) and are re-registerable in a fresh
+    session from the sidecar (:func:`_ensure_bucketed_table`).
 
     A ``params.json`` sidecar records (shingle_k, num_hashes, bands):
     band hashes and shingle hashes are parameter-DEPENDENT, so an
     append or search under different parameters would silently corrupt
     or miss — :func:`_lsh_check_params` refuses instead."""
+    import json
+    import os
+    import re
+
+    if bucket_by is not None and table_prefix is None:
+        table_prefix = "lsh_" + re.sub(
+            r"[^0-9a-zA-Z_]", "_", os.path.basename(path.rstrip("/"))
+        )
     sh_arr = shingle_arrays(corpus, id_col, text_col, shingle_k)
     sigs = minhash_signatures(sh_arr, id_col, num_hashes)
     if mode == "append":
         _lsh_check_params(path, shingle_k, num_hashes, bands)
-    _stack_bands(sigs, id_col, bands, num_hashes // bands).write.mode(
-        mode
-    ).parquet(f"{path}/bands")
-    sh_arr.select(id_col, F.explode_outer("sh_arr").alias("sh")).write.mode(
-        mode
-    ).parquet(f"{path}/shingles")
-    if mode != "append":
-        import json
-        import os
-
+        built = _lsh_params(path) or {}
+        if built.get("bucket_by") is not None:
+            bucket_by = built["bucket_by"]
+            table_prefix = built["table_prefix"]
+            t_b, t_s = _lsh_table_names(table_prefix)
+            _ensure_bucketed_table(
+                corpus.sparkSession, t_b, f"{path}/bands",
+                ["band", "bh"], bucket_by,
+            )
+            _ensure_bucketed_table(
+                corpus.sparkSession, t_s, f"{path}/shingles",
+                [id_col], bucket_by,
+            )
+        _lsh_append_marker(path, "pending")
+    stacked = _stack_bands(sigs, id_col, bands, num_hashes // bands)
+    shingled = sh_arr.select(id_col, F.explode_outer("sh_arr").alias("sh"))
+    if bucket_by is not None:
+        t_bands, t_shingles = _lsh_table_names(table_prefix)
+        (
+            stacked.write.mode(mode)
+            .bucketBy(bucket_by, "band", "bh")
+            .option("path", f"{path}/bands")
+            .saveAsTable(t_bands)
+        )
+        (
+            shingled.write.mode(mode)
+            .bucketBy(bucket_by, id_col)
+            .option("path", f"{path}/shingles")
+            .saveAsTable(t_shingles)
+        )
+    else:
+        stacked.write.mode(mode).parquet(f"{path}/bands")
+        shingled.write.mode(mode).parquet(f"{path}/shingles")
+    if mode == "append":
+        _lsh_append_marker(path, "committed")
+    else:
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "params.json"), "w") as f:
             json.dump(
                 {"shingle_k": shingle_k, "num_hashes": num_hashes,
-                 "bands": bands},
+                 "bands": bands, "bucket_by": bucket_by,
+                 "table_prefix": table_prefix},
                 f,
             )
+
+
+def _lsh_params(path: str) -> dict | None:
+    """The index's params.json sidecar, or None for a pre-sidecar
+    index."""
+    import json
+    import os
+
+    p = os.path.join(path, "params.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
 
 
 def _lsh_check_params(
@@ -522,19 +654,17 @@ def _lsh_check_params(
     """Refuse an append/search whose signature parameters differ from
     the ones the index was built with (hash spaces would not line up —
     silently wrong screens, not an error, without this). A pre-sidecar
-    index (no params.json) is accepted for compatibility."""
-    import json
-    import os
-
-    p = os.path.join(path, "params.json")
-    if not os.path.exists(p):
+    index (no params.json) is accepted for compatibility. Layout keys
+    (bucket_by, table_prefix) are the index's own business and not
+    compared."""
+    built = _lsh_params(path)
+    if built is None:
         return
-    with open(p) as f:
-        built = json.load(f)
     asked = {"shingle_k": shingle_k, "num_hashes": num_hashes, "bands": bands}
-    if built != asked:
+    got = {k: built.get(k) for k in asked}
+    if got != asked:
         raise ValueError(
-            f"LSH index at {path} was built with {built} but the call "
+            f"LSH index at {path} was built with {got} but the call "
             f"asked for {asked} — signature hash spaces would not match; "
             f"rebuild the index or pass the build-time parameters"
         )
@@ -577,15 +707,39 @@ def lsh_search_index(
     signature recompute (equality with the inline path and
     rescan-freeness are both pytest-pinned). Search cost ∝ |delta| ×
     bucket density + matched-candidate shingle I/O. Parameters are
-    validated against the index's params.json sidecar."""
+    validated against the index's params.json sidecar; a half-appended
+    index (epoch marker still ``pending``) refuses instead of silently
+    serving a bands/shingles disagreement.
+
+    Against a BUCKETED index (``lsh_build_index(bucket_by=N)``) the
+    corpus side arrives pre-clustered on its join keys — bands on
+    ``(band, bh)``, shingles on the doc id — so the search shuffles
+    ONLY the delta side (plan-tested: no Exchange above either corpus
+    scan)."""
     _lsh_check_params(path, shingle_k, num_hashes, bands)
-    c_band = spark.read.parquet(f"{path}/bands")
-    c_shingled = spark.read.parquet(f"{path}/shingles")
+    _lsh_check_append_state(path)
+    built = _lsh_params(path) or {}
+    bucketed = built.get("bucket_by") is not None
+    if bucketed:
+        t_bands, t_shingles = _lsh_table_names(built["table_prefix"])
+        _ensure_bucketed_table(
+            spark, t_bands, f"{path}/bands", ["band", "bh"],
+            built["bucket_by"],
+        )
+        _ensure_bucketed_table(
+            spark, t_shingles, f"{path}/shingles", [id_col],
+            built["bucket_by"],
+        )
+        c_band = spark.table(t_bands)
+        c_shingled = spark.table(t_shingles)
+    else:
+        c_band = spark.read.parquet(f"{path}/bands")
+        c_shingled = spark.read.parquet(f"{path}/shingles")
     d_sh = shingle_arrays(delta, id_col, text_col, shingle_k)
     return _near_dup_screen(
         delta, d_sh, c_band, c_shingled,
         id_col, num_hashes, bands, num_hashes // bands, threshold,
-        max_bucket,
+        max_bucket, corpus_prepartitioned=bucketed,
     )
 
 

@@ -57,6 +57,13 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     TIMESTAMP(NANOS) which Spark has no native type for."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Let a join reuse one side's partitioning on a SUBSET of the join
+    # keys (bucketed shingle tables are clustered by doc id, the verify
+    # join adds the shingle hash): with the default=true Spark shuffles
+    # the bucketed corpus side anyway — exactly the exchange the
+    # bucketed index exists to avoid. Physical-planning-only relaxation;
+    # value parity is pytest- and oracle-pinned.
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     ship_package_to_workers(spark)
 
 
@@ -2100,6 +2107,73 @@ def _lsh_index_ensure(spark: SparkSession, sf_dir: str) -> str:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return path
+
+
+def _lsh_bucketed_index_ensure(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once lifecycle for the BUCKETED LSH screen index: same
+    content-keyed cache + atomic-rename discipline as
+    `_lsh_index_ensure`, but both artifacts land as bucketed tables
+    (bands clustered by (band, bh), shingles by doc_id) so a search
+    shuffles the delta side only. The catalog entries are re-registered
+    against the final location after the rename (`lsh_search_index`
+    does this from the params.json sidecar), so the build-dir tables
+    are dropped here."""
+    import hashlib
+    import os
+    import shutil
+
+    src = os.path.abspath(f"{sf_dir}/documents.parquet")
+    cfg = "k=5|h=64|b=16|delta=mod10ne3|bucketed=8"
+    try:
+        st = os.stat(src)
+        sig = f"{src}|{cfg}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        sig = f"{src}|{cfg}"
+    key = hashlib.sha1(sig.encode()).hexdigest()[:16]
+    path = os.path.join(_cache_root("lsh"), key)
+    prefix = f"lsh_b_{key}"
+
+    def _ready(p: str) -> bool:
+        return _dir_ready(f"{p}/bands") and _dir_ready(f"{p}/shingles")
+
+    if _ready(path):
+        return path
+    corpus = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 3)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.build-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        DD.lsh_build_index(corpus, tmp, bucket_by=8, table_prefix=prefix)
+        # the build registered tables at the tmp location; drop them so
+        # the first search re-registers against the renamed final path
+        # (external tables: metadata-only drop)
+        for t in (f"{prefix}_bands", f"{prefix}_shingles"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            if not _ready(path):
+                raise
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+@register("dedup_incremental_near_bucketed", _INCR_NEAR_ORACLE)
+def dedup_incremental_near_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The persisted ingest near-dup screen against a BUCKETED index
+    (operators/dedup.py::lsh_build_index(bucket_by=...)): bands are
+    clustered by their join key (band, bh) and shingles by doc_id at
+    WRITE time, so each search shuffles only the delta side — the
+    corpus-side exchange the plain-parquet index pays per search is
+    paid once at build (plan-tested: zero corpus-side Exchange under
+    sort-merge join). Same oracle as dedup_incremental_near: the
+    bucketed layout must produce the identical screen verdict."""
+    path = _lsh_bucketed_index_ensure(spark, sf_dir)
+    delta = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 3)
+    return DD.lsh_search_index(spark, path, delta)
 
 
 @register("dedup_incremental_near_indexed", _INCR_NEAR_ORACLE)

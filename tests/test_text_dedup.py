@@ -153,6 +153,98 @@ def test_lsh_index_append_equals_rebuild(spark, tmp_path):
     assert any(r[3] for r in a)
 
 
+def _walk_plan(node):
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _walk_plan(ch.apply(i))
+
+
+def test_lsh_bucketed_index_equals_plain_and_corpus_never_shuffles(
+    spark, tmp_path
+):
+    """bucket_by writes bands clustered by (band, bh) and shingles by
+    doc_id, so a search against the index shuffles ONLY the delta side:
+    under sort-merge join (the 100 TB strategy — broadcasts pinned off)
+    the plan has ZERO Exchange whose subtree is corpus-only, while the
+    plain-parquet index pays several. Results are identical."""
+    near = BASE.replace("quick", "rapid", 1)
+    corpus = _docs(
+        spark, [(1, BASE), (2, "other content about sailing ships at dawn")]
+    )
+    delta = _docs(spark, [(10, near), (11, "nothing similar at all here")])
+    plain, buck = str(tmp_path / "plain"), str(tmp_path / "buck")
+    DD.lsh_build_index(corpus, plain)
+    DD.lsh_build_index(corpus, buck, bucket_by=4, table_prefix="t_lshbuck")
+    assert sorted(map(tuple, DD.lsh_search_index(spark, buck, delta).collect())) == sorted(
+        map(tuple, DD.lsh_search_index(spark, plain, delta).collect())
+    )
+
+    def corpus_only_exchanges(idx):
+        df = DD.lsh_search_index(spark, idx, delta)
+        n_exch = 0
+        for n in _walk_plan(df._jdf.queryExecution().executedPlan()):
+            if "Exchange" in n.getClass().getSimpleName():
+                sub = n.toString()
+                # corpus-only subtree: the only parquet sources in this
+                # query are the index tables, the delta arrives as an
+                # RDD scan — so "has a FileScan, no RDD scan" IS the
+                # corpus side (path matching fails on truncated plans)
+                if "FileScan parquet" in sub and "ExistingRDD" not in sub \
+                        and "LocalTableScan" not in sub:
+                    n_exch += 1
+        return n_exch
+
+    confs = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert corpus_only_exchanges(buck) == 0
+        assert corpus_only_exchanges(plain) > 0
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_lsh_bucketed_append_equals_rebuild(spark, tmp_path):
+    part1 = _docs(spark, [(1, BASE), (2, "first tranche filler text")])
+    part2 = _docs(spark, [(3, BASE.replace("dog", "wolf", 1))])
+    delta = _docs(spark, [(10, BASE)])
+    inc = str(tmp_path / "binc")
+    DD.lsh_build_index(part1, inc, bucket_by=4, table_prefix="t_lshbinc")
+    DD.lsh_append_index(part2, inc)
+    full = str(tmp_path / "bfull")
+    DD.lsh_build_index(
+        part1.unionByName(part2), full, bucket_by=4, table_prefix="t_lshbfull"
+    )
+    a = sorted(map(tuple, DD.lsh_search_index(spark, inc, delta).collect()))
+    b = sorted(map(tuple, DD.lsh_search_index(spark, full, delta).collect()))
+    assert a == b
+    assert any(r[3] for r in a)  # appended near-dup visible
+
+
+def test_lsh_partial_append_refused_not_silently_served(spark, tmp_path):
+    """ADVICE r7: a crash between the two append writes leaves bands
+    and shingles disagreeing; the epoch marker stays 'pending' and a
+    search must refuse instead of screening against half a corpus."""
+    import pytest
+
+    idx = str(tmp_path / "idx")
+    DD.lsh_build_index(_docs(spark, [(1, BASE)]), idx)
+    delta = _docs(spark, [(9, BASE)])
+    assert DD.lsh_search_index(spark, idx, delta).count() == 1
+    DD._lsh_append_marker(idx, "pending")  # simulated mid-append crash
+    with pytest.raises(ValueError, match="partial append"):
+        DD.lsh_search_index(spark, idx, delta)
+    # a completed append flips the marker back to committed
+    DD.lsh_append_index(_docs(spark, [(2, "wholly unrelated words")]), idx)
+    assert DD.lsh_search_index(spark, idx, delta).count() == 1
+
+
 def test_shard_manifest_totals_and_determinism(spark):
     rows = [(i, f"doc {i} body with five tokens") for i in range(40)]
     docs = _docs(spark, rows)
