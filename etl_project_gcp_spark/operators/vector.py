@@ -827,7 +827,11 @@ def ivf_search_index(
     vectors = spark.read.parquet(f"{path}/vectors").filter(
         F.col("list_id").isin(probed_lists)
     )
-    cand = probes.join(
+    # the probe set is |queries| x nprobe rows — broadcast it so the
+    # pruned corpus partitions stream through the join WITHOUT a
+    # corpus-side shuffle (at 100 TB the vectors table is the one side
+    # that must never move; plan-tested)
+    cand = F.broadcast(probes).join(
         vectors.select(
             F.col(id_col).alias("neighbor_id"), "list_id", _as_double(vec_col).alias("cv")
         ),

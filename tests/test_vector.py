@@ -175,6 +175,49 @@ def test_ivf_persisted_index_matches_in_memory_and_prunes(spark, sf01_dir, tmp_p
     assert "list_id" in plan.split("PartitionFilters")[1].split("]")[0]
 
 
+def test_ivf_index_search_never_shuffles_vectors(spark, sf01_dir, tmp_path):
+    """The corpus side of an index search must never move: probes are
+    explicitly broadcast (hint, not size-threshold), so even under
+    forced sort-merge conditions the pruned vectors partitions stream
+    through the join with ZERO shuffle on any corpus scan."""
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    # queries as an RDD-backed frame so every FileScan in the plan is
+    # corpus-side (vectors/centroids) and the classifier is exact
+    q = spark.createDataFrame(emb.filter(F.col("vec_id") < 8).collect())
+    path = str(tmp_path / "ivf_idx")
+    VX.ivf_build_index(emb, path, n_lists=8)
+
+    def walk(n):
+        yield n
+        ch = n.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    confs = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = VX.ivf_search_index(spark, path, q, k=5, nprobe=4)
+        corpus_shuffles, broadcasts = 0, 0
+        for n in walk(df._jdf.queryExecution().executedPlan()):
+            nm = n.getClass().getSimpleName()
+            if "BroadcastExchange" in nm:
+                broadcasts += 1
+            elif "Exchange" in nm:
+                sub = n.toString()
+                if "FileScan parquet" in sub and "ExistingRDD" not in sub:
+                    corpus_shuffles += 1
+        assert corpus_shuffles == 0
+        assert broadcasts >= 1  # the probe-side hint survived
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_recall_report_all_methods_meet_floor(spark, sf01_dir, tmp_path):
     """The driver-facing recall claim: every approximate path reports
     meets_floor=True on the corpus, and the report covers exactly the
