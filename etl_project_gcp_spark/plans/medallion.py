@@ -240,3 +240,71 @@ class MedallionPipeline:
             "success": ok,
             "layers": {r.layer: r.statement_success for r in results},
         }
+
+
+def run_corpus_gold_sales_summary(
+    spark: SparkSession, sf_dir: str, root: str
+) -> DataFrame:
+    """Bronze→silver→gold over the DRIVER corpus, end to end — the
+    oracle-checkable twin of the fixture pipeline (the r7 verdict's
+    missing driver gate): every layer boundary the reference crosses
+    (etl_medallion.py:73-218) is exercised against tables an external
+    oracle can see.
+
+    - landing: ``orders`` re-lands as CSV (the reference's ingest
+      format) under ``{root}/landing``
+    - bronze:  strict FAILFAST CSV load (``read_csv_bronze``, schema
+      autodetect) → parquet
+    - silver:  typed cleanse — dates to DATE, money to DECIMAL(15,2)
+      (CSV inference is advisory; silver pins the contract types,
+      SURVEY §4.3.1), positivity filter (P8 parity)
+    - gold:    the sales_summary calendar rollup
+      (etl_medallion.py:198-209 shape), written PARTITIONED BY
+      (year, month) and read BACK from the partitioned layout — the
+      returned frame is the materialized table, not the logical plan.
+
+    Money aggregates go through exact.py so the read-back values
+    hash-match a DuckDB oracle running the same silver→gold SQL over
+    the raw ``orders`` fixture."""
+    from etl_project_gcp_spark import exact as X
+    from etl_project_gcp_spark.sources.readers import read_csv_bronze
+
+    w = root.rstrip("/")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.write.mode("overwrite").options(header=True).csv(f"{w}/landing/orders")
+
+    bronze = read_csv_bronze(spark, f"{w}/landing/orders")
+    bronze.write.mode("overwrite").parquet(f"{w}/bronze/orders")
+
+    silver = (
+        spark.read.parquet(f"{w}/bronze/orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+            F.col("o_totalprice").cast("decimal(15,2)").alias("o_totalprice"),
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .filter(F.col("o_totalprice") > 0)
+    )
+    silver.write.mode("overwrite").parquet(f"{w}/silver/orders")
+
+    gold = (
+        spark.read.parquet(f"{w}/silver/orders")
+        .groupBy(
+            F.year("o_orderdate").alias("year"),
+            F.month("o_orderdate").alias("month"),
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("total_transactions"),
+            X.dsum_round(F.col("o_totalprice")).alias("total_revenue"),
+            X.davg(F.col("o_totalprice")).alias("avg_transaction_value"),
+        )
+    )
+    gold.write.mode("overwrite").partitionBy("year", "month").parquet(
+        f"{w}/gold/sales_summary"
+    )
+    return spark.read.parquet(f"{w}/gold/sales_summary")

@@ -337,3 +337,56 @@ def test_observed_write_single_pass_metrics(spark, tmp_path):
     )
     assert got == {"n_rows": 3, "null_ids": 1, "null_vs": 1, "max_v": 10.0}
     assert spark.read.parquet(path).count() == 3
+
+
+def test_corpus_gold_sales_summary_layers_and_partitioned_layout(
+    spark, tmp_path
+):
+    """The driver-gate lineage (run_corpus_gold_sales_summary): every
+    layer materializes under the warehouse root, gold lands partitioned
+    by (year, month), and the read-back values equal the same rollup
+    computed directly over the source parquet (the CSV landing/bronze
+    roundtrip must be value-lossless after the silver typed cleanse)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_project_gcp_spark import exact as X
+    from etl_project_gcp_spark.plans.medallion import (
+        run_corpus_gold_sales_summary,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    root = str(tmp_path / "wh")
+    out = run_corpus_gold_sales_summary(spark, sf_dir, root)
+
+    for layer in ("landing/orders", "bronze/orders", "silver/orders",
+                  "gold/sales_summary"):
+        assert os.path.isdir(f"{root}/{layer}"), layer
+    # partitioned layout: year=*/month=* directories
+    years = [d for d in os.listdir(f"{root}/gold/sales_summary")
+             if d.startswith("year=")]
+    assert years
+    assert any(d.startswith("month=")
+               for d in os.listdir(f"{root}/gold/sales_summary/{years[0]}"))
+
+    direct = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_totalprice") > 0)
+        .groupBy(
+            F.year("o_orderdate").alias("year"),
+            F.month("o_orderdate").alias("month"),
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("total_transactions"),
+            X.dsum_round(F.col("o_totalprice")).alias("total_revenue"),
+            X.davg(F.col("o_totalprice")).alias("avg_transaction_value"),
+        )
+    )
+    cols = sorted(out.columns)
+    assert cols == sorted(direct.columns)
+    a = sorted(map(tuple, out.select(*cols).collect()))
+    b = sorted(map(tuple, direct.select(*cols).collect()))
+    assert a == b
