@@ -4379,6 +4379,26 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         return learned
     rows = [tuple(r) for r in learned.orderBy("rank").collect()]
     if rows != pinned:
+        # A driver hash-fail that lands here is DIAGNOSABLE (ADVICE
+        # r7): the learned table diverged from this SF's pin — either
+        # the fixture corpus was regenerated (stale _BPE_MERGES_PINNED,
+        # re-pin from tests/test_text_dedup.py's reference BPE) or the
+        # merge learner regressed. Log the first divergence so the red
+        # row points at the right one.
+        import logging
+
+        diffs = [
+            (i, p, r) for i, (p, r) in enumerate(zip(pinned, rows)) if p != r
+        ]
+        logging.getLogger(__name__).error(
+            "bpe_merges: learned table diverged from _BPE_MERGES_PINNED"
+            "[%s] (%d/%d rows differ; first: pinned=%s learned=%s) — "
+            "stale pin after a corpus regen, or a learner regression",
+            sf_name, len(diffs) + abs(len(rows) - len(pinned)),
+            max(len(rows), len(pinned)),
+            diffs[0][1] if diffs else "(length mismatch)",
+            diffs[0][2] if diffs else f"{len(rows)} rows vs {len(pinned)}",
+        )
         return learned
     return spark.createDataFrame(
         _BPE_MERGES_PINNED["sf0.01"],
@@ -5295,6 +5315,11 @@ def _drain_stream_once(
         run_to_memory_sink,
     )
 
+    import os as _os
+    import time as _time
+
+    timing = _os.environ.get("SPARK_GRAFT_DRAIN_TIMING")
+    t_land = t_drain = 0.0
     land_root = tempfile.mkdtemp(prefix=f"{sink_name}_")
     land = land_root + "/events"
     try:
@@ -5304,7 +5329,9 @@ def _drain_stream_once(
         # input partitions instead of 1 — the single-batch premise is
         # ASSERTED below, not assumed, because a multi-batch drain
         # would silently weaken the gates' batch-equivalence contract.
+        t0 = _time.time()
         landed.coalesce(8).write.mode("overwrite").parquet(land)
+        t_land = _time.time() - t0
         # A streaming query binds shuffle.partitions into its (fresh)
         # checkpoint at start. The right width is operator-specific:
         # every stateful partition carries a state STORE, so a
@@ -5321,12 +5348,14 @@ def _drain_stream_once(
                 str(stream_shuffle_partitions),
             )
         try:
+            t0 = _time.time()
             q = run_to_memory_sink(
                 plan_fn(read_event_stream(spark, land)),
                 sink_name,
                 output_mode="append",
             )
             finished = q.awaitTermination(300)
+            t_drain = _time.time() - t0
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
         if not finished:
@@ -5344,6 +5373,16 @@ def _drain_stream_once(
             )
     finally:
         shutil.rmtree(land_root, ignore_errors=True)
+    if timing:
+        # harness-vs-operator attribution (r7 verdict ask #7): the
+        # landing rebuild is pure gate harness; the drain span covers
+        # checkpoint setup + the actual streaming operator. Printed
+        # (not logged) so a probe run can grep it.
+        print(
+            f"DRAIN_TIMING {sink_name} land={t_land:.2f}s "
+            f"drain={t_drain:.2f}s",
+            flush=True,
+        )
     return spark.table(sink_name)
 
 

@@ -24,6 +24,39 @@ EVENT_SCHEMA = (
     "event_type string, value double, props string"
 )
 
+_STATE_STORE_PROVIDERS = {
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    ),
+}
+
+
+def apply_state_store_conf(spark: SparkSession) -> None:
+    """Select the state store provider from ``$SPARK_GRAFT_STATE_STORE``
+    (``rocksdb`` | ``hdfs`` | a fully-qualified provider class) before a
+    stateful stream starts — the conf binds into the query's checkpoint
+    at start, so it must be on the session first.
+
+    The cluster answer for state-per-key operators whose state outgrows
+    the executor heap (the 100x ladder put the two state-per-key drains
+    at 23-29x of sf0.1): RocksDB spills state to local disk with an
+    in-heap cache, trading per-batch latency for unbounded key
+    cardinality. Default (unset) keeps Spark's HDFS-backed in-memory
+    provider — right for the driver-gate scale. Probe numbers
+    (default vs RocksDB at 10x) live in NOTES.md."""
+    import os
+
+    sel = os.environ.get("SPARK_GRAFT_STATE_STORE")
+    if not sel:
+        return
+    cls = _STATE_STORE_PROVIDERS.get(sel.lower(), sel)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+
 
 def read_event_stream(
     spark: SparkSession,
@@ -292,6 +325,7 @@ def incremental_rollup(
             "total_value",
         )
     )
+    apply_state_store_conf(agg.sparkSession)
     return (
         agg.writeStream.format("parquet")
         .option("path", out_path)
@@ -475,7 +509,10 @@ def run_to_memory_sink(
     output_mode: str = "complete",
 ) -> StreamingQuery:
     """Drain all currently-available input into an in-memory table
-    (trigger availableNow) — used by tests and smoke checks."""
+    (trigger availableNow) — used by tests and smoke checks. Applies
+    the env-selected state store provider (``$SPARK_GRAFT_STATE_STORE``)
+    before start."""
+    apply_state_store_conf(plan.sparkSession)
     return (
         plan.writeStream.format("memory")
         .queryName(query_name)

@@ -704,3 +704,33 @@ def test_streaming_forward_fill_late_rows_never_see_the_future(
     assert got[(base - dt.timedelta(minutes=4), "click")] is None
     # late observation must not regress the carry for the 10:06 row
     assert got[(base + dt.timedelta(minutes=6), "click")] == 50.0
+
+
+def test_state_store_provider_env_surface(spark, monkeypatch):
+    """$SPARK_GRAFT_STATE_STORE selects the state store provider class
+    (alias or fully-qualified) before a stateful stream starts; unset
+    leaves the session conf untouched (Spark's HDFS-backed default)."""
+    from etl_project_gcp_spark.streaming.streams import (
+        apply_state_store_conf,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = spark.conf.get(key, None)
+
+    monkeypatch.delenv("SPARK_GRAFT_STATE_STORE", raising=False)
+    apply_state_store_conf(spark)
+    assert spark.conf.get(key, None) == default
+
+    monkeypatch.setenv("SPARK_GRAFT_STATE_STORE", "rocksdb")
+    apply_state_store_conf(spark)
+    assert spark.conf.get(key).endswith("RocksDBStateStoreProvider")
+
+    monkeypatch.setenv("SPARK_GRAFT_STATE_STORE", "custom.Provider")
+    apply_state_store_conf(spark)
+    assert spark.conf.get(key) == "custom.Provider"
+
+    # restore: a lingering provider would rebind every later stream
+    if default is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, default)
