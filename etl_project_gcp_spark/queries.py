@@ -5168,21 +5168,8 @@ def streaming_rollup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark bounding state (tests/test_streaming.py covers the
     incremental refresh); complete mode here is what makes the result
     oracle-comparable in one shot."""
-    import shutil
-    import tempfile
-
-    from etl_project_gcp_spark.streaming.streams import (
-        read_event_stream,
-        run_to_memory_sink,
-    )
-
-    ev = _events(spark, sf_dir)
-    land_root = tempfile.mkdtemp(prefix="stream_drain_")
-    land = land_root + "/events"
-    try:
-        ev.coalesce(4).write.mode("overwrite").parquet(land)
-        stream = read_event_stream(spark, land)
-        agg = (
+    def plan(stream):
+        return (
             stream.groupBy(
                 F.window("ts", "1 hour").alias("win"), "event_type"
             )
@@ -5197,22 +5184,14 @@ def streaming_rollup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_value",
             )
         )
-        q = run_to_memory_sink(agg, "streaming_rollup_drain_sink")
-        finished = q.awaitTermination(300)
-        if not finished:
-            # a timed-out drain must fail LOUDLY, not return a partial
-            # memory table that reads as a rollup-correctness bug
-            q.stop()
-            raise RuntimeError(
-                "streaming_rollup_drain: availableNow drain did not "
-                "finish within 300 s"
-            )
-    finally:
-        # the drained rows live in the memory sink, not the landing
-        # files — safe to reclaim once the query has terminated (and
-        # repeated or failed runs must not accumulate landed copies)
-        shutil.rmtree(land_root, ignore_errors=True)
-    return spark.table("streaming_rollup_drain_sink")
+
+    return _drain_stream_once(
+        spark,
+        _events(spark, sf_dir),
+        plan,
+        "streaming_rollup_drain_sink",
+        output_mode="complete",
+    )
 
 
 @register(
@@ -5300,6 +5279,7 @@ def _drain_stream_once(
     plan_fn,
     sink_name: str,
     stream_shuffle_partitions: int | None = None,
+    output_mode: str = "append",
 ):
     """Shared availableNow-drain harness for the streaming driver gates:
     land ``landed`` as ONE parquet file in a temp dir (single file → one
@@ -5352,7 +5332,7 @@ def _drain_stream_once(
             q = run_to_memory_sink(
                 plan_fn(read_event_stream(spark, land)),
                 sink_name,
-                output_mode="append",
+                output_mode=output_mode,
             )
             finished = q.awaitTermination(300)
             t_drain = _time.time() - t0
