@@ -5559,3 +5559,99 @@ def medallion_gold_sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "train_val_test_split",
+    """
+    WITH b AS (
+        SELECT lang, n_chars,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM b
+    GROUP BY 1, 2
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment over the corpus
+    via the md5 stable-bucket recipe (same primitive as
+    ``doc_stable_sample``): every document lands in exactly one split,
+    the SAME split in any engine, on any partitioning, across reruns —
+    rand()-based splits guarantee none of those, and a training corpus
+    whose held-out set drifts between materializations silently
+    contaminates evals. Returned as the per-split × language audit
+    table a pipeline signs off on (doc counts + char mass), which also
+    makes the disjoint-and-total property hash-checkable: buckets are
+    a partition of [0,100) by construction, so per-split counts must
+    sum to the corpus. One hash-only shuffle (groupBy split,lang);
+    the split expression itself is map-side and reusable verbatim as
+    the partition key of an export write."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = TX.stable_bucket("doc_id", 100)
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "jsonl_roundtrip",
+    """
+    SELECT doc_id, lang, source, md5(text) AS text_md5
+    FROM documents
+    """,
+)
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source/sink round-trip as a driver-checked value claim
+    (readers.py::read_jsonl / writers.py::write_jsonl — the interchange
+    format LLM corpora ship in, previously pytest-only): the documents
+    table lands as line-delimited JSON, reads back under a PINNED
+    schema (no inference pass — the 100 TB discipline), and every
+    text column comes home byte-identical, proven by md5 over the
+    round-tripped text hash-compared against the parquet-sourced
+    oracle. Newline/quote/unicode escaping bugs in either direction
+    break the hash. The landed copy is reclaimed after the read
+    materializes."""
+    import shutil
+    import tempfile
+
+    from etl_project_gcp_spark.sources.readers import read_jsonl
+    from etl_project_gcp_spark.sources.writers import write_jsonl
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    tmp_root = tempfile.mkdtemp(prefix="jsonl_roundtrip_")
+    out = tmp_root + "/documents_jsonl"
+    try:
+        write_jsonl(docs, out)
+        back = (
+            read_jsonl(
+                spark, out,
+                "doc_id bigint, text string, lang string, source string",
+            )
+            .select(
+                "doc_id", "lang", "source", F.md5("text").alias("text_md5")
+            )
+            .localCheckpoint()  # materialize before files are reclaimed
+        )
+    finally:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+    return back

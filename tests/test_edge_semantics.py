@@ -56,3 +56,29 @@ def test_dsum_round_survives_large_sums(spark):
     df = spark.range(1000).select((F.lit(999_999_999.99)).alias("v"))
     got = df.agg(X.dsum_round(F.col("v")).alias("s")).collect()[0].s
     assert Decimal(str(got)) == Decimal("999999999990.00")
+
+
+def test_train_val_test_split_is_total_disjoint_deterministic(spark):
+    """The 80/10/10 split must partition the corpus exactly (every doc
+    in one split), reproduce bit-identically across runs, and land
+    within sane mass of its nominal fractions (md5 buckets are
+    near-uniform; sf0.001 has 500 docs, so allow wide tolerance)."""
+    from etl_project_gcp_spark.queries import _t, train_val_test_split
+
+    sf = "/root/testdata/sf0.001"
+    out = train_val_test_split(spark, sf).collect()
+    n_corpus = _t(spark, sf, "documents").count()
+
+    assert sum(r.n_docs for r in out) == n_corpus  # total + disjoint
+    by_split = {}
+    for r in out:
+        by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+    assert set(by_split) == {"train", "val", "test"}
+    assert 0.70 <= by_split["train"] / n_corpus <= 0.90
+    assert 0.04 <= by_split["val"] / n_corpus <= 0.16
+    assert 0.04 <= by_split["test"] / n_corpus <= 0.16
+
+    again = train_val_test_split(spark, sf).collect()
+    assert sorted(map(tuple, out), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, again), key=lambda t: (t[0], t[1])
+    )
