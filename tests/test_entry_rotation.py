@@ -48,15 +48,18 @@ def test_rotation_orders_by_green_count(tmp_path):
 
 
 def test_recheck_slice_heads_rotation_with_greens():
-    """Stale-green guard: when past rounds recorded greens, the first
-    min(_RECHECK_SLOTS, n_green) rotation entries must all be previously
-    green, so the driver's bounded verify prefix re-proves them."""
+    """Stale-green guard: right after the _FORCE_RECHECK block (which
+    may legitimately hold never-green entries — e.g. an entry whose
+    oracle was just fixed), the next min(_RECHECK_SLOTS, n_green)
+    rotation entries must all be previously green, so the driver's
+    bounded verify prefix re-proves them."""
     qs = list(E.Q.queries())
     greens = E._rounds_green(qs)
     n_green = sum(1 for g in greens.values() if g > 0)
     assert n_green >= E._RECHECK_SLOTS  # corpus has 100+ green rows by now
     rotated = E._rotation_order(qs)
-    head = rotated[: E._RECHECK_SLOTS]
+    n_forced = len([n for n in E._FORCE_RECHECK if n in set(qs)])
+    head = rotated[n_forced : n_forced + E._RECHECK_SLOTS]
     assert all(greens[n] > 0 for n in head)
 
 
