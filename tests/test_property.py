@@ -377,3 +377,41 @@ def test_incremental_dedup_matches_set_reference(spark, delta, corpus):
     assert got == {min(ids): len(ids) for ids in want.values()}, (
         delta, corpus,
     )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    modulus=st.sampled_from([2, 10, 100, 10007]),
+)
+def test_stable_bucket_matches_md5_reference(spark, ids, modulus):
+    """The engine-independence claim behind doc_stable_sample /
+    train_val_test_split / shard_manifest, pinned against a
+    plain-Python reference: stable_bucket(id, m) must equal
+    int(md5(str(id))[:8], 16) % m for ANY long id (negatives included —
+    Spark's CAST(long AS string) and Python's str() must agree) and any
+    modulus."""
+    import hashlib
+
+    from etl_project_gcp_spark.operators.text import stable_bucket
+
+    got = {
+        r.i: r.b
+        for r in spark.createDataFrame([(i,) for i in ids], "i long")
+        .select("i", stable_bucket("i", modulus).alias("b"))
+        .collect()
+    }
+    want = {
+        i: int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % modulus
+        for i in ids
+    }
+    assert got == want
