@@ -506,8 +506,17 @@ def _lsh_check_append_state(path: str) -> None:
     p = os.path.join(path, "append_state.json")
     if not os.path.exists(p):
         return
-    with open(p) as f:
-        st = json.load(f)
+    try:
+        with open(p) as f:
+            st = json.load(f)
+    except (OSError, ValueError) as e:
+        # a torn marker write is the same hazard as a torn append:
+        # refuse loudly instead of guessing which table state is live
+        raise ValueError(
+            f"LSH index at {path} has an unreadable append marker "
+            f"({e}): bands and shingles may disagree — rebuild the "
+            f"index or re-run the failed append before searching"
+        ) from e
     if st.get("state") != "committed":
         raise ValueError(
             f"LSH index at {path} has a partial append (epoch "
@@ -524,9 +533,30 @@ def _ensure_bucketed_table(
     catalog (in-memory derby) no longer knows it: the bucketed files on
     disk carry their bucket ids in the file names, so a CREATE TABLE
     with the same CLUSTERED BY spec over the same location restores
-    shuffle-free reads without rewriting a byte."""
+    shuffle-free reads without rewriting a byte.
+
+    An existing registration only counts if it points at THIS index's
+    location: the default table_prefix derives from the path BASENAME,
+    so two indexes at different paths with the same final directory
+    name (tmp-dir fixtures do this constantly) would otherwise
+    silently serve each other's tables. On a location mismatch the
+    stale registration is dropped (external table — files untouched)
+    and re-created here."""
+
+    def _norm(uri: str) -> str:
+        u = uri or ""
+        if u.startswith("file:"):
+            u = u[len("file:"):]
+        return u.rstrip("/")
+
     if spark.catalog.tableExists(name):
-        return
+        rows = spark.sql(f"DESCRIBE FORMATTED {name}").collect()
+        loc = next(
+            (r.data_type for r in rows if r.col_name == "Location"), None
+        )
+        if loc is not None and _norm(loc) == _norm(location):
+            return
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
     ddl = spark.read.parquet(location).schema.toDDL()
     cols = ", ".join(bucket_cols)
     spark.sql(

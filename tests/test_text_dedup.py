@@ -1022,3 +1022,35 @@ def test_empty_and_whitespace_docs_shingle_identically(spark):
     empties = {s for d, s in sh if d in (1, 2, 3)}
     assert len(empties) == 1, "all degenerate docs must share one shingle"
     assert not (empties & {s for d, s in sh if d == 4})
+
+
+def test_lsh_bucketed_same_basename_indexes_do_not_cross_serve(
+    spark, tmp_path
+):
+    """The default table_prefix derives from the index path's BASENAME,
+    so two indexes at .../a/idx and .../b/idx collide on table names.
+    A search against the second index must re-register the tables at
+    ITS location (drop the stale external registration), never silently
+    screen against the first index's corpus."""
+    corpus_a = _docs(
+        spark, [(1, BASE), (2, "other content about sailing ships")]
+    )
+    corpus_b = _docs(
+        spark, [(5, "completely unrelated treatise on alpine botany")]
+    )
+    delta = _docs(spark, [(10, BASE)])
+    idx_a = str(tmp_path / "a" / "idx")
+    idx_b = str(tmp_path / "b" / "idx")
+    DD.lsh_build_index(corpus_a, idx_a, bucket_by=4)
+    DD.lsh_build_index(corpus_b, idx_b, bucket_by=4)
+
+    hit_a = {r.doc_id: r.is_near_dup
+             for r in DD.lsh_search_index(spark, idx_a, delta).collect()}
+    hit_b = {r.doc_id: r.is_near_dup
+             for r in DD.lsh_search_index(spark, idx_b, delta).collect()}
+    assert hit_a[10] is True      # BASE lives in corpus A
+    assert hit_b[10] is False     # ...and must NOT leak into index B
+    # and back again: the re-registration is symmetric, not one-shot
+    hit_a2 = {r.doc_id: r.is_near_dup
+              for r in DD.lsh_search_index(spark, idx_a, delta).collect()}
+    assert hit_a2[10] is True
