@@ -5655,3 +5655,57 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp_root, ignore_errors=True)
     return back
+
+
+@register(
+    "training_export_pipeline",
+    """
+    WITH surv AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+    ), d AS (
+        SELECT doc_id, text,
+               len(list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '')) AS n_tok
+        FROM documents JOIN surv USING (doc_id)
+    ), f AS (
+        SELECT text, n_tok,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS b,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 8))
+                    AS BIGINT) % 4 AS shard
+        FROM d WHERE n_tok >= 10
+    )
+    SELECT CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           shard,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT)        AS n_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars
+    FROM f GROUP BY 1, 2
+    """,
+)
+def training_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-data flagship as a DRIVER gate, twin to
+    ``medallion_gold_sales_summary`` on the relational side: exact
+    dedup -> token-floor quality gate -> deterministic 80/10/10 split
+    -> independent md5 shard -> partitioned JSONL export -> read-back
+    -> per-(split, shard) manifest (plans/export.py). The oracle
+    replays the same deterministic chain in DuckDB over the raw
+    documents fixture, so a value drift anywhere — survivor selection,
+    token floor, split/shard hashing, JSON escaping, partition
+    encoding, read-back typing — hash-fails. Totals are recomputed
+    from the ROUND-TRIPPED text, not carried through the write."""
+    import shutil
+    import tempfile
+
+    from etl_project_gcp_spark.plans.export import run_training_export
+
+    root = tempfile.mkdtemp(prefix="training_export_")
+    try:
+        out = run_training_export(
+            spark, _t(spark, sf_dir, "documents"), root
+        ).localCheckpoint()  # materialize before the shards are reclaimed
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
