@@ -194,12 +194,31 @@ def stateful_sessionize(
         # DIFFERENT micro-batches still close separately (their session
         # may already be emitted — unrecoverable under append mode).
         late = None
+
+        def fold_late_if_bridged(s, n, total):
+            # A non-late event may have backward-extended the session
+            # (s = min(s, t)) to within gap of the pending late group —
+            # batch semantics (the lag+cumsum oracle) then make them ONE
+            # session (ADVICE r7). This fold must run BOTH at end of
+            # batch AND whenever the open session closes mid-batch: a
+            # much later event in the same batch closes the bridged
+            # session before the end-of-loop check, and testing the late
+            # group against the NEW session would emit a spurious
+            # singleton. The late prefix precedes s, so on a fold it
+            # becomes the session start; last is unchanged.
+            nonlocal late
+            if late is not None and s is not None and s - late[1] <= gap_us:
+                s, n, total = late[0], n + late[2], total + late[3]
+                late = None
+            return s, n, total
+
         for ts, val in zip(rows[ts_col], rows["value"]):
             t = ts.value // 1000  # ns → us
             if s is None:
                 s = last = t
                 n, total = 1, float(val)
             elif t - last > gap_us:
+                s, n, total = fold_late_if_bridged(s, n, total)
                 closed.append((s, last, n, total))
                 s = last = t
                 n, total = 1, float(val)
@@ -222,20 +241,11 @@ def stateful_sessionize(
                 n += 1
                 total += float(val)
 
+        s, n, total = fold_late_if_bridged(s, n, total)
         if late is not None:
-            # A later event in THIS batch can backward-extend the open
-            # session (s = min(s, t)) to within gap of the late group —
-            # batch semantics (the lag+cumsum oracle) then make them ONE
-            # session. Merge instead of closing (ADVICE r7): the late
-            # group precedes s, so it becomes the new session start and
-            # last is unchanged. Only a late group still > gap from the
-            # final s closes separately.
-            if s is not None and s - late[1] <= gap_us:
-                s = late[0]
-                n += late[2]
-                total += late[3]
-            else:
-                closed.append(tuple(late))
+            # still pending after the fold check: genuinely > gap from
+            # every session it could have joined — its own session
+            closed.append(tuple(late))
         state.update((s, last, n, total))
         state.setTimeoutTimestamp((last + gap_us) // 1000)  # us → ms
         if closed:

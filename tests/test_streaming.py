@@ -734,3 +734,66 @@ def test_state_store_provider_env_surface(spark, monkeypatch):
         spark.conf.unset(key)
     else:
         spark.conf.set(key, default)
+
+
+def test_stateful_sessionize_bridged_late_group_merges_before_midbatch_close(
+    spark, tmp_path_factory
+):
+    """Deeper variant of the r7 bridged-late case: the bridged session
+    CLOSES mid-batch (a much later event in the same batch opens a new
+    session), so the late-merge check must run at close time — an
+    end-of-loop-only check would compare the late group against the NEW
+    session and emit a spurious singleton."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from etl_project_gcp_spark.streaming import (
+        read_event_stream,
+        stateful_sessionize,
+    )
+
+    root = tmp_path_factory.mktemp("late_bridge_close")
+    source, out, ckpt = (str(root / d) for d in ("src", "out", "ckpt"))
+
+    def land(*rows):
+        spark.createDataFrame(
+            [Row(event_id=i, ts=t, user_id=1, event_type="click",
+                 value=1.0, props="{}")
+             for i, t in enumerate(rows)],
+        ).write.mode("append").parquet(source)
+
+    def drain():
+        _drain_to_parquet(
+            stateful_sessionize(
+                read_event_stream(spark, source),
+                gap_seconds=1800,
+                watermark="4 hours",
+            ),
+            out, ckpt,
+        )
+
+    base = dt.datetime(2024, 1, 1, 13, 0)
+    land(base)                                      # open session 13:00
+    drain()
+    # one batch: 12:10 provisionally late vs s=13:00; 12:35 bridges it
+    # (pulls s to 12:35); 14:30 closes the bridged session IN-BATCH
+    land(base - dt.timedelta(minutes=50),
+         base - dt.timedelta(minutes=25),
+         base + dt.timedelta(minutes=90))
+    drain()
+    land(base + dt.timedelta(hours=4))              # close the 14:30 one
+    drain()
+
+    closed = {
+        (r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    # batch semantics: 12:10/12:35/13:00 are ONE session
+    assert (base - dt.timedelta(minutes=50), base, 3, 3.0) in closed, closed
+    assert (base + dt.timedelta(minutes=90),
+            base + dt.timedelta(minutes=90), 1, 1.0) in closed, closed
+    assert not any(
+        s == e == base - dt.timedelta(minutes=50)
+        for s, e, _, _ in closed
+    ), closed
