@@ -383,13 +383,16 @@ def streaming_forward_fill(
     of stream length. Within a micro-batch rows are ordered by
     (event-time, event_id) before the fold, so intra-batch order is
     exact. Late-data contract (one-tuple state cannot replay history):
-    a late EVENT older than the carried observation emits NULL — never
-    a value from its future (the stored observation time gates every
-    fill); a late OBSERVATION older than the carried one never
-    regresses the state (newer-or-equal event time wins), though rows
-    already emitted are not retracted — the same no-retraction contract
-    every append-mode streaming operator carries (the batch formulation
-    is the replayable truth).
+    a late EVENT older than the carried observation fills from the
+    latest late OBSERVATION in the SAME batch at or before it (both
+    are in hand — sorted rows make this a second running carry), and
+    emits NULL only when no admitted observation at-or-before exists
+    anywhere; it never takes a value from its future (each carry's
+    observation time gates every fill). A late observation older than
+    the carried one never regresses the state (newer-or-equal event
+    time wins), and rows already emitted are not retracted — the same
+    no-retraction contract every append-mode streaming operator
+    carries (the batch formulation is the replayable truth).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -408,19 +411,37 @@ def streaming_forward_fill(
         rows = pd.concat(list(pdfs)).sort_values([ts_col, "event_id"])
         v = state.get[0] if state.exists else None
         t = state.get[1] if state.exists else None
+        # second carry for LATE observations (older than the state
+        # carry): they must not regress the state, but a late EVENT in
+        # the same sorted batch sitting between a late observation and
+        # the state carry legitimately fills from it — batch semantics
+        # (the last_value oracle) would, and both rows are in hand.
+        # Never persisted: lt < t always, so the state tuple stays the
+        # single latest observation.
+        lv = lt = None
         filled = []
         for ts, et, val in zip(
             rows[ts_col], rows["event_type"], rows["value"]
         ):
             rt = ts.value // 1000
-            if et == observe_type and (t is None or rt >= t):
-                # newer-or-equal observation advances the carry; a LATE
-                # observation must not regress it for subsequent rows
-                v, t = float(val), rt
-            # fill only from an observation AT OR BEFORE this row — a
-            # late row older than the carry gets NULL, never a value
-            # from its future
-            filled.append(v if (t is not None and t <= rt) else None)
+            if et == observe_type:
+                if t is None or rt >= t:
+                    # newer-or-equal observation advances the carry; a
+                    # LATE one must not regress it for subsequent rows
+                    v, t = float(val), rt
+                elif lt is None or rt >= lt:
+                    lv, lt = float(val), rt
+            # fill from the LATEST observation at or before this row —
+            # the main carry when admitted (t <= rt), else the late
+            # carry (lt < t always, so main wins when both qualify);
+            # NULL when neither precedes the row: never a value from
+            # the row's future
+            if t is not None and t <= rt:
+                filled.append(v)
+            elif lt is not None and lt <= rt:
+                filled.append(lv)
+            else:
+                filled.append(None)
         if v is not None:
             state.update((v, t))
         out = pd.DataFrame(

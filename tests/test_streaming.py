@@ -797,3 +797,60 @@ def test_stateful_sessionize_bridged_late_group_merges_before_midbatch_close(
         s == e == base - dt.timedelta(minutes=50)
         for s, e, _, _ in closed
     ), closed
+
+
+def test_streaming_forward_fill_late_event_fills_from_same_batch_late_obs(
+    spark, tmp_path_factory
+):
+    """A late event and a late observation arriving in the SAME batch:
+    the event must fill from the late observation at-or-before it
+    (batch semantics — both rows are in hand), while the state carry
+    never regresses and rows after the carry still fill from it."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from etl_project_gcp_spark.streaming import (
+        read_event_stream,
+        streaming_forward_fill,
+    )
+
+    root = tmp_path_factory.mktemp("ff_late_pair")
+    source, out, ckpt = (str(root / d) for d in ("src", "out", "ckpt"))
+
+    def land(*rows):
+        spark.createDataFrame(
+            [Row(event_id=i, ts=t, user_id=1, event_type=et, value=v,
+                 props="{}")
+             for i, (t, et, v) in enumerate(rows)],
+        ).write.mode("append").parquet(source)
+
+    def drain():
+        _drain_to_parquet(
+            streaming_forward_fill(
+                read_event_stream(spark, source), watermark="4 hours"
+            ),
+            out, ckpt,
+        )
+
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    land((base, "purchase", 50.0))                            # carry @10:00
+    drain()
+    land(
+        (base - dt.timedelta(minutes=20), "purchase", 30.0),  # late obs 09:40
+        (base - dt.timedelta(minutes=10), "click", 0.0),      # late evt 09:50
+        (base - dt.timedelta(minutes=30), "click", 0.0),      # 09:30: pre-obs
+        (base + dt.timedelta(minutes=5), "click", 0.0),       # 10:05
+    )
+    drain()
+
+    got = {
+        (r.ts, r.event_type): r.last_obs_value
+        for r in spark.read.parquet(out).collect()
+    }
+    # late event fills from the same-batch late observation, not NULL
+    assert got[(base - dt.timedelta(minutes=10), "click")] == 30.0
+    # a late event BEFORE any admitted observation stays NULL
+    assert got[(base - dt.timedelta(minutes=30), "click")] is None
+    # the state carry is not regressed by the late observation
+    assert got[(base + dt.timedelta(minutes=5), "click")] == 50.0
