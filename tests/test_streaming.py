@@ -854,3 +854,82 @@ def test_streaming_forward_fill_late_event_fills_from_same_batch_late_obs(
     assert got[(base - dt.timedelta(minutes=30), "click")] is None
     # the state carry is not regressed by the late observation
     assert got[(base + dt.timedelta(minutes=5), "click")] == 50.0
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_stateful_sessionize_multibatch_matches_batch_replay(
+    spark, tmp_path_factory, seed
+):
+    """Cross-batch state continuation, randomized: random per-user event
+    times split into time-ordered micro-batches must yield EXACTLY the
+    batch sessionization (plain-Python gap replay) once every session
+    has closed — in-order arrival means the streaming fold's state
+    hand-off is the only thing under test. Seeded (not hypothesis):
+    each example pays real drains."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import Row
+
+    from etl_project_gcp_spark.streaming import (
+        read_event_stream,
+        stateful_sessionize,
+    )
+
+    rng = random.Random(seed)
+    gap_s = 1800
+    base = dt.datetime(2024, 1, 1, 8, 0)
+    events = sorted(
+        (
+            base + dt.timedelta(seconds=rng.randrange(0, 6 * 3600)),
+            rng.randrange(1, 4),  # 3 users
+        )
+        for _ in range(60)
+    )
+
+    # plain-Python replay: per user, split on gap > 30 min
+    want = set()
+    per_user: dict[int, list] = {}
+    for ts, uid in events:
+        per_user.setdefault(uid, []).append(ts)
+    for uid, tss in per_user.items():
+        start = prev = tss[0]
+        n = 1
+        for t in tss[1:]:
+            if (t - prev).total_seconds() > gap_s:
+                want.add((uid, start, prev, n))
+                start, n = t, 0
+            n += 1
+            prev = t
+        want.add((uid, start, prev, n))
+
+    root = tmp_path_factory.mktemp(f"sess_prop_{seed}")
+    source, out, ckpt = (str(root / d) for d in ("src", "out", "ckpt"))
+    n_batches = rng.randrange(2, 5)
+    cut = sorted(rng.sample(range(1, len(events)), n_batches - 1))
+    batches = [
+        events[a:b] for a, b in zip([0] + cut, cut + [len(events)])
+    ]
+    flush = base + dt.timedelta(hours=12)  # closes every open session
+    batches.append([(flush, uid) for uid in per_user])
+    for batch in batches:
+        spark.createDataFrame(
+            [Row(event_id=i, ts=t, user_id=uid, event_type="click",
+                 value=1.0, props="{}")
+             for i, (t, uid) in enumerate(batch)],
+        ).write.mode("append").parquet(source)
+        _drain_to_parquet(
+            stateful_sessionize(
+                read_event_stream(spark, source),
+                gap_seconds=gap_s,
+                watermark="10 minutes",
+            ),
+            out, ckpt,
+        )
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out).collect()
+        if r.session_start != flush  # the flush singletons are scaffold
+    }
+    assert got == want
