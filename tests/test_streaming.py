@@ -933,3 +933,62 @@ def test_stateful_sessionize_multibatch_matches_batch_replay(
         if r.session_start != flush  # the flush singletons are scaffold
     }
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [7, 31])
+def test_streaming_forward_fill_multibatch_matches_batch_replay(
+    spark, tmp_path_factory, seed
+):
+    """Cross-batch carry hand-off, randomized: random in-order event
+    streams (clicks interleaved with purchase observations) split into
+    time-ordered micro-batches must fill exactly like a plain-Python
+    last-observation replay of the full log."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import Row
+
+    from etl_project_gcp_spark.streaming import (
+        read_event_stream,
+        streaming_forward_fill,
+    )
+
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 1, 1, 8, 0)
+    events = []
+    for i in range(50):
+        ts = base + dt.timedelta(seconds=rng.randrange(0, 4 * 3600))
+        uid = rng.randrange(1, 4)
+        et = "purchase" if rng.random() < 0.3 else "click"
+        events.append((ts, uid, et, float(rng.randrange(1, 100))))
+    events.sort(key=lambda e: e[0])
+
+    want = {}
+    carry: dict[int, float] = {}
+    for i, (ts, uid, et, val) in enumerate(events):
+        if et == "purchase":
+            carry[uid] = val
+        want[(uid, ts, i)] = carry.get(uid)
+
+    root = tmp_path_factory.mktemp(f"ff_prop_{seed}")
+    source, out, ckpt = (str(root / d) for d in ("src", "out", "ckpt"))
+    n_batches = rng.randrange(2, 5)
+    cut = sorted(rng.sample(range(1, len(events)), n_batches - 1))
+    for a, b in zip([0] + cut, cut + [len(events)]):
+        spark.createDataFrame(
+            [Row(event_id=i, ts=t, user_id=uid, event_type=et, value=v,
+                 props="{}")
+             for i, (t, uid, et, v) in enumerate(events[a:b], start=a)],
+        ).write.mode("append").parquet(source)
+        _drain_to_parquet(
+            streaming_forward_fill(
+                read_event_stream(spark, source), watermark="10 minutes"
+            ),
+            out, ckpt,
+        )
+
+    got = {
+        (r.user_id, r.ts, r.event_id): r.last_obs_value
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == want
