@@ -992,3 +992,73 @@ def test_streaming_forward_fill_multibatch_matches_batch_replay(
         for r in spark.read.parquet(out).collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [13, 29])
+def test_streaming_interval_join_multibatch_matches_replay(
+    spark, tmp_path_factory, seed
+):
+    """Cross-batch stream-stream buffering, randomized: right-side rows
+    must stay joinable to left rows that arrive in LATER micro-batches
+    while still inside the lookback — in-order random streams split
+    into batches must produce exactly the plain-Python interval-join
+    replay of the full log (matched pairs, no drops, no duplicates)."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import Row
+
+    from etl_project_gcp_spark.streaming import (
+        read_event_stream,
+        streaming_interval_join,
+    )
+
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 1, 1, 8, 0)
+    lookback = 300
+    events = sorted(
+        (
+            base + dt.timedelta(seconds=rng.randrange(0, 3600)),
+            rng.randrange(1, 4),
+            "error" if rng.random() < 0.4 else "click",
+        )
+        for _ in range(40)
+    )
+    rows = [
+        (i, ts, uid, et) for i, (ts, uid, et) in enumerate(events)
+    ]
+
+    want = {
+        (luid, lid, rid)
+        for lid, lts, luid, let in rows if let == "error"
+        for rid, rts, ruid, ret in rows if ret == "click"
+        if ruid == luid and rts <= lts
+        and (lts - rts).total_seconds() < lookback
+    }
+
+    root = tmp_path_factory.mktemp(f"ij_prop_{seed}")
+    source, out, ckpt = (str(root / d) for d in ("src", "out", "ckpt"))
+    n_batches = rng.randrange(2, 5)
+    cut = sorted(rng.sample(range(1, len(rows)), n_batches - 1))
+    for a, b in zip([0] + cut, cut + [len(rows)]):
+        spark.createDataFrame(
+            [Row(event_id=i, ts=t, user_id=uid, event_type=et, value=1.0,
+                 props="{}")
+             for i, t, uid, et in rows[a:b]],
+        ).write.mode("append").parquet(source)
+        stream = read_event_stream(spark, source)
+        _drain_to_parquet(
+            streaming_interval_join(
+                stream.filter(F.col("event_type") == "error"),
+                stream.filter(F.col("event_type") == "click"),
+                lookback_seconds=lookback,
+                watermark="2 hours",  # in-order test: admit everything
+            ),
+            out, ckpt,
+        )
+
+    got = {
+        (r.user_id, r.left_id, r.right_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == want
