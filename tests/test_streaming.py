@@ -1062,3 +1062,47 @@ def test_streaming_interval_join_multibatch_matches_replay(
         for r in spark.read.parquet(out).collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_suppresses_cross_batch_dupe_within_watermark(
+    spark, tmp_path_factory
+):
+    """A duplicate key arriving in a LATER micro-batch while still
+    inside the watermark horizon must be suppressed — the state store
+    carries seen keys across batches, which the single-batch drain gate
+    never exercises."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from etl_project_gcp_spark.streaming import streaming_dedup
+
+    root = tmp_path_factory.mktemp("dedup_xbatch")
+    source, out, ckpt = (str(root / d) for d in ("src", "out", "ckpt"))
+    base = dt.datetime(2024, 1, 1, 10, 0)
+
+    def land(*rows):
+        spark.createDataFrame(
+            [Row(event_id=i, ts=t, user_id=1, event_type="click",
+                 value=1.0, props="{}")
+             for i, t in rows],
+        ).write.mode("append").parquet(source)
+
+    def drain():
+        _drain_to_parquet(
+            streaming_dedup(
+                read_event_stream(spark, source),
+                keys=("event_id",),
+                watermark="1 hour",
+            ),
+            out, ckpt,
+        )
+
+    land((1, base), (2, base + dt.timedelta(minutes=1)))
+    drain()
+    land((1, base + dt.timedelta(minutes=5)),   # dupe, in-window: drop
+         (3, base + dt.timedelta(minutes=6)))
+    drain()
+
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3]
