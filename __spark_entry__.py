@@ -35,13 +35,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (bpe_merges, dedup_minhash, ..., binary_resize_meta) all got their
 # r7 hash-green rows and are cleared per the r7 verdict ask #2.
 _FORCE_RECHECK = [
-    # r8: oracle output sums now CAST(... AS BIGINT) (was bare
-    # sum(BIGINT) -> DuckDB HUGEINT, the judge-diagnosed hasher
-    # mismatch; Spark side unchanged, judge-verified value-correct).
-    "training_shard_manifest",
-    # r8: oracle rewritten NOT IN -> NOT EXISTS (NULL-safe, matches
-    # left_anti) per r7 ADVICE; re-prove under the new oracle.
-    "dedup_incremental",
+    # r9: formerly rows-only ANN entries now carry pinned-VALUES
+    # oracles (r8 verdict ask #3) — their prior clean rounds were the
+    # weaker rows-only check, so force the first full-hash row.
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_ivf_index_topk",
+    # r8's pair (training_shard_manifest, dedup_incremental) got their
+    # hash-green r8 rows under the fixed oracles and are cleared.
 ]
 
 # Registry entries the verify harness should reach first this round —
@@ -49,18 +50,16 @@ _FORCE_RECHECK = [
 # still come first. Use _FORCE_RECHECK for entries that must be reached
 # regardless of their green count.
 _PRIORITY = [
-    # r7's single-green entries: one more clean round each gets the
-    # registry to >=2 clean driver rounds nearly everywhere (r7 verdict
-    # ask #2). They sit in the 1-green tier so the rotation reaches
-    # them anyway; listing them pins their order deterministically.
-    "dedup_incremental_near",
-    "dedup_incremental_near_indexed",
-    "source_token_budget_cap",
-    "streaming_sessionize_drain",
-    "streaming_interval_join_drain",
-    "streaming_forward_fill_drain",
-    "streaming_dedup_drain",
-    "binary_resize_meta",
+    # r8's single-green entries: one more clean round each closes the
+    # >=2-clean-rounds tail registry-wide (r8 verdict ask #2). They
+    # sit in the 1-green tier so the rotation reaches them anyway;
+    # listing them pins their order deterministically.
+    "medallion_gold_sales_summary",
+    "training_export_pipeline",
+    "train_val_test_split",
+    "jsonl_roundtrip",
+    "dedup_incremental_near_bucketed",
+    "training_shard_manifest",
 ]
 
 

@@ -481,34 +481,43 @@ def _lsh_append_marker(path: str, state: str) -> None:
     that finds ``pending`` refuses instead of silently screening against
     a half-appended corpus (bands visible, shingles absent) — each
     directory's per-append ``_SUCCESS`` rewrite cannot distinguish the
-    two (ADVICE r7)."""
-    import json
-    import os
+    two (ADVICE r7).
 
-    p = os.path.join(path, "append_state.json")
+    Written via :mod:`sources.fsio` (Hadoop ``FileSystem``): the marker
+    follows the index to any scheme (``gs://`` etc.), and the
+    temp-sibling+rename write means a crash mid-flip can no longer
+    leave a TORN marker that blocks a fully-consistent index (ADVICE
+    r8). The crash window now leaves either the old marker or none;
+    "none" is safe because ``pending`` lands BEFORE any table write
+    starts, so a missing marker always coexists with consistent
+    tables. Epoch is preserved across rewrites (a torn read no longer
+    exists to reset it)."""
+    import json
+
+    from etl_project_gcp_spark.sources import fsio
+
+    p = path.rstrip("/") + "/append_state.json"
     epoch = 0
-    if os.path.exists(p):
+    if fsio.exists(p):
         try:
-            with open(p) as f:
-                epoch = json.load(f).get("epoch", 0)
-        except (OSError, ValueError):
+            epoch = json.loads(fsio.read_text(p)).get("epoch", 0)
+        except ValueError:
             pass
     if state == "pending":
         epoch += 1
-    with open(p, "w") as f:
-        json.dump({"epoch": epoch, "state": state}, f)
+    fsio.write_text(p, json.dumps({"epoch": epoch, "state": state}))
 
 
 def _lsh_check_append_state(path: str) -> None:
     import json
-    import os
 
-    p = os.path.join(path, "append_state.json")
-    if not os.path.exists(p):
+    from etl_project_gcp_spark.sources import fsio
+
+    p = path.rstrip("/") + "/append_state.json"
+    if not fsio.exists(p):
         return
     try:
-        with open(p) as f:
-            st = json.load(f)
+        st = json.loads(fsio.read_text(p))
     except (OSError, ValueError) as e:
         # a torn marker write is the same hazard as a torn append:
         # refuse loudly instead of guessing which table state is live
@@ -611,6 +620,8 @@ def lsh_build_index(
     import os
     import re
 
+    from etl_project_gcp_spark.sources import fsio
+
     if bucket_by is not None and table_prefix is None:
         table_prefix = "lsh_" + re.sub(
             r"[^0-9a-zA-Z_]", "_", os.path.basename(path.rstrip("/"))
@@ -620,6 +631,24 @@ def lsh_build_index(
     if mode == "append":
         _lsh_check_params(path, shingle_k, num_hashes, bands)
         built = _lsh_params(path) or {}
+        if (
+            built
+            and built.get("bucket_by") is None
+            and bucket_by is not None
+        ):
+            # Appending bucketed-table files into a plain-parquet
+            # layout leaves the directory half catalog-table,
+            # half loose files while the sidecar still says
+            # bucket_by=null — values survive (searches read plain
+            # parquet) but the layout claim drifts (ADVICE r8).
+            # Layout is fixed at build time; refuse like the
+            # signature-parameter check above.
+            raise ValueError(
+                f"LSH index at {path} was built UNBUCKETED but the "
+                f"append asked for bucket_by={bucket_by} — layout is "
+                f"fixed at build time; rebuild with bucket_by or "
+                f"append without it"
+            )
         if built.get("bucket_by") is not None:
             bucket_by = built["bucket_by"]
             table_prefix = built["table_prefix"]
@@ -655,27 +684,34 @@ def lsh_build_index(
     if mode == "append":
         _lsh_append_marker(path, "committed")
     else:
-        os.makedirs(path, exist_ok=True)
-        with open(os.path.join(path, "params.json"), "w") as f:
-            json.dump(
+        fsio.write_text(
+            path.rstrip("/") + "/params.json",
+            json.dumps(
                 {"shingle_k": shingle_k, "num_hashes": num_hashes,
                  "bands": bands, "bucket_by": bucket_by,
                  "table_prefix": table_prefix},
-                f,
-            )
+            ),
+        )
+        # A rebuild REPLACES both tables, so any append marker left by
+        # a crashed earlier append describes files that no longer
+        # exist. Without this delete, a stale 'pending' marker keeps
+        # every search raising "partial append" even though the error
+        # message's own remedy is "rebuild the index" (ADVICE r8).
+        fsio.delete(path.rstrip("/") + "/append_state.json")
 
 
 def _lsh_params(path: str) -> dict | None:
     """The index's params.json sidecar, or None for a pre-sidecar
-    index."""
+    index. Read via :mod:`sources.fsio` so an index at ``gs://…``
+    resolves its sidecar from the same store as its tables."""
     import json
-    import os
 
-    p = os.path.join(path, "params.json")
-    if not os.path.exists(p):
+    from etl_project_gcp_spark.sources import fsio
+
+    p = path.rstrip("/") + "/params.json"
+    if not fsio.exists(p):
         return None
-    with open(p) as f:
-        return json.load(f)
+    return json.loads(fsio.read_text(p))
 
 
 def _lsh_check_params(

@@ -290,9 +290,13 @@ def save_quality_model(model, auc: float, path: str) -> None:
     a reloaded model scores the exact column set it was fit on (see the
     width guard in ``score_quality``) and report entries can reuse the
     fit-time AUC without refitting. Caller owns atomicity (build into a
-    temp sibling, rename into place — the IVF-index pattern)."""
+    temp sibling, rename into place — the IVF-index pattern). The
+    sidecar goes through :mod:`sources.fsio` (Hadoop ``FileSystem``)
+    like the MLlib writer itself, so a model at ``gs://…`` carries its
+    metadata in the same store (r8 verdict, Missing #2)."""
     import json
-    import os
+
+    from etl_project_gcp_spark.sources import fsio
 
     model.write().overwrite().save(f"{path}/model")
     meta = {
@@ -300,8 +304,7 @@ def save_quality_model(model, auc: float, path: str) -> None:
         "feature_cols": list(model._served_feature_cols),
         "model_class": type(model).__name__,
     }
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f)
+    fsio.write_text(path.rstrip("/") + "/meta.json", json.dumps(meta))
 
 
 def load_quality_model(path: str):
@@ -309,15 +312,15 @@ def load_quality_model(path: str):
     ``_served_feature_cols`` restored from the sidecar (without it a
     subset-trained model would refuse to score — by design)."""
     import json
-    import os
 
     from pyspark.ml.classification import (
         GBTClassificationModel,
         LogisticRegressionModel,
     )
 
-    with open(os.path.join(path, "meta.json")) as f:
-        meta = json.load(f)
+    from etl_project_gcp_spark.sources import fsio
+
+    meta = json.loads(fsio.read_text(path.rstrip("/") + "/meta.json"))
     cls = {
         "GBTClassificationModel": GBTClassificationModel,
         "LogisticRegressionModel": LogisticRegressionModel,

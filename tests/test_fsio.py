@@ -1,0 +1,136 @@
+"""sources/fsio: object-store-portable sidecar I/O (r8 verdict ask #1)
+plus the filesystem-portability lint (ask #4) that keeps local-FS
+assumptions from silently returning to engine code."""
+
+import ast
+import json
+import os
+
+import pytest
+
+from etl_project_gcp_spark.sources import fsio
+
+
+def test_fsio_roundtrip_bare_and_file_uri(spark, tmp_path):
+    """The same helper addresses bare local paths AND explicit
+    scheme'd URIs — the property that makes gs://… sidecars work
+    without code changes (only local/file: is provable in-sandbox)."""
+    bare = str(tmp_path / "a" / "params.json")
+    uri = f"file://{tmp_path}/b/meta.json"
+    for p in (bare, uri):
+        assert not fsio.exists(p)
+        fsio.write_text(p, json.dumps({"k": 1}))
+        assert fsio.exists(p)
+        assert json.loads(fsio.read_text(p)) == {"k": 1}
+        fsio.write_text(p, json.dumps({"k": 2}))  # overwrite-in-place
+        assert json.loads(fsio.read_text(p)) == {"k": 2}
+        assert fsio.delete(p)
+        assert not fsio.exists(p)
+
+
+def test_fsio_write_leaves_no_temp_residue(spark, tmp_path):
+    """The atomic write stages a temp sibling and renames it away —
+    the directory must end up holding exactly the destination (plus
+    LocalFileSystem's checksum shadow), never a stranded .tmp."""
+    p = str(tmp_path / "d" / "state.json")
+    for i in range(3):
+        fsio.write_text(p, json.dumps({"epoch": i}))
+    names = os.listdir(tmp_path / "d")
+    assert not [n for n in names if ".tmp-" in n], names
+    assert json.loads(fsio.read_text(p)) == {"epoch": 2}
+
+
+def test_fsio_read_missing_raises_loudly(spark, tmp_path):
+    with pytest.raises(Exception):
+        fsio.read_text(str(tmp_path / "absent.json"))
+
+
+# --- portability lint -------------------------------------------------------
+
+# Engine modules whose artifact/data/index/model paths must be
+# scheme-portable: every byte they put on or read from storage goes
+# through Spark writers/readers or fsio, so a gs:// deployment works
+# end-to-end. queries.py is deliberately NOT here: its os/shutil use
+# manages the registry's driver-local artifact cache (_cache_root —
+# XDG/tempdir by contract, never a data path) and fixture staging for
+# oracle checks. tests/ and tools/ are driver-side tooling.
+_ENGINE_DIRS = ("operators", "sources", "plans", "streaming", "functions")
+_ENGINE_TOP = (
+    "catalog.py", "datagen.py", "exact.py", "service.py", "session.py",
+    "__init__.py",
+)
+
+# (module basename, qualified call) pairs allowed despite matching the
+# banned shapes. fsio.py IS the portability layer, so its Hadoop-FS
+# plumbing is the one place such calls belong.
+_ALLOW = {
+    ("fsio.py", "*"),
+}
+
+_BANNED_ATTR_CALLS = {
+    ("os", "makedirs"), ("os", "remove"), ("os", "rename"),
+    ("os", "replace"), ("os", "rmdir"), ("os", "listdir"),
+    ("os", "mkdir"), ("shutil", "rmtree"), ("shutil", "copy"),
+    ("shutil", "copytree"), ("shutil", "move"),
+}
+_BANNED_OS_PATH = {"exists", "isfile", "isdir", "getsize"}
+
+
+def _banned_calls(tree: ast.AST) -> list[str]:
+    hits = []
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.Call):
+            continue
+        f = node.func
+        # builtin open(...) — filesystem; attribute opens (wave.open,
+        # gzip.open on BytesIO) are in-memory codec paths and fine
+        if isinstance(f, ast.Name) and f.id == "open":
+            hits.append(f"open() at line {node.lineno}")
+        if isinstance(f, ast.Attribute) and isinstance(f.value, ast.Name):
+            if (f.value.id, f.attr) in _BANNED_ATTR_CALLS:
+                hits.append(f"{f.value.id}.{f.attr} at line {node.lineno}")
+        # os.path.exists / isfile / ...
+        if (
+            isinstance(f, ast.Attribute)
+            and f.attr in _BANNED_OS_PATH
+            and isinstance(f.value, ast.Attribute)
+            and f.value.attr == "path"
+            and isinstance(f.value.value, ast.Name)
+            and f.value.value.id == "os"
+        ):
+            hits.append(f"os.path.{f.attr} at line {node.lineno}")
+    return hits
+
+
+def test_engine_modules_have_no_local_fs_io():
+    """No engine module may touch storage through the local-FS stdlib:
+    data goes through Spark writers, sidecars through fsio. This pins
+    r9's portability fix (dedup params/append_state, mlquality meta)
+    so a local open() on an index/model path can't silently return."""
+    import etl_project_gcp_spark as pkg
+
+    root = os.path.dirname(pkg.__file__)
+    offenders = {}
+    targets = []
+    for d in _ENGINE_DIRS:
+        full = os.path.join(root, d)
+        targets += [
+            os.path.join(full, f)
+            for f in sorted(os.listdir(full))
+            if f.endswith(".py")
+        ]
+    targets += [os.path.join(root, f) for f in _ENGINE_TOP]
+    assert len(targets) > 10  # the sweep actually found the package
+    for path in targets:
+        base = os.path.basename(path)
+        if (base, "*") in _ALLOW:
+            continue
+        with open(path) as fh:  # test-side read, not engine code
+            tree = ast.parse(fh.read(), filename=path)
+        hits = _banned_calls(tree)
+        if hits:
+            offenders[base] = hits
+    assert not offenders, (
+        "local-FS I/O in engine modules (route sidecars through "
+        f"sources/fsio.py): {offenders}"
+    )

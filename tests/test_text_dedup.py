@@ -3,6 +3,8 @@ non-SQL-expressible operators get behavior tests instead of oracles."""
 
 from __future__ import annotations
 
+import pytest
+
 from etl_project_gcp_spark.operators import dedup as DD
 from etl_project_gcp_spark.operators import text as TX
 
@@ -243,6 +245,69 @@ def test_lsh_partial_append_refused_not_silently_served(spark, tmp_path):
     # a completed append flips the marker back to committed
     DD.lsh_append_index(_docs(spark, [(2, "wholly unrelated words")]), idx)
     assert DD.lsh_search_index(spark, idx, delta).count() == 1
+
+
+def test_lsh_rebuild_clears_stale_pending_marker(spark, tmp_path):
+    """ADVICE r8 (medium): a crashed append leaves 'pending'; the
+    error's documented remedy is 'rebuild the index' — so an
+    overwrite-mode rebuild at the same path must actually clear the
+    marker instead of leaving every search refusing forever."""
+    idx = str(tmp_path / "idx")
+    corpus = _docs(spark, [(1, BASE)])
+    delta = _docs(spark, [(9, BASE)])
+    DD.lsh_build_index(corpus, idx)
+    DD._lsh_append_marker(idx, "pending")  # simulated mid-append crash
+    with pytest.raises(ValueError, match="partial append"):
+        DD.lsh_search_index(spark, idx, delta)
+    DD.lsh_build_index(corpus, idx)  # the remedy the message names
+    assert DD.lsh_search_index(spark, idx, delta).count() == 1
+
+
+def test_lsh_append_refuses_bucket_by_onto_plain_index(spark, tmp_path):
+    """ADVICE r8: appending with an explicit bucket_by onto a
+    plain-parquet index silently mixed bucketed-table files into the
+    plain layout while the sidecar kept claiming bucket_by=null —
+    layout is fixed at build time, so the conflict must raise like a
+    signature-parameter mismatch does."""
+    idx = str(tmp_path / "idx")
+    DD.lsh_build_index(_docs(spark, [(1, BASE)]), idx)
+    with pytest.raises(ValueError, match="built UNBUCKETED"):
+        DD.lsh_build_index(
+            _docs(spark, [(2, "x y z")]), idx, mode="append", bucket_by=4,
+        )
+    # and the plain append still works
+    DD.lsh_append_index(_docs(spark, [(2, "wholly unrelated words")]), idx)
+    assert DD.lsh_search_index(
+        spark, idx, _docs(spark, [(9, BASE)])
+    ).count() == 1
+
+
+def test_lsh_index_over_explicit_file_uri(spark, tmp_path):
+    """r8 verdict ask #1 end-to-end: the ENTIRE index lifecycle —
+    build (params.json sidecar), append (epoch marker), search
+    (sidecar + marker reads) — against a scheme'd URI path, proving
+    the sidecars resolve through the Hadoop FileSystem like the
+    tables do (gs:// differs only in scheme)."""
+    idx = f"file://{tmp_path}/uri_idx"
+    part1 = _docs(spark, [(1, BASE), (2, "first tranche filler text")])
+    part2 = _docs(spark, [(3, BASE.replace("dog", "wolf", 1))])
+    delta = _docs(spark, [(10, BASE)])
+    DD.lsh_build_index(part1, idx)
+    DD.lsh_append_index(part2, idx)
+    via_uri = sorted(
+        map(tuple, DD.lsh_search_index(spark, idx, delta).collect())
+    )
+    inline = sorted(
+        map(
+            tuple,
+            DD.incremental_near_dedup(
+                delta, part1.unionByName(part2)
+            ).collect(),
+        )
+    )
+    assert via_uri == inline
+    with pytest.raises(ValueError, match="hash spaces"):
+        DD.lsh_search_index(spark, idx, delta, shingle_k=3)
 
 
 def test_shard_manifest_totals_and_determinism(spark):
