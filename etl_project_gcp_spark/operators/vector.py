@@ -801,6 +801,7 @@ def ivf_search_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_scores: int = 6,
+    max_broadcast_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Search a persisted IVF index (:func:`ivf_build_index`): probe the
     ``nprobe`` nearest lists per query, exact cosine inside probed lists
@@ -811,9 +812,25 @@ def ivf_search_index(
     partition pruning skips the unprobed directories entirely — the only
     corpus I/O is the probed fraction (plan-tested via inputFiles).
     Centroids are a broadcast-size side input by construction.
+
+    The query side (probe pairs + query vectors) is broadcast ONLY
+    while its estimated size — |queries| × (dim×8B + row overhead),
+    measured here, not assumed (ADVICE r8) — fits
+    ``max_broadcast_bytes``; a larger batch falls back to plain joins
+    (the corpus side is already pruned to the probed partitions, so the
+    shuffle the fallback pays is bounded by the probed fraction, and
+    AQE may still pick a broadcast if runtime stats allow). Without the
+    guard a million-query batch would blow the driver on an assumption
+    that only held for interactive batch sizes.
     """
     centroids = spark.read.parquet(f"{path}/centroids")
     qv = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    n_q = qv.count()
+    dim = len(qv.first()["qv"]) if n_q else 0
+    # 8B per double + ~24B array/row overhead; nprobe probe rows per
+    # query are ~32B each — both sides of the same |queries| scaling
+    small_queries = n_q * (dim * 8 + 24 + nprobe * 32) <= max_broadcast_bytes
+    _maybe_bc = F.broadcast if small_queries else (lambda df: df)
     probe_scored = qv.crossJoin(F.broadcast(centroids)).select(
         "query_id", "list_id", cosine(F.col("qv"), F.col("centroid")).alias("sim")
     )
@@ -827,17 +844,18 @@ def ivf_search_index(
     vectors = spark.read.parquet(f"{path}/vectors").filter(
         F.col("list_id").isin(probed_lists)
     )
-    # the probe set is |queries| x nprobe rows — broadcast it so the
-    # pruned corpus partitions stream through the join WITHOUT a
-    # corpus-side shuffle (at 100 TB the vectors table is the one side
-    # that must never move; plan-tested)
-    cand = F.broadcast(probes).join(
+    # the probe set is |queries| x nprobe rows — broadcast it (size
+    # permitting, see guard above) so the pruned corpus partitions
+    # stream through the join WITHOUT a corpus-side shuffle (at 100 TB
+    # the vectors table is the one side that must never move;
+    # plan-tested)
+    cand = _maybe_bc(probes).join(
         vectors.select(
             F.col(id_col).alias("neighbor_id"), "list_id", _as_double(vec_col).alias("cv")
         ),
         "list_id",
     ).filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = cand.join(F.broadcast(qv), "query_id").select(
+    scored = cand.join(_maybe_bc(qv), "query_id").select(
         "query_id",
         "neighbor_id",
         F.round(cosine(F.col("qv"), F.col("cv")), round_scores).alias("cosine"),

@@ -2370,18 +2370,87 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VX.cosine_pairs_blocked(emb, threshold=0.40)
 
 
-@register("ann_lsh_topk", None)  # approximate — rows-only; recall tested in tests/
+def _ann_oracle(name: str) -> str:
+    """Pinned-VALUES oracle for a deterministic ANN entry: the sf0.01
+    table from _ann_pins.py rendered as ANSI SQL (the bpe_merges
+    pattern, applied per r8 verdict ask #3). Generated, not pasted —
+    one source of truth for pin rows and oracle rows."""
+    from etl_project_gcp_spark._ann_pins import ANN_PINNED
+
+    vals = ",\n        ".join(
+        f"(CAST({q} AS BIGINT), CAST({n} AS BIGINT), "
+        f"CAST({c!r} AS DOUBLE), {rk})"
+        for q, n, c, rk in ANN_PINNED[name]["sf0.01"]
+    )
+    return (
+        "SELECT * FROM (VALUES\n        "
+        + vals
+        + "\n    ) AS t(query_id, neighbor_id, cosine, rk)"
+    )
+
+
+def _ann_pinned_or_live(
+    spark: SparkSession, name: str, sf_dir: str, live: DataFrame
+) -> DataFrame:
+    """The sf-keyed pin check shared by the hash-checked ANN entries:
+    iff the live result equals its OWN SF's pinned table (each pin
+    verified partition-count-independent at generation — tools/
+    pin_ann.py — and recall-floor-gated by ann_recall_report), return
+    the sf0.01 oracle literals; a divergence logs whether to suspect a
+    stale pin (corpus regen) or a real regression, then returns the
+    raw live table so the driver hash-fails loudly. Unknown SFs return
+    live as-is (the driver checks only pinned SFs)."""
+    from etl_project_gcp_spark._ann_pins import ANN_PINNED
+
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    pinned = ANN_PINNED[name].get(sf_name)
+    if pinned is None:
+        return live
+    rows = sorted(map(tuple, live.collect()))
+    if rows != pinned:
+        import logging
+
+        diffs = [
+            (i, p, r) for i, (p, r) in enumerate(zip(pinned, rows)) if p != r
+        ]
+        logging.getLogger(__name__).error(
+            "%s: live result diverged from ANN_PINNED[%s] (%d/%d rows "
+            "differ; first: pinned=%s live=%s) — stale pin after a "
+            "corpus regen (re-run tools/pin_ann.py after verifying the "
+            "recall floors), or a retrieval regression",
+            name, sf_name, len(diffs) + abs(len(rows) - len(pinned)),
+            max(len(rows), len(pinned)),
+            diffs[0][1] if diffs else "(length mismatch)",
+            diffs[0][2] if diffs else f"{len(rows)} rows vs {len(pinned)}",
+        )
+        return live
+    return spark.createDataFrame(
+        ANN_PINNED[name]["sf0.01"],
+        "query_id long, neighbor_id long, cosine double, rk int",
+    )
+
+
+@register("ann_lsh_topk", _ann_oracle("ann_lsh_topk"))
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH approximate top-10 (X3 scale path)."""
+    """Random-hyperplane LSH approximate top-10 (X3 scale path).
+
+    Hash-checked via the pinned-VALUES oracle (_ann_pinned_or_live):
+    the hyperplanes are seed-deterministic per corpus, so the exact
+    result table is pinnable — recall vs brute force is separately
+    floor-gated by ann_recall_report."""
     emb = _t(spark, sf_dir, "embeddings")
-    return VX.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    live = VX.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return _ann_pinned_or_live(spark, "ann_lsh_topk", sf_dir, live)
 
 
-@register("ann_ivf_topk", None)  # approximate — rows-only; recall tested in tests/
+@register("ann_ivf_topk", _ann_oracle("ann_ivf_topk"))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10: probe 4 of 16 coarse lists (X3 scale path)."""
+    """IVF approximate top-10: probe 4 of 16 coarse lists (X3 scale
+    path). Hash-checked via the pinned-VALUES oracle — the seed-vector
+    coarse quantizer is xxhash-deterministic per corpus."""
     emb = _t(spark, sf_dir, "embeddings")
-    return VX.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    live = VX.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return _ann_pinned_or_live(spark, "ann_ivf_topk", sf_dir, live)
 
 
 @register("ann_quantized_topk", None)  # quantization error — rows-only
@@ -2624,7 +2693,7 @@ def _quality_model_ensure(
     return MQ.load_quality_model(path)
 
 
-@register("ann_ivf_index_topk", None)  # approximate — rows-only; equality+pruning tested
+@register("ann_ivf_index_topk", _ann_oracle("ann_ivf_index_topk"))
 def ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted-IVF search (X3 production lifecycle): build the index
     ONCE (centroids + vectors partitioned by list_id on disk, under a
@@ -2632,12 +2701,15 @@ def ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     then every search reads only the probed partitions — partition
     pruning makes per-search I/O nprobe/n_lists of the corpus. Results
     are equality-tested against the in-memory IVF path and the pruning
-    is plan-tested (tests/test_vector.py)."""
+    is plan-tested (tests/test_vector.py). Hash-checked via the
+    pinned-VALUES oracle (result-equal to ann_ivf_topk by that
+    equality, and the pins agree — generation asserts it)."""
     emb = _t(spark, sf_dir, "embeddings")
     path = _ivf_index_ensure(emb, sf_dir, n_lists=16)
-    return VX.ivf_search_index(
+    live = VX.ivf_search_index(
         spark, path, emb.filter(F.col("vec_id") < 5), k=10, nprobe=4
     ).drop("list_id")
+    return _ann_pinned_or_live(spark, "ann_ivf_index_topk", sf_dir, live)
 
 
 @register(

@@ -327,3 +327,75 @@ def test_zero_norm_vectors_are_excluded_not_ranked_first(spark):
 
     pairs = VX.cosine_pairs_blocked(emb, threshold=0.5, n_blocks=2).collect()
     assert all(99 not in (r.a, r.b) for r in pairs)
+
+
+def test_ann_pin_gate_returns_oracle_literals_iff_live_matches(
+    spark, monkeypatch
+):
+    """r8 verdict ask #3: the pinned-VALUES gate. At a pinned SF a
+    matching live result returns the sf0.01 oracle literals (what the
+    driver hashes); a corrupted pin (stands in for any retrieval
+    regression) must return the RAW live table so the driver
+    hash-fails loudly instead of silently serving stale literals."""
+    import copy
+
+    from etl_project_gcp_spark import _ann_pins, queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    qs = Q.queries()
+    out = sorted(map(tuple, qs["ann_ivf_topk"](spark, sf).collect()))
+    assert out == _ann_pins.ANN_PINNED["ann_ivf_topk"]["sf0.01"]
+
+    broken = copy.deepcopy(_ann_pins.ANN_PINNED)
+    q0, n0, c0, rk0 = broken["ann_ivf_topk"]["sf0.001"][0]
+    broken["ann_ivf_topk"]["sf0.001"][0] = (q0, n0 + 1, c0, rk0)
+    monkeypatch.setattr(_ann_pins, "ANN_PINNED", broken)
+    diverged = sorted(map(tuple, qs["ann_ivf_topk"](spark, sf).collect()))
+    assert diverged != _ann_pins.ANN_PINNED["ann_ivf_topk"]["sf0.01"]
+    assert diverged[0][1] == n0  # the live table, not the broken pin
+
+
+def test_ann_pins_partition_count_independent(spark):
+    """The property the pins rely on (tools/pin_ann.py re-asserts it
+    at regeneration): the same corpus yields byte-identical ANN tables
+    under a degenerate shuffle-partition count."""
+    from etl_project_gcp_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        got = {
+            n: sorted(map(tuple, Q.queries()[n](spark, sf).collect()))
+            for n in ("ann_lsh_topk", "ann_ivf_topk")
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    from etl_project_gcp_spark._ann_pins import ANN_PINNED
+
+    # a pin-gated entry that matches returns the sf0.01 literals
+    for n, rows in got.items():
+        assert rows == ANN_PINNED[n]["sf0.01"]
+
+
+def test_ivf_index_search_large_batch_fallback_matches_broadcast(
+    spark, sf01_dir, tmp_path
+):
+    """ADVICE r8: the query-side broadcast is now gated on a measured
+    size estimate. Forcing the estimate over the bound
+    (max_broadcast_bytes=1) must take the plain-join fallback and
+    return the identical result table."""
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivf")
+    VX.ivf_build_index(emb, path, n_lists=8)
+    bc = sorted(map(tuple, VX.ivf_search_index(spark, path, q, k=10).collect()))
+    plain = sorted(
+        map(
+            tuple,
+            VX.ivf_search_index(
+                spark, path, q, k=10, max_broadcast_bytes=1
+            ).collect(),
+        )
+    )
+    assert bc == plain and len(bc) == 50
