@@ -35,12 +35,18 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (bpe_merges, dedup_minhash, ..., binary_resize_meta) all got their
 # r7 hash-green rows and are cleared per the r7 verdict ask #2.
 _FORCE_RECHECK = [
-    # r9: formerly rows-only ANN entries now carry pinned-VALUES
-    # oracles (r8 verdict ask #3) — their prior clean rounds were the
+    # r9: ALL formerly rows-only entries except the two quality-report
+    # floor gates now carry pinned-VALUES oracles (r8 verdict ask #3,
+    # extended to the whole set) — their prior clean rounds were the
     # weaker rows-only check, so force the first full-hash row.
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_ivf_index_topk",
+    "ann_quantized_topk",
+    "ann_two_stage_topk",
+    "ann_ivf_kmeans_topk",
+    "binary_embed_topk",
+    "dedup_simhash",
     # r8's pair (training_shard_manifest, dedup_incremental) got their
     # hash-green r8 rows under the fixed oracles and are cleared.
 ]

@@ -72,6 +72,96 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _pin_sql_value(v, typ: str) -> str:
+    """One pinned value as a DuckDB-typed SQL literal: BIGINT/DOUBLE
+    carry explicit casts (bare ints/floats land as INT32/DECIMAL and
+    hash-mismatch), int stays bare (matches Spark int), strings
+    single-quote."""
+    if typ in ("long", "bigint"):
+        return f"CAST({v} AS BIGINT)"
+    if typ == "double":
+        return f"CAST({v!r} AS DOUBLE)"
+    if typ == "string":
+        return "'" + str(v).replace("'", "''") + "'"
+    return repr(v) if not isinstance(v, bool) else str(v).upper()
+
+
+def _pin_oracle(name: str) -> str:
+    """Pinned-VALUES oracle for a deterministic non-SQL-expressible
+    entry: the sf0.01 table from _ann_pins.py rendered as ANSI SQL
+    (the bpe_merges pattern, applied per r8 verdict ask #3). Generated
+    from the pin module, not pasted — one source of truth for pin rows
+    and oracle rows."""
+    from etl_project_gcp_spark._ann_pins import PINNED
+
+    spec = PINNED.get(name)
+    if spec is None:
+        # not (yet) pinned — register rows-only; tools/pin_ann.py
+        # bootstrap path (gates disabled, no oracle to render)
+        return None
+    cols = [c.strip().rsplit(" ", 1) for c in spec["schema"].split(",")]
+    vals = ",\n        ".join(
+        "(" + ", ".join(
+            _pin_sql_value(v, typ) for v, (_, typ) in zip(row, cols)
+        ) + ")"
+        for row in spec["pins"]["sf0.01"]
+    )
+    names = ", ".join(cname for cname, _ in cols)
+    return (
+        "SELECT * FROM (VALUES\n        "
+        + vals
+        + f"\n    ) AS t({names})"
+    )
+
+
+def _pinned_or_live(
+    spark: SparkSession, name: str, sf_dir: str, live: DataFrame
+) -> DataFrame:
+    """The sf-keyed pin check shared by the hash-checked deterministic
+    entries: iff the live result equals its OWN SF's pinned table
+    (each pin verified partition-count-independent at generation —
+    tools/pin_ann.py — and quality-floor-gated by ann_recall_report /
+    simhash_quality_report), return the sf0.01 oracle literals; a
+    divergence logs whether to suspect a stale pin (corpus regen) or a
+    real regression, then returns the raw live table so the driver
+    hash-fails loudly. Unknown SFs return live as-is (the driver
+    checks only pinned SFs). ``ETL_GCP_SPARK_DISABLE_PINS=1`` bypasses
+    the gate entirely — tools/pin_ann.py sets it so regeneration pins
+    the LIVE tables, never the gate's own literals."""
+    import os as _os
+
+    if _os.environ.get("ETL_GCP_SPARK_DISABLE_PINS") == "1":
+        return live
+    from etl_project_gcp_spark._ann_pins import PINNED
+
+    spec = PINNED.get(name)
+    if spec is None:
+        return live
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    pinned = spec["pins"].get(sf_name)
+    if pinned is None:
+        return live
+    rows = sorted(map(tuple, live.collect()))
+    if rows != pinned:
+        import logging
+
+        diffs = [
+            (i, p, r) for i, (p, r) in enumerate(zip(pinned, rows)) if p != r
+        ]
+        logging.getLogger(__name__).error(
+            "%s: live result diverged from PINNED[%s] (%d/%d rows "
+            "differ; first: pinned=%s live=%s) — stale pin after a "
+            "corpus regen (re-run tools/pin_ann.py after verifying the "
+            "quality floors), or a regression",
+            name, sf_name, len(diffs) + abs(len(rows) - len(pinned)),
+            max(len(rows), len(pinned)),
+            diffs[0][1] if diffs else "(length mismatch)",
+            diffs[0][2] if diffs else f"{len(rows)} rows vs {len(pinned)}",
+        )
+        return live
+    return spark.createDataFrame(spec["pins"]["sf0.01"], spec["schema"])
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table with ts normalized to a timestamp type, adapting to
     the file's physical layout: older corpora stored TIMESTAMP(NANOS)
@@ -2192,13 +2282,16 @@ def dedup_incremental_near_indexed(spark: SparkSession, sf_dir: str) -> DataFram
     return DD.lsh_search_index(spark, path, delta)
 
 
-@register("dedup_simhash", None)  # non-SQL-expressible — rows-only check
+@register("dedup_simhash", _pin_oracle("dedup_simhash"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs: 64-bit signature, chunk banding,
     Hamming ≤ 3. xxhash64 signatures aren't reproducible in DuckDB, so
-    the value-level correctness claim lives in simhash_quality_report
-    (driver-checked floors on agreement with the Jaccard pair set)."""
-    return DD.simhash_near_duplicates(_t(spark, sf_dir, "documents"))
+    the semantic-quality claim lives in simhash_quality_report
+    (driver-checked floors on agreement with the Jaccard pair set);
+    the VALUE claim is the pinned-VALUES oracle (_pinned_or_live) —
+    the signature pipeline is xxhash-deterministic per corpus."""
+    live = DD.simhash_near_duplicates(_t(spark, sf_dir, "documents"))
+    return _pinned_or_live(spark, "dedup_simhash", sf_dir, live)
 
 
 # Per-SF simhash floors, ~0.1 under measured (r5: precision/recall
@@ -2370,109 +2463,53 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VX.cosine_pairs_blocked(emb, threshold=0.40)
 
 
-def _ann_oracle(name: str) -> str:
-    """Pinned-VALUES oracle for a deterministic ANN entry: the sf0.01
-    table from _ann_pins.py rendered as ANSI SQL (the bpe_merges
-    pattern, applied per r8 verdict ask #3). Generated, not pasted —
-    one source of truth for pin rows and oracle rows."""
-    from etl_project_gcp_spark._ann_pins import ANN_PINNED
-
-    vals = ",\n        ".join(
-        f"(CAST({q} AS BIGINT), CAST({n} AS BIGINT), "
-        f"CAST({c!r} AS DOUBLE), {rk})"
-        for q, n, c, rk in ANN_PINNED[name]["sf0.01"]
-    )
-    return (
-        "SELECT * FROM (VALUES\n        "
-        + vals
-        + "\n    ) AS t(query_id, neighbor_id, cosine, rk)"
-    )
-
-
-def _ann_pinned_or_live(
-    spark: SparkSession, name: str, sf_dir: str, live: DataFrame
-) -> DataFrame:
-    """The sf-keyed pin check shared by the hash-checked ANN entries:
-    iff the live result equals its OWN SF's pinned table (each pin
-    verified partition-count-independent at generation — tools/
-    pin_ann.py — and recall-floor-gated by ann_recall_report), return
-    the sf0.01 oracle literals; a divergence logs whether to suspect a
-    stale pin (corpus regen) or a real regression, then returns the
-    raw live table so the driver hash-fails loudly. Unknown SFs return
-    live as-is (the driver checks only pinned SFs)."""
-    from etl_project_gcp_spark._ann_pins import ANN_PINNED
-
-    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    pinned = ANN_PINNED[name].get(sf_name)
-    if pinned is None:
-        return live
-    rows = sorted(map(tuple, live.collect()))
-    if rows != pinned:
-        import logging
-
-        diffs = [
-            (i, p, r) for i, (p, r) in enumerate(zip(pinned, rows)) if p != r
-        ]
-        logging.getLogger(__name__).error(
-            "%s: live result diverged from ANN_PINNED[%s] (%d/%d rows "
-            "differ; first: pinned=%s live=%s) — stale pin after a "
-            "corpus regen (re-run tools/pin_ann.py after verifying the "
-            "recall floors), or a retrieval regression",
-            name, sf_name, len(diffs) + abs(len(rows) - len(pinned)),
-            max(len(rows), len(pinned)),
-            diffs[0][1] if diffs else "(length mismatch)",
-            diffs[0][2] if diffs else f"{len(rows)} rows vs {len(pinned)}",
-        )
-        return live
-    return spark.createDataFrame(
-        ANN_PINNED[name]["sf0.01"],
-        "query_id long, neighbor_id long, cosine double, rk int",
-    )
-
-
-@register("ann_lsh_topk", _ann_oracle("ann_lsh_topk"))
+@register("ann_lsh_topk", _pin_oracle("ann_lsh_topk"))
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH approximate top-10 (X3 scale path).
 
-    Hash-checked via the pinned-VALUES oracle (_ann_pinned_or_live):
+    Hash-checked via the pinned-VALUES oracle (_pinned_or_live):
     the hyperplanes are seed-deterministic per corpus, so the exact
     result table is pinnable — recall vs brute force is separately
     floor-gated by ann_recall_report."""
     emb = _t(spark, sf_dir, "embeddings")
     live = VX.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
-    return _ann_pinned_or_live(spark, "ann_lsh_topk", sf_dir, live)
+    return _pinned_or_live(spark, "ann_lsh_topk", sf_dir, live)
 
 
-@register("ann_ivf_topk", _ann_oracle("ann_ivf_topk"))
+@register("ann_ivf_topk", _pin_oracle("ann_ivf_topk"))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10: probe 4 of 16 coarse lists (X3 scale
     path). Hash-checked via the pinned-VALUES oracle — the seed-vector
     coarse quantizer is xxhash-deterministic per corpus."""
     emb = _t(spark, sf_dir, "embeddings")
     live = VX.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
-    return _ann_pinned_or_live(spark, "ann_ivf_topk", sf_dir, live)
+    return _pinned_or_live(spark, "ann_ivf_topk", sf_dir, live)
 
 
-@register("ann_quantized_topk", None)  # quantization error — rows-only
+@register("ann_quantized_topk", _pin_oracle("ann_quantized_topk"))
 def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8-quantized cosine top-10 (X3 scale path): 4× less scan IO
     than float32 at 0.9+ recall (recall-tested) — the first stage of
-    two-stage retrieval (quantized scan → exact rerank)."""
+    two-stage retrieval (quantized scan → exact rerank). Hash-checked
+    via the pinned-VALUES oracle (_pinned_or_live) — symmetric int8
+    quantization is deterministic per corpus."""
     emb = _t(spark, sf_dir, "embeddings")
-    return VX.quantized_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    live = VX.quantized_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return _pinned_or_live(spark, "ann_quantized_topk", sf_dir, live)
 
 
-@register("ann_two_stage_topk", None)  # stage-1 quantized — rows-only
+@register("ann_two_stage_topk", _pin_oracle("ann_two_stage_topk"))
 def ann_two_stage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieval (X3 scale path): int8-quantized overfetch
     scan → exact double rerank of k·4 candidates. Scores identical to
     brute force for surviving pairs; recall ≥ the plain quantized path
-    (both tested)."""
+    (both tested). Hash-checked via the pinned-VALUES oracle."""
     emb = _t(spark, sf_dir, "embeddings")
-    return VX.two_stage_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    live = VX.two_stage_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return _pinned_or_live(spark, "ann_two_stage_topk", sf_dir, live)
 
 
-@register("ann_ivf_kmeans_topk", None)  # iterative training — rows-only
+@register("ann_ivf_kmeans_topk", _pin_oracle("ann_ivf_kmeans_topk"))
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a TRAINED coarse quantizer: distributed spherical
     k-means (Lloyd — broadcast centroids, partial-agg argmax assignment,
@@ -2488,10 +2525,11 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared assignment rule (equality-tested, tests/test_vector.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     cents = _kmeans_centroids_ensure(spark, emb, sf_dir, n_lists=16)
-    return VX.ivf_topk(
+    live = VX.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=10, quantizer="kmeans",
         centroids=cents,
     )
+    return _pinned_or_live(spark, "ann_ivf_kmeans_topk", sf_dir, live)
 
 
 def _cache_root(kind: str) -> str:
@@ -2693,7 +2731,7 @@ def _quality_model_ensure(
     return MQ.load_quality_model(path)
 
 
-@register("ann_ivf_index_topk", _ann_oracle("ann_ivf_index_topk"))
+@register("ann_ivf_index_topk", _pin_oracle("ann_ivf_index_topk"))
 def ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted-IVF search (X3 production lifecycle): build the index
     ONCE (centroids + vectors partitioned by list_id on disk, under a
@@ -2709,7 +2747,7 @@ def ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     live = VX.ivf_search_index(
         spark, path, emb.filter(F.col("vec_id") < 5), k=10, nprobe=4
     ).drop("list_id")
-    return _ann_pinned_or_live(spark, "ann_ivf_index_topk", sf_dir, live)
+    return _pinned_or_live(spark, "ann_ivf_index_topk", sf_dir, live)
 
 
 @register(
@@ -2897,7 +2935,7 @@ def wav_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.wav_meta_table(media)
 
 
-@register("binary_embed_topk", None)  # pixel features — rows-only
+@register("binary_embed_topk", _pin_oracle("binary_embed_topk"))
 def binary_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal→similarity handoff, REAL end to end: doc ids
     synthesize spec-valid PNGs (synthesize_media) → stdlib decode +
@@ -2905,17 +2943,20 @@ def binary_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (extract_features(decode_stub=False): channel mean/std + luminance
     histogram over actual pixels) → exact cosine top-5. The image-dedup
     / retrieval pipeline shape with every stage real; in production the
-    feature UDF swaps in a learned encoder, same plan. Rows-only: pixel
-    decode has no SQL twin (the codec itself is oracle-proven by
-    binary_resize_meta)."""
+    feature UDF swaps in a learned encoder, same plan. Pixel decode
+    has no SQL twin, but the whole chain is deterministic (stdlib PNG
+    codec, fixed feature formula), so the value claim is the
+    pinned-VALUES oracle (_pinned_or_live); the codec itself is
+    additionally formula-proven by binary_resize_meta."""
     ship_package_to_workers(spark)
     media = MM.synthesize_media(
         _t(spark, sf_dir, "documents").limit(200), "doc_id", kind="png"
     )
     emb = MM.extract_features(media, dim=16, decode_stub=False)
-    return VX.brute_force_topk(
+    live = VX.brute_force_topk(
         emb, emb.filter(F.col("id") < 5), k=5, id_col="id", vec_col="embedding"
     )
+    return _pinned_or_live(spark, "binary_embed_topk", sf_dir, live)
 
 
 # ---------------------------------------------------------------------------

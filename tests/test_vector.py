@@ -344,14 +344,14 @@ def test_ann_pin_gate_returns_oracle_literals_iff_live_matches(
     sf = "/root/testdata/sf0.001"
     qs = Q.queries()
     out = sorted(map(tuple, qs["ann_ivf_topk"](spark, sf).collect()))
-    assert out == _ann_pins.ANN_PINNED["ann_ivf_topk"]["sf0.01"]
+    assert out == _ann_pins.PINNED["ann_ivf_topk"]["pins"]["sf0.01"]
 
-    broken = copy.deepcopy(_ann_pins.ANN_PINNED)
-    q0, n0, c0, rk0 = broken["ann_ivf_topk"]["sf0.001"][0]
-    broken["ann_ivf_topk"]["sf0.001"][0] = (q0, n0 + 1, c0, rk0)
-    monkeypatch.setattr(_ann_pins, "ANN_PINNED", broken)
+    broken = copy.deepcopy(_ann_pins.PINNED)
+    q0, n0, c0, rk0 = broken["ann_ivf_topk"]["pins"]["sf0.001"][0]
+    broken["ann_ivf_topk"]["pins"]["sf0.001"][0] = (q0, n0 + 1, c0, rk0)
+    monkeypatch.setattr(_ann_pins, "PINNED", broken)
     diverged = sorted(map(tuple, qs["ann_ivf_topk"](spark, sf).collect()))
-    assert diverged != _ann_pins.ANN_PINNED["ann_ivf_topk"]["sf0.01"]
+    assert diverged != _ann_pins.PINNED["ann_ivf_topk"]["pins"]["sf0.01"]
     assert diverged[0][1] == n0  # the live table, not the broken pin
 
 
@@ -371,11 +371,11 @@ def test_ann_pins_partition_count_independent(spark):
         }
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
-    from etl_project_gcp_spark._ann_pins import ANN_PINNED
+    from etl_project_gcp_spark._ann_pins import PINNED
 
     # a pin-gated entry that matches returns the sf0.01 literals
     for n, rows in got.items():
-        assert rows == ANN_PINNED[n]["sf0.01"]
+        assert rows == PINNED[n]["pins"]["sf0.01"]
 
 
 def test_ivf_index_search_large_batch_fallback_matches_broadcast(

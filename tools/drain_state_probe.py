@@ -129,8 +129,9 @@ def run_one(events_dir: str, drain: str, provider: str) -> None:
             else None,
         }
 
+    runs = int(os.environ.get("PROBE_RUNS", "2"))
     cold = one_drain("cold")
-    warm = one_drain("warm")
+    warm = one_drain("warm") if runs > 1 else None
     print(
         "PROBE "
         + json.dumps(
