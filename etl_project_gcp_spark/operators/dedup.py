@@ -556,6 +556,11 @@ def _ensure_bucketed_table(
         u = uri or ""
         if u.startswith("file:"):
             u = u[len("file:"):]
+            # file:/p, file:///p and a bare /p are the same local
+            # path; collapse the authority slashes so a caller-passed
+            # file:// URI matches the catalog's recorded form
+            while u.startswith("//"):
+                u = u[1:]
         return u.rstrip("/")
 
     if spark.catalog.tableExists(name):

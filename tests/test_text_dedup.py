@@ -1119,3 +1119,31 @@ def test_lsh_bucketed_same_basename_indexes_do_not_cross_serve(
     hit_a2 = {r.doc_id: r.is_near_dup
               for r in DD.lsh_search_index(spark, idx_a, delta).collect()}
     assert hit_a2[10] is True
+
+
+def test_lsh_bucketed_index_over_explicit_file_uri(spark, tmp_path):
+    """Bucketed variant of the URI lifecycle: table registration
+    compares the caller's file:// location against the catalog's
+    recorded file:/ form — the _norm slash-collapse keeps a repeat
+    search from dropping/recreating the table every call, and the
+    search stays result-equal to the inline screen."""
+    idx = f"file://{tmp_path}/buri_idx"
+    corpus = _docs(
+        spark, [(1, BASE), (2, "other content about sailing ships at dawn")]
+    )
+    delta = _docs(spark, [(10, BASE.replace("quick", "rapid", 1))])
+    DD.lsh_build_index(corpus, idx, bucket_by=4, table_prefix="t_lshburi")
+    a = sorted(map(tuple, DD.lsh_search_index(spark, idx, delta).collect()))
+    b = sorted(
+        map(tuple, DD.incremental_near_dedup(delta, corpus).collect())
+    )
+    assert a == b
+    # second search: the registration must be recognized, not re-made
+    tbl = spark.sql("DESCRIBE FORMATTED t_lshburi_bands").collect()
+    created1 = [r.data_type for r in tbl if r.col_name == "Created Time"]
+    assert sorted(
+        map(tuple, DD.lsh_search_index(spark, idx, delta).collect())
+    ) == a
+    tbl2 = spark.sql("DESCRIBE FORMATTED t_lshburi_bands").collect()
+    created2 = [r.data_type for r in tbl2 if r.col_name == "Created Time"]
+    assert created1 == created2  # not dropped/recreated between searches
