@@ -134,3 +134,36 @@ def test_engine_modules_have_no_local_fs_io():
         "local-FS I/O in engine modules (route sidecars through "
         f"sources/fsio.py): {offenders}"
     )
+
+
+def test_pin_module_consistent_with_pin_tool():
+    """No-Spark consistency pins: the pin module covers exactly the
+    entries tools/pin_ann.py regenerates, every entry pins all three
+    SFs with its declared schema arity, and queries.py registers a
+    generated oracle for each (a pinned entry silently dropping its
+    oracle would demote it back to rows-only without anyone noticing)."""
+    import importlib.util
+    import sys
+
+    from etl_project_gcp_spark._ann_pins import PINNED
+
+    tool_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools", "pin_ann.py",
+    )
+    spec = importlib.util.spec_from_file_location("pin_ann", tool_path)
+    tool = importlib.util.module_from_spec(spec)
+    sys.modules["pin_ann"] = tool
+    spec.loader.exec_module(tool)
+    assert set(PINNED) == set(tool.PINNED_ENTRIES)
+    from etl_project_gcp_spark import queries as Q
+
+    oracles = Q.oracle_sql()
+    for name, entry in PINNED.items():
+        assert entry["schema"] == tool.PINNED_ENTRIES[name]
+        assert set(entry["pins"]) == set(tool.SFS)
+        arity = len(entry["schema"].split(","))
+        for sf, rows in entry["pins"].items():
+            assert rows == sorted(rows), (name, sf)
+            assert all(len(r) == arity for r in rows), (name, sf)
+        assert name in oracles and "VALUES" in oracles[name], name
