@@ -351,6 +351,25 @@ def png_roundtrip_meta(
     )
 
 
+def png_meta_table(media_df: DataFrame) -> DataFrame:
+    """(id, width, height) by parsing each payload's PNG IHDR (a real
+    header decode — media.png_meta validates signature + chunk layout,
+    it does not trust file extensions). Arrow-batched mapInPandas over
+    the (id, content) scan, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etl_project_gcp_spark.operators import media as M
+
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf["id"], pdf["content"]):
+                w, h = M.png_meta(bytes(payload))
+                rows.append({"id": int(_id), "width": w, "height": h})
+            yield pd.DataFrame(rows, columns=["id", "width", "height"])
+
+    return media_df.mapInPandas(run, "id bigint, width int, height int")
+
+
 def wav_meta_table(media_df: DataFrame) -> DataFrame:
     """(id, n_channels, sample_rate, n_frames) via the stdlib wave
     reader — a real RIFF parse per payload, Arrow-batched, no shuffle."""

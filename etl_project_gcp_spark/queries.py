@@ -2959,6 +2959,96 @@ def binary_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pinned_or_live(spark, "binary_embed_topk", sf_dir, live)
 
 
+def _binary_landing_ensure(sf_dir: str, n_docs: int = 60) -> str:
+    """Land one deterministic PNG FILE per doc id (< n_docs) into a
+    per-(sf, n) cache dir — the on-disk fixture for the real-file
+    ingest path (binaryFile source). Bytes are the synthesize_media
+    formula payloads (media.png_encode), so the decode oracle can
+    replay the dimension formulas. Build-once: atomic tmp-sibling
+    build + rename with a _SUCCESS marker (the IVF-index lifecycle);
+    driver-local by the registry cache contract (_cache_root)."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_project_gcp_spark.operators import media as M
+
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = os.path.join(
+        _cache_root("binland"), f"{sf_name}_n{n_docs}"
+    )
+    if _dir_ready(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=os.path.dirname(path))
+    try:
+        for i in range(n_docs):
+            w, h = 8 + i % 13, 8 + i % 7
+            px = [
+                [
+                    ((x * 7 + i) % 256, (y * 11 + i) % 256, (x + y + i) % 256)
+                    for x in range(w)
+                ]
+                for y in range(h)
+            ]
+            with open(os.path.join(tmp, f"doc_{i:05d}.png"), "wb") as f:
+                f.write(M.png_encode(px))
+        with open(os.path.join(tmp, "_SUCCESS"), "w"):
+            pass
+        # decoy the glob filter must skip (proves pathGlobFilter works
+        # in the gate itself, not just in pytest)
+        with open(os.path.join(tmp, "notes.txt"), "w") as f:
+            f.write("not a png")
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            if not _dir_ready(path):
+                raise
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+@register(
+    "binary_file_ingest_meta",
+    """
+    SELECT doc_id,
+           CAST(8 + doc_id % 13 AS INTEGER) AS width,
+           CAST(8 + doc_id % 7  AS INTEGER) AS height
+    FROM documents WHERE doc_id < 60
+    """,
+)
+def binary_file_ingest_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-FILE multimodal ingest (sources/readers.py::read_binary_dir,
+    Spark's ``binaryFile`` source): 60 on-disk PNG files (one per doc
+    id, landed once per corpus — _binary_landing_ensure) are read as
+    (path, length, content) rows with a ``*.png`` pathGlobFilter (a
+    planted .txt decoy must be skipped by the SOURCE, not a filter),
+    the doc id is parsed from the file NAME, and each payload's IHDR
+    is decoded with the stdlib codec — the oracle replays the
+    dimension formulas, so a broken file landing, glob, filename
+    parse, or header decode all hash-fail. This is the ingest half the
+    synthesize_media entries don't cover: actual files on storage →
+    DataFrame, the `gs://bucket/**.png` shape at 100 TB (binaryFile
+    reads files in parallel on executors; length filters push to the
+    source)."""
+    from etl_project_gcp_spark.sources.readers import read_binary_dir
+
+    ship_package_to_workers(spark)
+    land = _binary_landing_ensure(sf_dir, 60)
+    files = read_binary_dir(spark, land, glob="*.png")
+    media = files.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.png$", 1)
+        .cast("bigint")
+        .alias("id"),
+        "content",
+    )
+    meta = MM.png_meta_table(media)
+    return meta.select(
+        F.col("id").alias("doc_id"), "width", "height"
+    )
+
+
 # ---------------------------------------------------------------------------
 # K. Additional relational shapes (semi/anti joins, HAVING, CASE WHEN —
 #    rounding out the query vocabulary a reference user would expect)

@@ -102,3 +102,36 @@ def read_tables(
 ) -> dict[str, DataFrame]:
     """Load the driver corpus tables from ``sf_dir`` as DataFrames."""
     return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Ingest a directory of REAL media/blob files via Spark's
+    ``binaryFile`` source → (path, modificationTime, length, content).
+    This is the scale-native way to land existing image/audio/document
+    files into the multimodal pipeline (synthesize_media covers
+    fixtures; this covers a bucket of actual .png/.wav/.pdf objects).
+
+    Scale shape: one row per FILE, read in parallel across executors —
+    no driver-side listing loop; works against any supported scheme
+    (``gs://`` etc.). ``glob`` maps to ``pathGlobFilter`` (server-side
+    name filtering — non-matching files are never opened), and filters
+    on ``length`` push down to the source (skip oversized blobs
+    without reading a byte; plan-tested). Directory layout is the
+    partition strategy: shard files into subdirs and pass
+    ``recursive=True``; a path-prefix filter then prunes directories.
+
+    Caveat: each file's content becomes ONE row in executor memory —
+    cap blob size upstream (the pushed ``length`` filter is the guard)
+    and keep multi-GB objects on a streaming byte-range path instead.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)

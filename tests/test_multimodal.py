@@ -200,3 +200,61 @@ def test_real_features_are_content_sensitive(spark):
     assert any(v != same[0] for v in vecs), "distinct payloads must differ"
     for v in vecs:
         assert abs(sum(x * x for x in v) - 1.0) < 1e-5  # unit norm
+
+
+def test_read_binary_dir_glob_recursive_and_length_pushdown(spark, tmp_path):
+    """The real-file ingest source: pathGlobFilter skips non-matching
+    files at the SOURCE, recursiveFileLookup walks sharded subdirs,
+    and a length predicate reaches the scan's PushedFilters (the
+    oversized-blob guard costs no byte of content I/O)."""
+    from etl_project_gcp_spark.operators import media as M
+    from etl_project_gcp_spark.sources.readers import read_binary_dir
+
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    png = M.png_encode([[(1, 2, 3), (4, 5, 6)]])
+    (tmp_path / "a" / "x.png").write_bytes(png)
+    (tmp_path / "b" / "y.png").write_bytes(png + b"\x00" * 4096)
+    (tmp_path / "a" / "junk.txt").write_text("not a png")
+
+    flat = read_binary_dir(spark, str(tmp_path / "a"), glob="*.png")
+    assert [r.path.rsplit("/", 1)[-1] for r in flat.collect()] == ["x.png"]
+    assert set(flat.columns) == {
+        "path", "modificationTime", "length", "content"
+    }
+
+    rec = read_binary_dir(spark, str(tmp_path), glob="*.png", recursive=True)
+    assert rec.count() == 2
+    small = rec.filter(rec.length < len(png) + 100)
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "length" in plan.split(
+        "PushedFilters"
+    )[1][:120]
+    assert [r.path.rsplit("/", 1)[-1] for r in small.collect()] == ["x.png"]
+    # content actually round-trips: decode the ingested bytes
+    got = bytes(small.first().content)
+    assert M.png_meta(got) == (2, 1)
+
+
+def test_binary_file_ingest_meta_decoy_and_rebuild(spark, tmp_path, monkeypatch):
+    """The registry entry's landing fixture: built once (atomic,
+    _SUCCESS-marked), contains a .txt decoy the entry's glob must
+    skip, and a cache wipe forces a clean rebuild with identical
+    results."""
+    import shutil
+
+    from etl_project_gcp_spark import queries as Q
+
+    monkeypatch.setenv("ETL_GCP_SPARK_CACHE_DIR", str(tmp_path / "cache"))
+    fn = Q.queries()["binary_file_ingest_meta"]
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, fn(spark, sf).collect()))
+    assert len(a) == 60 and all(len(r) == 3 for r in a)
+    land = Q._binary_landing_ensure(sf, 60)
+    import os
+
+    names = set(os.listdir(land))
+    assert "notes.txt" in names and "_SUCCESS" in names
+    shutil.rmtree(os.path.dirname(land))
+    b = sorted(map(tuple, fn(spark, sf).collect()))
+    assert a == b
