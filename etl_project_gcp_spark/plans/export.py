@@ -56,9 +56,17 @@ def run_training_export(
     min_tokens: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    compression: str | None = None,
 ) -> DataFrame:
     """Run the full export into ``{root}/shards`` and return the
-    read-back per-(split, shard) manifest. See module docstring."""
+    read-back per-(split, shard) manifest. See module docstring.
+
+    ``compression`` (e.g. ``"gzip"``/``"lz4"``) compresses the JSONL
+    shards — the 100 TB default; the manifest is recomputed from the
+    ROUND-TRIPPED text, so it is codec-invariant by construction
+    (equality pytest-pinned). Gzip members are not splittable: the
+    per-(split, shard) directory layout is what keeps a re-read
+    parallel, one task per shard file."""
     w = root.rstrip("/")
 
     # 1. exact dedup: survivor id per content hash, then an id-keyed
@@ -91,17 +99,31 @@ def run_training_export(
     #    land as partitioned JSONL, then read back under a pinned
     #    schema (inference on 100 TB of shards would be its own scan)
     out = f"{w}/shards"
-    (
+    writer = (
         staged.repartition("split", "shard")
         .write.mode("overwrite")
         .partitionBy("split", "shard")
-        .json(out)
     )
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    writer.json(out)
     back = (
         spark.read.schema(f"{id_col} bigint, {text_col} string")
         .option("basePath", out)
         .json(out)
     )
+    if "split" not in back.columns:
+        # zero surviving documents -> no partition directories -> the
+        # read-back has nothing to discover. Without this guard the
+        # manifest select dies with an unrelated "cannot resolve
+        # `split`" AnalysisException (found the hard way in pytest) —
+        # name the actual cause instead.
+        raise ValueError(
+            f"training export at {out} produced ZERO surviving "
+            f"documents — every row was removed by dedup or the "
+            f"min_tokens={min_tokens} quality floor; nothing to "
+            f"manifest"
+        )
 
     # 6. manifest recomputed from the round-tripped text
     return (

@@ -35,15 +35,29 @@ def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
 
 
 def write_jsonl(
-    df: DataFrame, path: str, partition_by: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    compression: str | None = None,
 ) -> None:
     """JSON-Lines sink (one object per line, UTF-8, overwrite) — the
     export format downstream tokenizer/training jobs consume. Spark's
     json sink is line-delimited by construction, so the output is
-    splittable on re-read."""
+    splittable on re-read.
+
+    ``compression``: at 100 TB the export always compresses — pass
+    ``"gzip"`` for maximum-compatibility consumers or ``"lz4"``/
+    ``"snappy"`` when re-read speed matters. One caveat that choice
+    carries: gzip files are NOT splittable, so a re-read parallelizes
+    per FILE — keep per-shard output sizes bounded (the shard_manifest
+    / repartition-by-shard discipline already does) or the downstream
+    job serializes on one giant member. Uncompressed (None) stays the
+    default for the oracle-checked round-trip entries."""
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if compression is not None:
+        writer = writer.option("compression", compression)
     writer.json(path)
 
 

@@ -286,3 +286,26 @@ def test_compact_parquet_partitioned_compacts_per_directory(spark, tmp_path):
     got = spark.read.parquet(dst)
     assert got.count() == 40_000
     assert set(got.columns) == {"id", "part", "payload"}
+
+
+def test_jsonl_compressed_roundtrip(spark, tmp_path):
+    """Compressed JSONL export (the 100 TB default): gzip and lz4
+    outputs re-read to the identical row set, the files carry the
+    codec suffix (no silent plain-text fallback), and the reader
+    needs no special flags (Spark infers the codec per file)."""
+    import glob as g
+
+    from etl_project_gcp_spark.sources.readers import read_jsonl
+    from etl_project_gcp_spark.sources.writers import write_jsonl
+
+    df = spark.range(200).selectExpr(
+        "id AS doc_id", "concat('text-', id) AS text"
+    )
+    want = sorted(map(tuple, df.collect()))
+    for codec, suffix in (("gzip", ".gz"), ("lz4", ".lz4")):
+        out = str(tmp_path / codec)
+        write_jsonl(df, out, compression=codec)
+        parts = g.glob(f"{out}/part-*")
+        assert parts and all(p.endswith(suffix) for p in parts), parts
+        back = read_jsonl(spark, out, schema="doc_id bigint, text string")
+        assert sorted(map(tuple, back.collect())) == want

@@ -64,3 +64,41 @@ def test_export_assignment_is_deterministic_and_disjoint(spark, tmp_path):
     assert splits <= {"train", "val", "test"}
     shards = {t[1] for t in a}
     assert shards <= set(range(4))
+
+
+def test_training_export_compressed_manifest_equals_plain(spark, tmp_path):
+    """compression= changes the shard bytes, never the data: the
+    read-back manifest from a gzip export equals the plain export's
+    manifest exactly, and the shard files carry the codec suffix."""
+    import glob as g
+
+    from etl_project_gcp_spark.plans.export import run_training_export
+
+    docs = spark.range(300).selectExpr(
+        "id AS doc_id",
+        "concat('document body number ', id, ' with clearly more than ten whitespace tokens of text') AS text",
+    )
+    plain = sorted(map(tuple, run_training_export(
+        spark, docs, str(tmp_path / "plain")).collect()))
+    gz = sorted(map(tuple, run_training_export(
+        spark, docs, str(tmp_path / "gz"), compression="gzip").collect()))
+    assert plain == gz
+    parts = g.glob(f"{tmp_path}/gz/shards/*/*/part-*")
+    assert parts and all(p.endswith(".gz") for p in parts)
+
+
+def test_training_export_empty_survivor_set_raises_named_error(
+    spark, tmp_path
+):
+    """A quality floor that removes every document must fail with an
+    error naming the cause, not an unresolved-column AnalysisException
+    from the manifest's partition discovery."""
+    import pytest
+
+    from etl_project_gcp_spark.plans.export import run_training_export
+
+    docs = spark.range(20).selectExpr(
+        "id AS doc_id", "'too short' AS text"
+    )
+    with pytest.raises(ValueError, match="ZERO surviving"):
+        run_training_export(spark, docs, str(tmp_path / "empty"))
