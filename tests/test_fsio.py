@@ -167,3 +167,27 @@ def test_pin_module_consistent_with_pin_tool():
             assert rows == sorted(rows), (name, sf)
             assert all(len(r) == arity for r in rows), (name, sf)
         assert name in oracles and "VALUES" in oracles[name], name
+
+
+def test_no_shadowed_test_names_anywhere():
+    """Two same-named tests in one module: the second silently shadows
+    the first and it never runs (found live in r9 — a dead
+    merge_upsert property test). Pin uniqueness so a dead test can't
+    hide again."""
+    import glob
+
+    dups = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "test_*.py")):
+        tree = ast.parse(open(path).read())
+        names = [
+            n.name
+            for n in tree.body
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+            and n.name.startswith("test_")
+        ]
+        seen: set[str] = set()
+        d = [n for n in names if n in seen or seen.add(n)]
+        if d:
+            dups[os.path.basename(path)] = d
+    assert not dups, f"shadowed (never-running) tests: {dups}"

@@ -245,32 +245,6 @@ def test_scd2_apply_matches_python_replay(spark, snapshot, batches):
     assert got == _scd2_reference(snapshot, batches)
 
 
-@settings(
-    max_examples=10,
-    deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
-)
-@given(
-    target=st.dictionaries(st.integers(0, 20), st.sampled_from("abcd"), max_size=12),
-    updates=st.dictionaries(st.integers(0, 20), st.sampled_from("abcd"), max_size=12),
-)
-def test_merge_upsert_matches_dict_semantics(spark, target, updates):
-    """MERGE == python dict.update: updates win on collision, new keys
-    insert, everything else passes through."""
-    from etl_project_gcp_spark.plans import incremental as INC
-
-    schema = "id int, val string"
-    merged = INC.merge_upsert(
-        spark.createDataFrame(list(target.items()) or [], schema),
-        spark.createDataFrame(list(updates.items()) or [], schema),
-        ["id"],
-    )
-    got = {(r.id, r.val) for r in merged.collect()}
-    want = dict(target)
-    want.update(updates)
-    assert got == set(want.items())
-
-
 # ---------------------------------------------------------------------------
 # Incremental MERGE / SCD2 semantics (plans/incremental.py) — random
 # (target, batch) pairs vs a plain-Python reference of the SQL MERGE
