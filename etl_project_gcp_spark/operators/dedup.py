@@ -498,9 +498,11 @@ def _lsh_append_marker(path: str, state: str) -> None:
 
     p = path.rstrip("/") + "/append_state.json"
     epoch = 0
-    if fsio.exists(p):
+    prior = fsio.read_text_or_none(p)  # None-tolerant: a concurrent
+    # rewrite's fallback window may vanish the file between list/read
+    if prior is not None:
         try:
-            epoch = json.loads(fsio.read_text(p)).get("epoch", 0)
+            epoch = json.loads(prior).get("epoch", 0)
         except ValueError:
             pass
     if state == "pending":
@@ -514,13 +516,19 @@ def _lsh_check_append_state(path: str) -> None:
     from etl_project_gcp_spark.sources import fsio
 
     p = path.rstrip("/") + "/append_state.json"
-    if not fsio.exists(p):
+    # None-tolerant read: a marker that vanishes between list and read
+    # is a concurrent committed-flip's fallback window — safe to treat
+    # as absent, because 'pending' is (re)written BEFORE any table
+    # write starts, so no-marker always coexists with consistent
+    # tables. The torn-JSON arm below stays: an unparseable marker is
+    # still the refuse-loudly case (fsio writes are atomic, so this
+    # means external interference, not a crash artifact).
+    raw = fsio.read_text_or_none(p)
+    if raw is None:
         return
     try:
-        st = json.loads(fsio.read_text(p))
-    except (OSError, ValueError) as e:
-        # a torn marker write is the same hazard as a torn append:
-        # refuse loudly instead of guessing which table state is live
+        st = json.loads(raw)
+    except ValueError as e:
         raise ValueError(
             f"LSH index at {path} has an unreadable append marker "
             f"({e}): bands and shingles may disagree — rebuild the "
@@ -636,23 +644,27 @@ def lsh_build_index(
     if mode == "append":
         _lsh_check_params(path, shingle_k, num_hashes, bands)
         built = _lsh_params(path) or {}
-        if (
-            built
-            and built.get("bucket_by") is None
-            and bucket_by is not None
-        ):
-            # Appending bucketed-table files into a plain-parquet
-            # layout leaves the directory half catalog-table,
-            # half loose files while the sidecar still says
-            # bucket_by=null — values survive (searches read plain
-            # parquet) but the layout claim drifts (ADVICE r8).
-            # Layout is fixed at build time; refuse like the
-            # signature-parameter check above.
+        # Layout is fixed at build time (ADVICE r8): appending
+        # bucketed-table files into a plain/pre-sidecar layout — or
+        # under a DIFFERENT bucket count — leaves the directory half
+        # catalog-table, half loose files (or bucket-id-inconsistent
+        # files) while the sidecar still claims the build-time layout.
+        # Values survive (searches read what the sidecar says) but the
+        # layout claim drifts. Refuse like the signature-parameter
+        # check above. A pre-sidecar index (built == {}) is plain by
+        # construction, so an explicit bucket_by refuses there too
+        # (r9 review: the old `built and ...` guard skipped it).
+        if bucket_by is not None and built.get("bucket_by") != bucket_by:
+            was = (
+                "UNBUCKETED"
+                if built.get("bucket_by") is None
+                else f"bucket_by={built['bucket_by']}"
+            )
             raise ValueError(
-                f"LSH index at {path} was built UNBUCKETED but the "
-                f"append asked for bucket_by={bucket_by} — layout is "
-                f"fixed at build time; rebuild with bucket_by or "
-                f"append without it"
+                f"LSH index at {path} was built {was} but the append "
+                f"asked for bucket_by={bucket_by} — layout is fixed "
+                f"at build time; rebuild with the desired layout or "
+                f"append without overriding it"
             )
         if built.get("bucket_by") is not None:
             bucket_by = built["bucket_by"]
@@ -714,9 +726,8 @@ def _lsh_params(path: str) -> dict | None:
     from etl_project_gcp_spark.sources import fsio
 
     p = path.rstrip("/") + "/params.json"
-    if not fsio.exists(p):
-        return None
-    return json.loads(fsio.read_text(p))
+    raw = fsio.read_text_or_none(p)
+    return None if raw is None else json.loads(raw)
 
 
 def _lsh_check_params(

@@ -825,8 +825,16 @@ def ivf_search_index(
     """
     centroids = spark.read.parquet(f"{path}/centroids")
     qv = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
-    n_q = qv.count()
-    dim = len(qv.first()["qv"]) if n_q else 0
+    # ONE job for the size estimate (count + max dim together — two
+    # separate actions would re-execute the query lineage twice more,
+    # r9 review), null-safe: F.size(NULL) is -1, max() skips it, and
+    # an all-NULL batch greatest(dim, 0)s to a zero-byte estimate
+    # (those rows drop at the cosine isNotNull filter anyway).
+    est = qv.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.greatest(F.max(F.size("qv")), F.lit(0)).alias("dim"),
+    ).first()
+    n_q, dim = est["n"], est["dim"]
     # 8B per double + ~24B array/row overhead; nprobe probe rows per
     # query are ~32B each — both sides of the same |queries| scaling
     small_queries = n_q * (dim * 8 + 24 + nprobe * 32) <= max_broadcast_bytes

@@ -105,13 +105,46 @@ def write_text(path: str, text: str,
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
-    # Hadoop rename refuses to clobber on several schemes; delete the
-    # old object first. A crash in the gap leaves NO file — for the
-    # LSH marker that reads as "no append in flight", which is safe
-    # because the pending marker is (re)written BEFORE any table write
-    # starts, so a missing marker always coexists with consistent
-    # tables (see _lsh_append_marker ordering).
+    # Prefer FileContext's OVERWRITE rename: atomic replace on HDFS and
+    # the local FS, so a reader never observes a missing destination
+    # (plain FileSystem.rename refuses to clobber on several schemes).
+    # Matters most for params.json rewrites on an index REBUILD — a
+    # no-file window there would make _lsh_check_params treat the index
+    # as pre-sidecar and accept mismatched parameters (r9 review).
+    spark = spark or _spark()
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            p.toUri(), hconf
+        )
+        gw = spark.sparkContext._gateway
+        flags = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+        flags[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(tmp, p, flags)
+        return
+    except Exception:
+        # schemes without FileContext support (some object-store
+        # connectors) fall back to delete+rename. The gap leaves NO
+        # file — for the LSH marker that reads as "no append in
+        # flight", which is safe because the pending marker is
+        # (re)written BEFORE any table write starts, so a missing
+        # marker always coexists with consistent tables (see
+        # _lsh_append_marker ordering).
+        pass
     if fs.exists(p):
         fs.delete(p, False)
     if not fs.rename(tmp, p):
         raise IOError(f"rename {tmp} -> {p} failed")
+
+
+def read_text_or_none(path: str, spark: SparkSession | None = None):
+    """:func:`read_text`, but a missing file — including one that
+    vanishes between an ``exists`` check and the read (a concurrent
+    atomic rewrite's fallback window) — returns None instead of
+    surfacing a JVM IOException. Non-missing I/O errors still raise."""
+    try:
+        return read_text(path, spark)
+    except Exception:
+        if not exists(path, spark):
+            return None
+        raise

@@ -1147,3 +1147,41 @@ def test_lsh_bucketed_index_over_explicit_file_uri(spark, tmp_path):
     tbl2 = spark.sql("DESCRIBE FORMATTED t_lshburi_bands").collect()
     created2 = [r.data_type for r in tbl2 if r.col_name == "Created Time"]
     assert created1 == created2  # not dropped/recreated between searches
+
+
+def test_lsh_append_layout_guard_covers_presidecar_and_count_conflict(
+    spark, tmp_path
+):
+    """r9 review follow-ups on the layout guard: (a) a PRE-SIDECAR
+    index (params.json removed) is plain by construction, so an
+    explicit bucket_by append refuses rather than writing catalog-table
+    files into the loose-parquet layout; (b) an explicit bucket_by that
+    CONFLICTS with a bucketed sidecar refuses instead of being silently
+    coerced to the build-time count."""
+    import os
+
+    pre = str(tmp_path / "pre")
+    DD.lsh_build_index(_docs(spark, [(1, BASE)]), pre)
+    os.remove(os.path.join(pre, "params.json"))  # test-side surgery
+    with pytest.raises(ValueError, match="built UNBUCKETED"):
+        DD.lsh_build_index(
+            _docs(spark, [(2, "x y z")]), pre, mode="append", bucket_by=4,
+        )
+
+    buck = str(tmp_path / "buck")
+    DD.lsh_build_index(
+        _docs(spark, [(1, BASE)]), buck, bucket_by=4,
+        table_prefix="t_lshguard",
+    )
+    with pytest.raises(ValueError, match="bucket_by=4"):
+        DD.lsh_build_index(
+            _docs(spark, [(2, "x y z")]), buck, mode="append", bucket_by=8,
+        )
+    # matching explicit bucket_by still appends fine
+    DD.lsh_build_index(
+        _docs(spark, [(2, "wholly unrelated words")]), buck,
+        mode="append", bucket_by=4,
+    )
+    assert DD.lsh_search_index(
+        spark, buck, _docs(spark, [(9, BASE)])
+    ).count() == 1

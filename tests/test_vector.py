@@ -355,19 +355,25 @@ def test_ann_pin_gate_returns_oracle_literals_iff_live_matches(
     assert diverged[0][1] == n0  # the live table, not the broken pin
 
 
-def test_ann_pins_partition_count_independent(spark):
+def test_ann_pins_partition_count_independent(spark, tmp_path, monkeypatch):
     """The property the pins rely on (tools/pin_ann.py re-asserts it
     at regeneration): the same corpus yields byte-identical ANN tables
-    under a degenerate shuffle-partition count."""
+    under a degenerate shuffle-partition count. The cache redirect
+    makes this REAL for the trained path — ann_ivf_kmeans_topk must
+    re-run distributed Lloyd at 3 shuffle partitions instead of
+    reusing centroids fitted at the session default (r9 review: a
+    reused cache makes the independence claim vacuous for training
+    stages)."""
     from etl_project_gcp_spark import queries as Q
 
+    monkeypatch.setenv("ETL_GCP_SPARK_CACHE_DIR", str(tmp_path / "c3"))
     sf = "/root/testdata/sf0.001"
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "3")
         got = {
             n: sorted(map(tuple, Q.queries()[n](spark, sf).collect()))
-            for n in ("ann_lsh_topk", "ann_ivf_topk")
+            for n in ("ann_lsh_topk", "ann_ivf_topk", "ann_ivf_kmeans_topk")
         }
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
@@ -375,7 +381,7 @@ def test_ann_pins_partition_count_independent(spark):
 
     # a pin-gated entry that matches returns the sf0.01 literals
     for n, rows in got.items():
-        assert rows == PINNED[n]["pins"]["sf0.01"]
+        assert rows == PINNED[n]["pins"]["sf0.01"], n
 
 
 def test_ivf_index_search_large_batch_fallback_matches_broadcast(

@@ -157,14 +157,20 @@ def main() -> int:
     if args.all:
         for drain in ("sessionize", "forward_fill"):
             for provider in ("default", "rocksdb"):
-                r = subprocess.run(
-                    [
-                        sys.executable, os.path.abspath(__file__),
-                        "--events-dir", args.events_dir,
-                        "--drain", drain, "--provider", provider,
-                    ],
-                    capture_output=True, text=True, timeout=3600,
-                )
+                try:
+                    r = subprocess.run(
+                        [
+                            sys.executable, os.path.abspath(__file__),
+                            "--events-dir", args.events_dir,
+                            "--drain", drain, "--provider", provider,
+                        ],
+                        capture_output=True, text=True, timeout=3600,
+                    )
+                except subprocess.TimeoutExpired:
+                    # one wedged combo must not abort the sweep — the
+                    # remaining (drain, provider) results still matter
+                    print(f"FAILED {drain}/{provider}: timeout after 3600s")
+                    continue
                 for line in r.stdout.splitlines():
                     if line.startswith("PROBE "):
                         print(line)

@@ -65,9 +65,21 @@ Regenerating after an intentional corpus/testdata change:
 
 
 def _collect(parts: int) -> dict:
+    import tempfile
+
     # bypass the entries' own pin gates: regeneration must pin the
     # LIVE tables, never the gates' sf0.01 literals
     os.environ["ETL_GCP_SPARK_DISABLE_PINS"] = "1"
+    # ...and give EACH partition-count run its own artifact cache:
+    # the kmeans centroids / persisted IVF index / binary landing are
+    # disk-cached per corpus, so without this the 7-partition pass
+    # would silently REUSE artifacts built at 16 partitions and the
+    # a != b independence gate could never see partition dependence
+    # in the training/build stages — the exact stages (distributed
+    # Lloyd's float aggregation) most likely to have it (r9 review).
+    os.environ["ETL_GCP_SPARK_CACHE_DIR"] = tempfile.mkdtemp(
+        prefix=f"pin_ann_cache_p{parts}_"
+    )
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as E
