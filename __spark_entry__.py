@@ -34,11 +34,24 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # names once their driver row post-dates the rework. The r6-era eight
 # (bpe_merges, dedup_minhash, ..., binary_resize_meta) all got their
 # r7 hash-green rows and are cleared per the r7 verdict ask #2.
-_FORCE_RECHECK = [
-    # r9: ALL formerly rows-only entries except the two quality-report
-    # floor gates now carry pinned-VALUES oracles (r8 verdict ask #3,
-    # extended to the whole set) — their prior clean rounds were the
-    # weaker rows-only check, so force the first full-hash row.
+_FORCE_RECHECK: list[str] = [
+    # r10: empty. The r9 eight (ann_*_topk ×6, binary_embed_topk,
+    # dedup_simhash) all got their first full-hash rows in
+    # CORRECTNESS_r09 under the pinned-VALUES oracles and are cleared
+    # per the r9 verdict ask #1; they move to _PRIORITY below for a
+    # second clean round.
+]
+
+# Registry entries the verify harness should reach first this round —
+# tie-break only (within a green-count tier), so never-checked entries
+# still come first. Use _FORCE_RECHECK for entries that must be reached
+# regardless of their green count.
+_PRIORITY = [
+    # r9's single-green entries (r9 verdict ask #1): one more clean
+    # round each closes the >=2-clean-rounds bar registry-wide under
+    # full value oracles. They sit in the 1-green tier so the rotation
+    # reaches them right after the re-check slice anyway; listing them
+    # pins their order deterministically.
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_ivf_index_topk",
@@ -47,32 +60,28 @@ _FORCE_RECHECK = [
     "ann_ivf_kmeans_topk",
     "binary_embed_topk",
     "dedup_simhash",
-    # r8's pair (training_shard_manifest, dedup_incremental) got their
-    # hash-green r8 rows under the fixed oracles and are cleared.
-]
-
-# Registry entries the verify harness should reach first this round —
-# tie-break only (within a green-count tier), so never-checked entries
-# still come first. Use _FORCE_RECHECK for entries that must be reached
-# regardless of their green count.
-_PRIORITY = [
-    # r8's single-green entries: one more clean round each closes the
-    # >=2-clean-rounds tail registry-wide (r8 verdict ask #2). They
-    # sit in the 1-green tier so the rotation reaches them anyway;
-    # listing them pins their order deterministically.
-    "medallion_gold_sales_summary",
-    "training_export_pipeline",
-    "train_val_test_split",
-    "jsonl_roundtrip",
-    "dedup_incremental_near_bucketed",
-    "training_shard_manifest",
+    "binary_file_ingest_meta",
+    "bpe_merges",
 ]
 
 
-def _rounds_green(names: list[str], here: str = _HERE) -> dict[str, int]:
+def _rounds_green(
+    names: list[str],
+    here: str = _HERE,
+    oracled: set[str] | None = None,
+) -> dict[str, int]:
     """Per query, how many past driver rounds recorded a clean row
-    (CORRECTNESS_r*.json living next to this file)."""
+    (CORRECTNESS_r*.json living next to this file).
+
+    ``oracled`` = entries that TODAY carry a full value oracle. Their
+    past rows-only checks (err="no_oracle") don't count: a rows-only
+    clean is evidence for the weaker claim only, so an entry upgraded
+    to a full oracle re-enters the rotation at its hash-green count —
+    the exact situation that previously needed manual _FORCE_RECHECK
+    entries every time an oracle landed (r9 verdict ask #1)."""
     greens = {n: 0 for n in names}
+    if oracled is None:
+        oracled = set()
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
@@ -90,6 +99,7 @@ def _rounds_green(names: list[str], here: str = _HERE) -> dict[str, int]:
             ok_err = row.get("err") is None or (
                 row.get("err") == "no_oracle"
                 and row.get("spark_rows") is not None
+                and n not in oracled
             )
             clean = (
                 ok_err
@@ -142,7 +152,7 @@ def _rotation_order(names: list[str], here: str = _HERE) -> list[str]:
     after the re-check slice. The slice itself advances by
     ``_RECHECK_SLOTS`` per round, cycling through all greens.
     """
-    greens = _rounds_green(names, here=here)
+    greens = _rounds_green(names, here=here, oracled=set(Q.oracle_sql()))
     prio = {n: i for i, n in enumerate(_PRIORITY)}
     base = {n: i for i, n in enumerate(names)}
     ordered = sorted(
@@ -175,7 +185,7 @@ def _self_check() -> None:
     rotated = _rotation_order(list(qs))
     assert sorted(rotated) == sorted(qs), "rotation must be a permutation"
     assert set(Q.oracle_sql()) <= set(qs), "oracle keys must be registered"
-    greens = _rounds_green(list(qs))
+    greens = _rounds_green(list(qs), oracled=set(Q.oracle_sql()))
     forced = [n for n in _FORCE_RECHECK if n in qs]
     assert rotated[: len(forced)] == forced, (
         "forced re-check entries must lead the rotation"
