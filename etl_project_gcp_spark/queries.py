@@ -118,16 +118,22 @@ def _pinned_or_live(
     spark: SparkSession, name: str, sf_dir: str, live: DataFrame
 ) -> DataFrame:
     """The sf-keyed pin check shared by the hash-checked deterministic
-    entries: iff the live result equals its OWN SF's pinned table
+    entries: compare the live result to its OWN SF's pinned table
     (each pin verified partition-count-independent at generation —
     tools/pin_ann.py — and quality-floor-gated by ann_recall_report /
-    simhash_quality_report), return the sf0.01 oracle literals; a
-    divergence logs whether to suspect a stale pin (corpus regen) or a
-    real regression, then returns the raw live table so the driver
-    hash-fails loudly. Unknown SFs return live as-is (the driver
-    checks only pinned SFs). ``ETL_GCP_SPARK_DISABLE_PINS=1`` bypasses
-    the gate entirely — tools/pin_ann.py sets it so regeneration pins
-    the LIVE tables, never the gate's own literals."""
+    simhash_quality_report); a divergence logs whether to suspect a
+    stale pin (corpus regen) or a real regression. ALWAYS returns the
+    live DataFrame (ADVICE r9: the old gate substituted the sf0.01
+    oracle literals on a match, handing wrong-SF rows to sf0.1/sf0.001
+    callers and literal tables to any consumer that composes or times
+    registry callables). The driver's VALUES oracle still hash-matches
+    at sf0.01 because a matching live result IS the pin row-for-row;
+    a divergence reaches the driver as a loud hash-fail either way.
+    Unknown SFs skip the check (the driver checks only pinned SFs).
+    ``ETL_GCP_SPARK_DISABLE_PINS=1`` skips it too — bench.py (the
+    check's extra collect must not pollute timings) and
+    tools/pin_ann.py (regeneration pins the live tables without
+    consulting stale pins) set it."""
     import os as _os
 
     if _os.environ.get("ETL_GCP_SPARK_DISABLE_PINS") == "1":
@@ -158,8 +164,7 @@ def _pinned_or_live(
             diffs[0][1] if diffs else "(length mismatch)",
             diffs[0][2] if diffs else f"{len(rows)} rows vs {len(pinned)}",
         )
-        return live
-    return spark.createDataFrame(spec["pins"]["sf0.01"], spec["schema"])
+    return live
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4563,19 +4568,24 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The learned table differs per corpus, so the single VALUES oracle
     (pinned at sf0.01, the driver's correctness SF) is keyed per SF via
-    _BPE_MERGES_PINNED: the entry learns the merges, and iff they equal
-    its OWN SF's pinned table (each independently verified against the
-    pure-Python reference BPE in tests/test_text_dedup.py) it returns
-    the sf0.01 oracle literals — so the check is exact at every pinned
-    SF, and any regression in pair counting, tiebreaks, or the merge
-    fold returns the raw learned table and hash-fails loudly. Unknown
-    corpora return the learned table as-is (driver correctness runs
-    only at pinned SFs). The driver-fit production path (fit='driver' —
-    one collect of the capped vocab, in-memory loop; how 30k-merge
-    tokenizers actually train) is equality-tested against this
-    distributed loop."""
+    _BPE_MERGES_PINNED: the entry learns the merges and compares them
+    to its OWN SF's pinned table (each independently verified against
+    the pure-Python reference BPE in tests/test_text_dedup.py),
+    logging loudly on a divergence — then ALWAYS returns the learned
+    table (ADVICE r9, same inversion as _pinned_or_live: literal
+    substitution handed wrong-SF rows to non-driver consumers). At
+    sf0.01 a matching learned table IS the oracle row-for-row, so the
+    driver hash still matches exactly; any regression in pair
+    counting, tiebreaks, or the merge fold hash-fails loudly. The
+    driver-fit production path (fit='driver' — one collect of the
+    capped vocab, in-memory loop; how 30k-merge tokenizers actually
+    train) is equality-tested against this distributed loop."""
+    import os as _os
+
     docs = _t(spark, sf_dir, "documents")
     learned = TX.bpe_learn_merges(docs, num_merges=12, fit="distributed")
+    if _os.environ.get("ETL_GCP_SPARK_DISABLE_PINS") == "1":
+        return learned
     sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     pinned = _BPE_MERGES_PINNED.get(sf_name)
     if pinned is None:
@@ -4602,11 +4612,7 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             diffs[0][1] if diffs else "(length mismatch)",
             diffs[0][2] if diffs else f"{len(rows)} rows vs {len(pinned)}",
         )
-        return learned
-    return spark.createDataFrame(
-        _BPE_MERGES_PINNED["sf0.01"],
-        "rank int, left string, right string, merged string",
-    )
+    return learned
 
 
 @register(

@@ -746,9 +746,11 @@ def test_bpe_merges_match_reference_on_real_corpus(spark, sf01_dir):
 def test_bpe_merges_entry_is_sf_keyed(spark, sf_dir):
     """The VALUES oracle is pinned at sf0.01, but the learned table
     differs per corpus — at the smoke SF the entry must (a) learn a
-    table equal to its OWN SF's pinned expectation and (b) return the
-    sf0.01 oracle literals so an oracle check at any pinned SF is exact
-    (ADVICE r6: the un-keyed entry false-failed at sf0.001)."""
+    table equal to its OWN SF's pinned expectation (ADVICE r6: the
+    un-keyed entry false-failed at sf0.001) and (b) return that LIVE
+    learned table, never a borrowed sf0.01 literal (ADVICE r9
+    inversion — the driver's sf0.01 check still hash-matches because
+    a matching learned table IS the oracle row-for-row)."""
     from etl_project_gcp_spark import queries as Q
     from etl_project_gcp_spark.operators import text as TX
 
@@ -766,7 +768,7 @@ def test_bpe_merges_entry_is_sf_keyed(spark, sf_dir):
         tuple(r)
         for r in Q.queries()["bpe_merges"](spark, sf_dir).orderBy("rank").collect()
     ]
-    assert got == Q._BPE_MERGES_PINNED["sf0.01"]
+    assert got == Q._BPE_MERGES_PINNED["sf0.001"]
 
 
 def test_bpe_merges_entry_unknown_sf_returns_learned(spark, tmp_path):

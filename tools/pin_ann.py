@@ -53,11 +53,13 @@ pinned here per SF, verified at generation time to be identical under
 16- and 7-shuffle-partition runs (partition-count independence) and
 quality-floor-gated against exact references by ``ann_recall_report``
 / ``simhash_quality_report``. The registry entries compare their live
-result to their OWN SF's pin and return the sf0.01 oracle literals iff
-they match — so the driver check is an exact hash compare at every
-pinned SF, and any regression in hashing, probing, pruning, or
-tiebreaks returns the raw live table and hash-fails loudly (with a
-stale-pin-vs-regression log, the queries.py::bpe_merges discipline).
+result to their OWN SF's pin, log a stale-pin-vs-regression
+diagnostic on a divergence, and ALWAYS return the live table (ADVICE
+r9 — literal substitution handed wrong-SF rows to non-driver
+consumers): at sf0.01 a matching live table IS the VALUES oracle
+row-for-row, so the driver check is an exact hash compare, and any
+regression in hashing, probing, pruning, or tiebreaks hash-fails
+loudly (the queries.py::bpe_merges discipline).
 
 Regenerating after an intentional corpus/testdata change:
     python tools/pin_ann.py   (asserts partition independence first)
