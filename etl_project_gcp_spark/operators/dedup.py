@@ -735,12 +735,27 @@ def _lsh_check_params(
 ) -> None:
     """Refuse an append/search whose signature parameters differ from
     the ones the index was built with (hash spaces would not line up —
-    silently wrong screens, not an error, without this). A pre-sidecar
-    index (no params.json) is accepted for compatibility. Layout keys
-    (bucket_by, table_prefix) are the index's own business and not
-    compared."""
+    silently wrong screens, not an error, without this). A missing
+    params.json next to EXISTING index tables is an error too (ADVICE
+    r9): the sidecar is written with every build, so its absence means
+    it was lost — a crash inside the delete+rename fallback window on
+    a scheme without FileContext (fsio.write_text), or external
+    interference — and accepting the caller's parameters unchecked is
+    the exact silent corruption the sidecar exists to prevent. Layout
+    keys (bucket_by, table_prefix) are the index's own business and
+    not compared."""
+    from etl_project_gcp_spark.sources import fsio
+
     built = _lsh_params(path)
     if built is None:
+        if fsio.exists(path.rstrip("/") + "/bands"):
+            raise ValueError(
+                f"LSH index at {path} has index tables but no "
+                f"params.json sidecar — the sidecar was lost (crashed "
+                f"rewrite or external deletion), so the build-time "
+                f"signature parameters are unknown and the call's "
+                f"cannot be validated; rebuild the index to restore it"
+            )
         return
     asked = {"shingle_k": shingle_k, "num_hashes": num_hashes, "bands": bands}
     got = {k: built.get(k) for k in asked}

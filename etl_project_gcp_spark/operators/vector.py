@@ -29,6 +29,7 @@ distributed top-k (ICDE 2021) for the partition-then-merge shape.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -825,6 +826,13 @@ def ivf_search_index(
     """
     centroids = spark.read.parquet(f"{path}/centroids")
     qv = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    # The function runs the query-side lineage for two internal actions
+    # (size estimate + probed-list collect) before the caller's final
+    # action ever sees it — persist across those so a non-trivial
+    # upstream query pipeline executes ONCE here, not three times
+    # (ADVICE r9); unpersisted again below once the search plan is
+    # built, so nothing leaks into the caller's session.
+    qv = qv.persist(StorageLevel.MEMORY_AND_DISK)
     # ONE job for the size estimate (count + max dim together — two
     # separate actions would re-execute the query lineage twice more,
     # r9 review), null-safe: F.size(NULL) is -1, max() skips it, and
@@ -848,7 +856,20 @@ def ivf_search_index(
         .filter(F.col("rk") <= nprobe)
         .select("query_id", "list_id")
     )
-    probed_lists = [r["list_id"] for r in probes.select("list_id").distinct().collect()]
+    if small_queries:
+        # The guard just approved shipping this probe set to every
+        # executor as a broadcast, so holding the same rows on the
+        # driver once is free — and rebuilding `probes` as a local
+        # relation removes the SECOND reference to the query lineage
+        # from the returned plan (ADVICE r9: upstream re-execution),
+        # leaving exactly one (the scored join against qv).
+        pairs = probes.collect()
+        probed_lists = sorted({r["list_id"] for r in pairs})
+        probes = spark.createDataFrame(pairs, probes.schema)
+    else:
+        probed_lists = [
+            r["list_id"] for r in probes.select("list_id").distinct().collect()
+        ]
     vectors = spark.read.parquet(f"{path}/vectors").filter(
         F.col("list_id").isin(probed_lists)
     )
@@ -869,11 +890,18 @@ def ivf_search_index(
         F.round(cosine(F.col("qv"), F.col("cv")), round_scores).alias("cosine"),
     )
     w2 = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
+    out = (
         scored.filter(F.col("cosine").isNotNull())
         .withColumn("rk", F.row_number().over(w2))
         .filter(F.col("rk") <= k)
     )
+    # Both internal actions are done; drop the cache so repeated
+    # searches can't accumulate memory in the caller's session. The
+    # caller's final action recomputes the query lineage once — the
+    # pre-fix cost was that same execution PLUS two more inside this
+    # function.
+    qv.unpersist(blocking=False)
+    return out
 
 
 # --- Recall measurement: the approximate paths' correctness claim ----------

@@ -109,27 +109,24 @@ def write_text(path: str, text: str,
     # the local FS, so a reader never observes a missing destination
     # (plain FileSystem.rename refuses to clobber on several schemes).
     # Matters most for params.json rewrites on an index REBUILD — a
-    # no-file window there would make _lsh_check_params treat the index
-    # as pre-sidecar and accept mismatched parameters (r9 review).
+    # no-file window there would otherwise hand a concurrent reader a
+    # sidecar-less index (r9 review; _lsh_check_params now REFUSES
+    # that state rather than accepting unchecked parameters, so even
+    # the fallback's gap degrades to a loud error, never silence).
     spark = spark or _spark()
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
     try:
-        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-            p.toUri(), hconf
-        )
-        gw = spark.sparkContext._gateway
-        flags = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
-        flags[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
-        fc.rename(tmp, p, flags)
+        _filecontext_rename_overwrite(spark, jvm, tmp, p)
         return
     except Exception:
         # schemes without FileContext support (some object-store
         # connectors) fall back to delete+rename. The gap leaves NO
-        # file — for the LSH marker that reads as "no append in
+        # file — for the LSH append marker that reads as "no append in
         # flight", which is safe because the pending marker is
         # (re)written BEFORE any table write starts, so a missing
         # marker always coexists with consistent tables (see
-        # _lsh_append_marker ordering).
+        # _lsh_append_marker ordering); for params.json a reader in
+        # the gap (or after a crash inside it) hits the
+        # missing-sidecar refusal (operators/dedup.py), remedy: rebuild.
         pass
     if fs.exists(p):
         fs.delete(p, False)
@@ -137,14 +134,42 @@ def write_text(path: str, text: str,
         raise IOError(f"rename {tmp} -> {p} failed")
 
 
+def _filecontext_rename_overwrite(spark, jvm, tmp, p) -> None:
+    """Atomic clobbering rename via FileContext. Split out so tests can
+    force :func:`write_text` down its delete+rename fallback (the
+    branch object-store schemes without FileContext take) by
+    monkeypatching this to raise."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        p.toUri(), hconf
+    )
+    gw = spark.sparkContext._gateway
+    flags = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+    flags[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+    fc.rename(tmp, p, flags)
+
+
 def read_text_or_none(path: str, spark: SparkSession | None = None):
-    """:func:`read_text`, but a missing file — including one that
-    vanishes between an ``exists`` check and the read (a concurrent
-    atomic rewrite's fallback window) — returns None instead of
-    surfacing a JVM IOException. Non-missing I/O errors still raise."""
+    """:func:`read_text`, but a MISSING file — a
+    ``java.io.FileNotFoundException`` anywhere in the JVM cause chain,
+    which covers one that vanishes between an ``exists`` check and the
+    read (a concurrent atomic rewrite's fallback window) — returns
+    None. Every other failure propagates: the old bare handler mapped
+    a transient store error (auth/consistency blip) during
+    ``_lsh_check_append_state`` to "no marker, proceed" whenever a
+    follow-up ``exists()`` also failed or raced to False (ADVICE r9)."""
     try:
         return read_text(path, spark)
-    except Exception:
-        if not exists(path, spark):
-            return None
+    except Exception as e:
+        je = getattr(e, "java_exception", None)
+        if je is not None:
+            jvm = (spark or _spark()).sparkContext._jvm
+            fnf = jvm.java.lang.Class.forName(
+                "java.io.FileNotFoundException"
+            )
+            cause = je
+            while cause is not None:
+                if fnf.isInstance(cause):
+                    return None
+                cause = cause.getCause()
         raise

@@ -95,3 +95,30 @@ def test_recheck_slice_rotates_across_rounds(monkeypatch):
     monkeypatch.setattr(E, "_round_index", lambda here=None: 1)
     r1 = E._rotation_order(qs)[: E._RECHECK_SLOTS]
     assert r0 != r1
+
+
+def test_every_oracle_binds_in_duckdb():
+    """r9 verdict ask #6: the driver verifies a ~50-entry prefix per
+    round, so an oracle whose SQL rots (schema drift, a typo in an
+    edit) between driver visits could hide for several rounds. EXPLAIN
+    binds every registered oracle against the sf0.001 corpus views in
+    DuckDB — parse errors and unresolved tables/columns surface in
+    seconds, without executing anything."""
+    import duckdb
+
+    from oracle import CORPUS
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in CORPUS:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    failures = {}
+    for name, sql in E.Q.oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as e:  # noqa: BLE001 — report every rot at once
+            failures[name] = str(e).splitlines()[0]
+    assert not failures, f"oracle SQL no longer binds: {failures}"

@@ -45,6 +45,43 @@ def test_fsio_read_missing_raises_loudly(spark, tmp_path):
         fsio.read_text(str(tmp_path / "absent.json"))
 
 
+def test_fsio_write_fallback_branch_without_filecontext(
+    spark, tmp_path, monkeypatch
+):
+    """r9 verdict ask #3: the delete+rename fallback (what an
+    object-store scheme without FileContext runs) has to work end to
+    end, not just compile — force it by failing the FileContext
+    acquisition and re-run the full create/overwrite/residue cycle."""
+
+    def _no_fc(*a, **k):
+        raise RuntimeError("scheme has no FileContext (forced)")
+
+    monkeypatch.setattr(fsio, "_filecontext_rename_overwrite", _no_fc)
+    p = str(tmp_path / "fb" / "params.json")
+    fsio.write_text(p, json.dumps({"k": 1}))  # create (no delete needed)
+    assert json.loads(fsio.read_text(p)) == {"k": 1}
+    fsio.write_text(p, json.dumps({"k": 2}))  # overwrite: delete+rename
+    assert json.loads(fsio.read_text(p)) == {"k": 2}
+    names = os.listdir(tmp_path / "fb")
+    assert not [n for n in names if ".tmp-" in n], names
+
+
+def test_fsio_read_or_none_propagates_non_missing_errors(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r9: only a FileNotFoundException in the JVM cause chain
+    may map to None — a transient store error must surface, not read
+    as 'no sidecar, proceed'."""
+    assert fsio.read_text_or_none(str(tmp_path / "absent.json")) is None
+
+    def _transient(*a, **k):
+        raise RuntimeError("store hiccup (forced)")
+
+    monkeypatch.setattr(fsio, "read_text", _transient)
+    with pytest.raises(RuntimeError, match="store hiccup"):
+        fsio.read_text_or_none(str(tmp_path / "absent.json"))
+
+
 # --- portability lint -------------------------------------------------------
 
 # Engine modules whose artifact/data/index/model paths must be

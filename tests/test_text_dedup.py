@@ -134,9 +134,12 @@ def test_lsh_index_refuses_mismatched_params(spark, tmp_path):
         DD.lsh_search_index(spark, idx, delta, shingle_k=3)
     with pytest.raises(ValueError, match="hash spaces"):
         DD.lsh_append_index(_docs(spark, [(2, "x y z")]), idx, bands=8)
-    # pre-sidecar index (no params.json) is accepted for compatibility
+    # a LOST sidecar (tables exist, params.json gone — crashed rewrite
+    # or external deletion) refuses instead of accepting the caller's
+    # parameters unchecked (ADVICE r9; was "pre-sidecar compatibility")
     os.remove(os.path.join(idx, "params.json"))
-    assert DD.lsh_search_index(spark, idx, delta).count() == 1
+    with pytest.raises(ValueError, match="no params.json sidecar"):
+        DD.lsh_search_index(spark, idx, delta)
 
 
 def test_lsh_index_append_equals_rebuild(spark, tmp_path):
@@ -1154,18 +1157,19 @@ def test_lsh_bucketed_index_over_explicit_file_uri(spark, tmp_path):
 def test_lsh_append_layout_guard_covers_presidecar_and_count_conflict(
     spark, tmp_path
 ):
-    """r9 review follow-ups on the layout guard: (a) a PRE-SIDECAR
-    index (params.json removed) is plain by construction, so an
-    explicit bucket_by append refuses rather than writing catalog-table
-    files into the loose-parquet layout; (b) an explicit bucket_by that
-    CONFLICTS with a bucketed sidecar refuses instead of being silently
-    coerced to the build-time count."""
+    """r9 review follow-ups on the layout guard: (a) an index whose
+    sidecar is GONE (params.json removed) refuses any append outright —
+    since ADVICE r9 a lost sidecar is an error before the layout guard
+    even runs, so catalog-table files can never land in a layout the
+    engine can't identify; (b) an explicit bucket_by that CONFLICTS
+    with a bucketed sidecar refuses instead of being silently coerced
+    to the build-time count."""
     import os
 
     pre = str(tmp_path / "pre")
     DD.lsh_build_index(_docs(spark, [(1, BASE)]), pre)
     os.remove(os.path.join(pre, "params.json"))  # test-side surgery
-    with pytest.raises(ValueError, match="built UNBUCKETED"):
+    with pytest.raises(ValueError, match="no params.json sidecar"):
         DD.lsh_build_index(
             _docs(spark, [(2, "x y z")]), pre, mode="append", bucket_by=4,
         )

@@ -416,3 +416,38 @@ def test_ivf_index_search_large_batch_fallback_matches_broadcast(
         )
     )
     assert bc == plain and len(bc) == 50
+
+
+def test_ivf_index_search_runs_query_lineage_once_internally(
+    spark, sf01_dir, tmp_path
+):
+    """ADVICE r9: the broadcast-size estimate re-executed the entire
+    query-side lineage on every search, on top of the probe collect
+    and the returned plan's two references. Two pins: (a) the
+    function's INTERNAL actions (estimate + probe collect) execute the
+    upstream pipeline exactly once, via the persist — counted with an
+    accumulator-ticking UDF in the query pipeline (test-side only;
+    registry plans stay UDF-free); (b) on the small-batch path the
+    RETURNED plan scans the query source exactly once — the probe
+    pairs ride along as a local relation instead of a second lineage
+    reference."""
+    from pyspark.sql import types as T
+
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    VX.ivf_build_index(emb, path, n_lists=8)
+    n = emb.filter(F.col("vec_id") < 5).count()
+    assert n == 5
+    calls = spark.sparkContext.accumulator(0)
+
+    def _tick(v):
+        calls.add(1)
+        return v
+
+    tick = F.udf(_tick, T.LongType())
+    q = emb.filter(F.col("vec_id") < 5).withColumn("vec_id", tick("vec_id"))
+    res = VX.ivf_search_index(spark, path, q, k=10)
+    assert calls.value == n, calls.value  # one internal execution, total
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("embeddings.parquet") == 1, plan
+    assert len(res.collect()) == 50
