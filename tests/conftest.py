@@ -27,3 +27,12 @@ def sf_dir() -> str:
 @pytest.fixture(scope="session")
 def sf01_dir() -> str:
     return SF_CORRECTNESS
+
+
+def pytest_configure(config):
+    # "slow" = multi-minute scale/stress probes; still part of the
+    # default run (the suite is the evidence), deselectable locally
+    # with -m "not slow" while iterating.
+    config.addinivalue_line(
+        "markers", "slow: multi-minute scale/stress probe"
+    )
