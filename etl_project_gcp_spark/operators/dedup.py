@@ -1067,12 +1067,21 @@ def connected_components(
     # sf0.1 on dedup_cluster_canonical), and without the second each
     # propagation round would re-run it from scratch (29 s → 9 s at
     # sf0.1 on the embedding cosine pair graph).
+    # Serialized + spillable storage for every graph-sized checkpoint:
+    # localCheckpoint's default keeps DESERIALIZED rows pinned in
+    # executor memory, and at the 100x ladder's 27M-pair graph that
+    # OOMed a 16 GB heap before the first propagation round (r10
+    # probe); MEMORY_AND_DISK (serialized in PySpark, spills under
+    # pressure) holds the same 54M-edge list in a few hundred MB.
+    from pyspark import StorageLevel
+
+    ckpt = StorageLevel.MEMORY_AND_DISK
     p = pairs.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
-    ).localCheckpoint()
+    ).localCheckpoint(True, ckpt)
     edges = (
         p.union(p.select(F.col("v"), F.col("u"))).distinct()
-    ).localCheckpoint()
+    ).localCheckpoint(True, ckpt)
 
     n_edges = edges.count() if (small_graph_threshold or stats is not None) else None
     if stats is not None:
@@ -1086,7 +1095,7 @@ def connected_components(
         stats["path"] = "distributed"
     labels = (
         edges.select("u").distinct().withColumn("cluster_id", F.col("u"))
-    ).localCheckpoint()
+    ).localCheckpoint(True, ckpt)
     rounds = 0
     for _ in range(max_iter):
         nbr = edges.join(
@@ -1096,7 +1105,7 @@ def connected_components(
             nbr.union(labels)
             .groupBy("u")
             .agg(F.min("cluster_id").alias("cluster_id"))
-        ).localCheckpoint()
+        ).localCheckpoint(True, ckpt)
         changed = (
             new_labels.join(
                 labels.withColumnRenamed("cluster_id", "old"), "u"
@@ -1104,6 +1113,10 @@ def connected_components(
             .filter(F.col("cluster_id") != F.col("old"))
             .count()
         )
+        # superseded label checkpoints stay until the context cleaner
+        # collects them (DataFrame.unpersist does not free checkpoint
+        # blocks — verified r10); acceptable because they are
+        # node-sized and serialized, dwarfed by the edge list
         labels = new_labels
         rounds += 1
         if changed == 0:
