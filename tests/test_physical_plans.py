@@ -188,8 +188,16 @@ def test_lsh_bucketing_is_single_pass_and_shuffle_free(spark, sf01_dir):
     assert "Exchange" not in bplan, bplan
     assert bplan.count("embeddings.parquet") == 1
 
+    # The registry entry's pin gate executes the live plan (its own-SF
+    # divergence check), so AQE has finalized it and explainString
+    # prints BOTH the final and the initial plan — count scans in the
+    # final section only, or every physical scan double-counts (this
+    # assertion saw the live plan for the first time in r10: the old
+    # gate substituted a literal VALUES table on a match, which made
+    # the <= 4 bound vacuously true against a zero-scan plan).
     full = _plan(spark, "ann_lsh_topk", sf01_dir, mode="simple")
-    assert full.count("embeddings.parquet") <= 4, full
+    final = full.split("== Initial Plan ==")[0]
+    assert 1 <= final.count("embeddings.parquet") <= 4, full
 
 
 def test_jsonl_reader_pushes_schema_not_inference(spark, tmp_path):
