@@ -2184,10 +2184,22 @@ def _lsh_index_ensure(spark: SparkSession, sf_dir: str) -> str:
     path = _lsh_index_path(sf_dir)
 
     def _ready(p: str) -> bool:
-        return _dir_ready(f"{p}/bands") and _dir_ready(f"{p}/shingles")
+        # params.json is part of readiness: lsh_search_index REFUSES a
+        # sidecar-less index since r10 (lost-sidecar hazard), so a
+        # cached pre-sidecar artifact must read as not-ready here
+        return (
+            _dir_ready(f"{p}/bands")
+            and _dir_ready(f"{p}/shingles")
+            and os.path.exists(f"{p}/params.json")
+        )
 
     if _ready(path):
         return path
+    # read-repair: a cache dir that exists but fails readiness (a
+    # pre-sidecar build from an earlier round, or a half-landed one)
+    # would otherwise refuse on every future search; this cache OWNS
+    # its artifacts, so clear and rebuild under the same key
+    shutil.rmtree(path, ignore_errors=True)
     corpus = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 3)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = f"{path}.build-{os.getpid()}"
@@ -2229,10 +2241,16 @@ def _lsh_bucketed_index_ensure(spark: SparkSession, sf_dir: str) -> str:
     prefix = f"lsh_b_{key}"
 
     def _ready(p: str) -> bool:
-        return _dir_ready(f"{p}/bands") and _dir_ready(f"{p}/shingles")
+        # see _lsh_index_ensure: sidecar presence is part of readiness
+        return (
+            _dir_ready(f"{p}/bands")
+            and _dir_ready(f"{p}/shingles")
+            and os.path.exists(f"{p}/params.json")
+        )
 
     if _ready(path):
         return path
+    shutil.rmtree(path, ignore_errors=True)  # read-repair, see above
     corpus = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 3)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = f"{path}.build-{os.getpid()}"
