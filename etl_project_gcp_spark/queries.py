@@ -2517,7 +2517,13 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the pinned-VALUES oracle (_pinned_or_live) — symmetric int8
     quantization is deterministic per corpus."""
     emb = _t(spark, sf_dir, "embeddings")
-    live = VX.quantized_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    # the operator names its approximate score cosine_q; the oracle
+    # column is cosine — rename at the registry boundary (the old
+    # literal-substituting gate masked this mismatch until r10's
+    # always-live inversion surfaced it)
+    live = VX.quantized_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10
+    ).withColumnRenamed("cosine_q", "cosine")
     return _pinned_or_live(spark, "ann_quantized_topk", sf_dir, live)
 
 
