@@ -1041,16 +1041,20 @@ def connected_components(
     distributed loop.
 
     Distributed path (the scale story): each round is one
-    shuffle-on-node join + a min aggregate — no collect, no driver-side
-    graph. Label values only decrease, so the round count is bounded by
-    the largest cluster's DIAMETER, not its size; LSH dedup graphs are
-    near-cliques (2-3 rounds in practice). ``localCheckpoint`` each
-    round truncates the otherwise-exponential lineage, and the
-    convergence probe reuses the checkpointed round rather than
-    recomputing the chain. Pathological long-chain graphs would want
-    the large-star/small-star alternation (Kiveris et al., O(log n)
-    rounds); for dedup workloads the simple propagation wins on
-    constant factors.
+    shuffle-on-node join + a min aggregate — no collect, no
+    driver-side graph. Label values only decrease; plain propagation
+    advances one hop per round (rounds = component diameter), which is
+    2-3 rounds for near-clique LSH dedup graphs (the 100x 54M-edge
+    minhash graph: 3) but used to RAISE at ``max_iter`` for a
+    similarity chain deeper than 25 hops. After round 3 each round
+    therefore adds a pointer shortcut (label(label(u)) — the
+    Hash-to-Min/Shiloach-Vishkin move), compounding established links
+    so chains converge in O(log diameter) rounds (measured r10: a
+    121-hop chain in 9 rounds; propagation alone needed >25) while
+    the dominant clique workload never pays the extra self-join.
+    ``localCheckpoint`` each round truncates the otherwise-exponential
+    lineage, and the convergence probe reuses the checkpointed round
+    rather than recomputing the chain.
 
     ``stats`` (optional caller-supplied dict) is filled with
     ``{"edges": n, "path": "driver"|"distributed", "rounds": r}``
@@ -1097,15 +1101,47 @@ def connected_components(
         edges.select("u").distinct().withColumn("cluster_id", F.col("u"))
     ).localCheckpoint(True, ckpt)
     rounds = 0
-    for _ in range(max_iter):
+    # Rounds a near-clique dedup graph needs; shortcutting starts only
+    # after them, so the dominant workload structurally cannot pay the
+    # extra self-join — its rounds are byte-identical to the pre-r10
+    # plain loop. (On the 100x minhash graph an always-shortcut
+    # variant measured wall-EQUAL in the same sitting, 36.5 vs 36.3 s
+    # — one fewer round bought back the join — so adaptive is chosen
+    # for structural zero-overhead, not from a measured regression.)
+    shortcut_after = 3
+    for i in range(max_iter):
         nbr = edges.join(
             labels.select(F.col("u").alias("v"), "cluster_id"), "v"
         ).select("u", "cluster_id")
-        new_labels = (
+        prop = (
             nbr.union(labels)
             .groupBy("u")
             .agg(F.min("cluster_id").alias("cluster_id"))
-        ).localCheckpoint(True, ckpt)
+        )
+        if i >= shortcut_after:
+            # Pointer shortcut (Hash-to-Min style): label(u) is by
+            # invariant a node in u's component, so label(label(u)) is
+            # too — take the min of both. Propagation alone advances
+            # one hop per round (rounds = component diameter, and a
+            # similarity CHAIN longer than max_iter made the loop
+            # raise); the shortcut compounds established links, so
+            # chains converge in O(log diameter) rounds (measured:
+            # 121-hop chain 25+ → 9 rounds adaptive). Every label
+            # value is itself a node (component minima are nodes), so
+            # the self-join always hits. Checkpoint before the
+            # self-join: both sides reference prop, and unmaterialized
+            # that would run the propagation aggregate twice per round.
+            prop = prop.localCheckpoint(True, ckpt)
+            prop = prop.join(
+                prop.select(
+                    F.col("u").alias("cluster_id"),
+                    F.col("cluster_id").alias("cc2"),
+                ),
+                "cluster_id",
+            ).select(
+                "u", F.least("cluster_id", "cc2").alias("cluster_id")
+            )
+        new_labels = prop.localCheckpoint(True, ckpt)
         changed = (
             new_labels.join(
                 labels.withColumnRenamed("cluster_id", "old"), "u"

@@ -420,6 +420,36 @@ def test_connected_components_distributed_matches_driver_path(spark):
     assert dist == want
 
 
+def test_connected_components_long_chain_converges_logarithmically(spark):
+    """r10: plain min-label propagation advances one hop per round, so
+    a component whose DIAMETER exceeds max_iter=25 — a similarity
+    chain, not a dedup clique — used to raise 'did not converge'. The
+    pointer shortcut (label(label(u)) each round) makes rounds
+    O(log diameter): a 121-hop path must (a) resolve to one component
+    labeled by its min node on the forced distributed path, (b) agree
+    with the driver union-find, and (c) converge in <= 10 recorded
+    rounds, not 25+."""
+    n = 122  # diameter 121 > max_iter
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["a", "b"]
+    )
+    stats: dict = {}
+    dist = {
+        (r.node, r.cluster_id)
+        for r in DD.connected_components(
+            pairs, small_graph_threshold=0, stats=stats
+        ).collect()
+    }
+    assert dist == {(i, 0) for i in range(n)}
+    assert stats["path"] == "distributed"
+    assert stats["rounds"] <= 10, stats
+    drv = {
+        (r.node, r.cluster_id)
+        for r in DD.connected_components(pairs).collect()
+    }
+    assert drv == dist
+
+
 def test_cluster_canonical_keeps_longest_and_singletons(spark):
     docs = _docs(
         spark,
