@@ -389,3 +389,54 @@ def test_stable_bucket_matches_md5_reference(spark, ids, modulus):
         for i in ids
     }
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_distributed_matches_union_find(spark, edges):
+    """The forced-distributed CC path (min-label propagation + the r10
+    adaptive pointer shortcut) must assign every node the minimum id
+    of its component on ARBITRARY graphs — random edge lists (self
+    loops and duplicates included) compared against an independent
+    pure-Python union-find. Guards the shortcut's invariant (label(u)
+    is always in u's component) against regressions no fixed-shape
+    test would catch."""
+    from etl_project_gcp_spark.operators import dedup as DD
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {(n, comp_min[find(n)]) for n in parent}
+
+    pairs = spark.createDataFrame(edges, "a int, b int")
+    got = {
+        (r.node, r.cluster_id)
+        for r in DD.connected_components(
+            pairs, small_graph_threshold=0
+        ).collect()
+    }
+    assert got == want
