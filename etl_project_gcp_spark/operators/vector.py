@@ -817,12 +817,19 @@ def ivf_search_index(
     The query side (probe pairs + query vectors) is broadcast ONLY
     while its estimated size — |queries| × (dim×8B + row overhead),
     measured here, not assumed (ADVICE r8) — fits
-    ``max_broadcast_bytes``; a larger batch falls back to plain joins
-    (the corpus side is already pruned to the probed partitions, so the
-    shuffle the fallback pays is bounded by the probed fraction, and
-    AQE may still pick a broadcast if runtime stats allow). Without the
-    guard a million-query batch would blow the driver on an assumption
-    that only held for interactive batch sizes.
+    ``max_broadcast_bytes``. Above that, the probe-pair set is sized
+    SEPARATELY (two longs per row — dim-independent, so it fits the
+    same budget for ~100× more queries): while it fits, the pairs are
+    collected once, rebuilt as a local relation, and broadcast, so the
+    pruned corpus STILL streams through the candidate join without a
+    corpus-side shuffle — only the query-vector join shuffles, and it
+    shuffles the bounded candidate set, not the corpus (r10). Only
+    when even the pairs outgrow the budget does the search fall back
+    to plain joins (the corpus side is already pruned to the probed
+    partitions, so that shuffle is bounded by the probed fraction, and
+    AQE may still pick a broadcast if runtime stats allow). Without
+    the guard a million-query batch would blow the driver on an
+    assumption that only held for interactive batch sizes.
     """
     centroids = spark.read.parquet(f"{path}/centroids")
     qv = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
@@ -844,8 +851,12 @@ def ivf_search_index(
     ).first()
     n_q, dim = est["n"], est["dim"]
     # 8B per double + ~24B array/row overhead; nprobe probe rows per
-    # query are ~32B each — both sides of the same |queries| scaling
+    # query are ~32B each. Two independent budgets against the same
+    # bound: the full query side (vectors — dim-scaled), and the
+    # probe-pair set alone (two longs per row — dim-independent, fits
+    # the budget for ~100x more queries).
     small_queries = n_q * (dim * 8 + 24 + nprobe * 32) <= max_broadcast_bytes
+    small_probes = n_q * nprobe * 32 <= max_broadcast_bytes
     _maybe_bc = F.broadcast if small_queries else (lambda df: df)
     probe_scored = qv.crossJoin(F.broadcast(centroids)).select(
         "query_id", "list_id", cosine(F.col("qv"), F.col("centroid")).alias("sim")
@@ -856,29 +867,32 @@ def ivf_search_index(
         .filter(F.col("rk") <= nprobe)
         .select("query_id", "list_id")
     )
-    if small_queries:
+    if small_probes:
         # The guard just approved shipping this probe set to every
         # executor as a broadcast, so holding the same rows on the
         # driver once is free — and rebuilding `probes` as a local
         # relation removes the SECOND reference to the query lineage
         # from the returned plan (ADVICE r9: upstream re-execution),
-        # leaving exactly one (the scored join against qv).
+        # leaving exactly one (the scored join against qv). This
+        # covers batches whose query VECTORS outgrow the broadcast
+        # budget but whose pairs don't (r10): the candidate join below
+        # then still broadcasts, keeping the pruned corpus unshuffled.
         pairs = probes.collect()
         probed_lists = sorted({r["list_id"] for r in pairs})
-        probes = spark.createDataFrame(pairs, probes.schema)
+        probes = F.broadcast(spark.createDataFrame(pairs, probes.schema))
     else:
         probed_lists = [
             r["list_id"] for r in probes.select("list_id").distinct().collect()
         ]
+        probes = _maybe_bc(probes)
     vectors = spark.read.parquet(f"{path}/vectors").filter(
         F.col("list_id").isin(probed_lists)
     )
-    # the probe set is |queries| x nprobe rows — broadcast it (size
-    # permitting, see guard above) so the pruned corpus partitions
-    # stream through the join WITHOUT a corpus-side shuffle (at 100 TB
-    # the vectors table is the one side that must never move;
-    # plan-tested)
-    cand = _maybe_bc(probes).join(
+    # the probe set is |queries| x nprobe rows — broadcast applied
+    # above (size permitting) so the pruned corpus partitions stream
+    # through the join WITHOUT a corpus-side shuffle (at 100 TB the
+    # vectors table is the one side that must never move; plan-tested)
+    cand = probes.join(
         vectors.select(
             F.col(id_col).alias("neighbor_id"), "list_id", _as_double(vec_col).alias("cv")
         ),

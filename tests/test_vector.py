@@ -418,6 +418,68 @@ def test_ivf_index_search_large_batch_fallback_matches_broadcast(
     assert bc == plain and len(bc) == 50
 
 
+def test_ivf_index_search_midsize_batch_broadcasts_probes_only(
+    spark, sf01_dir, tmp_path
+):
+    """r10: a batch whose query VECTORS outgrow the broadcast budget
+    but whose probe PAIRS (two longs per row, dim-independent) still
+    fit must keep broadcasting the pairs — the pruned corpus streams
+    through the candidate join with no scan-side exchange, and only
+    the bounded candidate set moves for the query-vector join. With a
+    1000-byte budget the 5-query panel sits exactly in that regime
+    (qv estimate ~3.3 KB, pairs 640 B). Results must be identical to
+    the small-batch path."""
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivf")
+    VX.ivf_build_index(emb, path, n_lists=8)
+    small = sorted(
+        map(tuple, VX.ivf_search_index(spark, path, q, k=10).collect())
+    )
+
+    def walk(n):
+        yield n
+        ch = n.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    confs = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # plan-string Location fields truncate at 100 chars by default,
+        # and pytest's tmp_path is long enough to cut "/vectors" out of
+        # the scan line the classifier matches on
+        "spark.sql.maxMetadataStringLength": "1000",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        mid_df = VX.ivf_search_index(
+            spark, path, q, k=10, max_broadcast_bytes=1000
+        )
+        bc_cand = scan_side_exchanges = 0
+        for n in walk(mid_df._jdf.queryExecution().executedPlan()):
+            nm = n.getClass().getSimpleName()
+            s = n.toString()
+            if "BroadcastHashJoin" in nm and "/vectors" in s:
+                bc_cand += 1
+            if (
+                "Exchange" in nm
+                and "BroadcastExchange" not in nm
+                and "/vectors" in s
+                and "Join" not in s
+            ):
+                scan_side_exchanges += 1  # shuffle directly over the scan
+        assert bc_cand >= 1  # candidate join still broadcasts the pairs
+        assert scan_side_exchanges == 0
+        mid = sorted(map(tuple, mid_df.collect()))
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert mid == small and len(mid) == 50
+
+
 def test_ivf_index_search_runs_query_lineage_once_internally(
     spark, sf01_dir, tmp_path
 ):
