@@ -72,6 +72,48 @@ NORMALIZER_PINS_SF01 = {
     "doc_token_stats": 0.252,
 }
 
+# Disagreement alarm (ADVICE r9 #5, automated r11): one pooled ratio
+# from three pins silently flatters a sitting where the pins disagree —
+# r10's own noisy sitting measured per-pin ratios 1.06/1.08/1.41 (the
+# text pin was page-cache-cold while the scan pins were warm). When the
+# max/min per-pin ratio spread exceeds this bound the pins are not
+# measuring one container speed, so the tool now REFUSES to emit
+# *_normalized fields (raw values + normalizer_unreliable flag instead)
+# rather than dividing by a number that means nothing.
+NORMALIZER_MAX_PIN_SPREAD = 1.25
+
+
+def compute_normalizer(warm: dict, sf_val) -> dict | None:
+    """Container-speed normalizer from the three pinned entries.
+
+    Returns None when the pins don't apply (wrong SF or entries
+    missing). Otherwise returns the evidence dict: per-pin ratios, the
+    pooled ratio, the max/min pin spread, and `reliable` — False when
+    the spread exceeds NORMALIZER_MAX_PIN_SPREAD, meaning the pooled
+    ratio must NOT be used to normalize (the caller emits raw values
+    and a normalizer_unreliable flag instead)."""
+    if sf_val != 0.1 or not all(n in warm for n in NORMALIZER_PINS_SF01):
+        return None
+    per_pin = {
+        n: round(warm[n] / NORMALIZER_PINS_SF01[n], 4)
+        for n in NORMALIZER_PINS_SF01
+    }
+    lo, hi = min(per_pin.values()), max(per_pin.values())
+    spread = (hi / lo) if lo > 0 else float("inf")
+    ratio = sum(warm[n] for n in NORMALIZER_PINS_SF01) / sum(
+        NORMALIZER_PINS_SF01.values()
+    )
+    return {
+        "entries": sorted(NORMALIZER_PINS_SF01),
+        "pinned_warm_sec_r8": NORMALIZER_PINS_SF01,
+        "warm_sec": {n: warm[n] for n in NORMALIZER_PINS_SF01},
+        "per_pin_ratios": per_pin,
+        "pin_spread": round(spread, 4) if spread != float("inf") else None,
+        "max_pin_spread": NORMALIZER_MAX_PIN_SPREAD,
+        "ratio": round(ratio, 4),
+        "reliable": spread <= NORMALIZER_MAX_PIN_SPREAD,
+    }
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -154,17 +196,7 @@ def main() -> None:
     ) % (WARM_RUNS, len(registry))
     head35 = round(sum(timings[n] for n in HEADLINE_35 if n in timings), 3)
     head35_warm = round(sum(warm[n] for n in HEADLINE_35 if n in warm), 3)
-    normalizer = None
-    if sf_val == 0.1 and all(n in warm for n in NORMALIZER_PINS_SF01):
-        now_total = sum(warm[n] for n in NORMALIZER_PINS_SF01)
-        pin_total = sum(NORMALIZER_PINS_SF01.values())
-        ratio = now_total / pin_total
-        normalizer = {
-            "entries": sorted(NORMALIZER_PINS_SF01),
-            "pinned_warm_sec_r8": NORMALIZER_PINS_SF01,
-            "warm_sec": {n: warm[n] for n in NORMALIZER_PINS_SF01},
-            "ratio": round(ratio, 4),
-        }
+    normalizer = compute_normalizer(warm, sf_val)
     full = {
         "metric": "full-registry query wall time, local[%s]"
         % os.environ.get("SPARK_GRAFT_CPUS", "32"),
@@ -179,12 +211,19 @@ def main() -> None:
         "bench_protocol": protocol,
     }
     if normalizer is not None:
-        r = normalizer["ratio"]
         full["normalizer"] = normalizer
-        full["value_normalized"] = round(full["value"] / r, 3)
-        full["value_warm_normalized"] = round(full["value_warm"] / r, 3)
-        full["value_headline35_normalized"] = round(head35 / r, 3)
-        full["value_headline35_warm_normalized"] = round(head35_warm / r, 3)
+        if normalizer["reliable"]:
+            r = normalizer["ratio"]
+            full["value_normalized"] = round(full["value"] / r, 3)
+            full["value_warm_normalized"] = round(full["value_warm"] / r, 3)
+            full["value_headline35_normalized"] = round(head35 / r, 3)
+            full["value_headline35_warm_normalized"] = round(
+                head35_warm / r, 3
+            )
+        else:
+            # pins disagree past the bound — a pooled ratio would be
+            # noise-division, so raw values stand (ADVICE r9 #5)
+            full["normalizer_unreliable"] = True
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
@@ -213,6 +252,16 @@ def main() -> None:
                 **(
                     {
                         "normalizer_ratio": normalizer["ratio"],
+                        "normalizer_per_pin_ratios": normalizer[
+                            "per_pin_ratios"
+                        ],
+                        "normalizer_pin_spread": normalizer["pin_spread"],
+                    }
+                    if normalizer is not None
+                    else {}
+                ),
+                **(
+                    {
                         "value_normalized": full["value_normalized"],
                         "value_warm_normalized": full[
                             "value_warm_normalized"
@@ -224,6 +273,8 @@ def main() -> None:
                             "value_headline35_warm_normalized"
                         ],
                     }
+                    if normalizer is not None and normalizer["reliable"]
+                    else {"normalizer_unreliable": True}
                     if normalizer is not None
                     else {}
                 ),

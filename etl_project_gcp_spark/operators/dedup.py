@@ -754,7 +754,8 @@ def _lsh_check_params(
                 f"params.json sidecar — the sidecar was lost (crashed "
                 f"rewrite or external deletion), so the build-time "
                 f"signature parameters are unknown and the call's "
-                f"cannot be validated; rebuild the index to restore it"
+                f"parameters cannot be validated; rebuild the index to "
+                f"restore it"
             )
         return
     asked = {"shingle_k": shingle_k, "num_hashes": num_hashes, "bands": bands}

@@ -877,14 +877,20 @@ def ivf_search_index(
         # covers batches whose query VECTORS outgrow the broadcast
         # budget but whose pairs don't (r10): the candidate join below
         # then still broadcasts, keeping the pruned corpus unshuffled.
-        pairs = probes.collect()
-        probed_lists = sorted({r["list_id"] for r in pairs})
-        probes = F.broadcast(spark.createDataFrame(pairs, probes.schema))
+        # Arrow-columnar driver copy (ADVICE r10): two longs stay ~16B
+        # per row end-to-end, where collect()'s Row objects cost ~100B+
+        # each and could exceed the 32B/row JVM budget severalfold near
+        # the boundary.
+        pairs = probes.toArrow()
+        probed_lists = sorted(set(pairs.column("list_id").to_pylist()))
+        probes = F.broadcast(spark.createDataFrame(pairs))
     else:
         probed_lists = [
             r["list_id"] for r in probes.select("list_id").distinct().collect()
         ]
-        probes = _maybe_bc(probes)
+        # no broadcast wrap here: small_queries implies small_probes
+        # (the pair budget is a strict subset of the full-query budget),
+        # so this branch only runs when both are large (ADVICE r10)
     vectors = spark.read.parquet(f"{path}/vectors").filter(
         F.col("list_id").isin(probed_lists)
     )

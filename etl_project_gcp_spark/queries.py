@@ -2174,6 +2174,41 @@ def _lsh_index_path(sf_dir: str) -> str:
     return os.path.join(_cache_root("lsh"), key)
 
 
+def _repair_unready(path: str, ready) -> bool:
+    """Clear an unready cache dir WITHOUT racing a concurrent builder
+    (ADVICE r10): a bare rmtree(path) between a failed readiness check
+    and the delete could destroy a fresh build another process renamed
+    into place during the gap. Rename the dir aside to a pid-suffixed
+    trash name first — atomic, so a concurrently-installed build is
+    either untouched (our rename sees nothing and raises) or moved
+    aside INTACT, in which case readiness is re-checked on the trash
+    dir and the build is renamed straight back. Returns True when a
+    good build is now at `path` and the caller should serve it instead
+    of rebuilding."""
+    import os
+    import shutil
+
+    trash = f"{path}.trash-{os.getpid()}"
+    try:
+        os.rename(path, trash)
+    except OSError:
+        # nothing cached at all, or another repairer moved it aside
+        # first; if a concurrent builder landed a good build in the
+        # gap, serve it rather than deleting or rebuilding it
+        return ready(path)
+    if ready(trash):
+        # we grabbed a just-installed GOOD build — put it back
+        try:
+            os.rename(trash, path)
+            return True
+        except OSError:
+            # yet another builder already filled path; ours is a
+            # duplicate — fall through and discard it
+            pass
+    shutil.rmtree(trash, ignore_errors=True)
+    return ready(path)
+
+
 def _lsh_index_ensure(spark: SparkSession, sf_dir: str) -> str:
     """Build-once lifecycle for the LSH screen index (the
     _ivf_index_ensure discipline: pid-suffixed build dir, atomic
@@ -2198,8 +2233,11 @@ def _lsh_index_ensure(spark: SparkSession, sf_dir: str) -> str:
     # read-repair: a cache dir that exists but fails readiness (a
     # pre-sidecar build from an earlier round, or a half-landed one)
     # would otherwise refuse on every future search; this cache OWNS
-    # its artifacts, so clear and rebuild under the same key
-    shutil.rmtree(path, ignore_errors=True)
+    # its artifacts, so clear and rebuild under the same key —
+    # rename-aside first so a concurrent builder's fresh install is
+    # never deleted out from under its readers (ADVICE r10)
+    if _repair_unready(path, _ready):
+        return path
     corpus = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 3)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = f"{path}.build-{os.getpid()}"
@@ -2250,7 +2288,8 @@ def _lsh_bucketed_index_ensure(spark: SparkSession, sf_dir: str) -> str:
 
     if _ready(path):
         return path
-    shutil.rmtree(path, ignore_errors=True)  # read-repair, see above
+    if _repair_unready(path, _ready):  # race-safe read-repair, see above
+        return path
     corpus = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 3)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = f"{path}.build-{os.getpid()}"

@@ -1280,3 +1280,90 @@ def test_lsh_append_layout_guard_covers_presidecar_and_count_conflict(
     assert DD.lsh_search_index(
         spark, buck, _docs(spark, [(9, BASE)])
     ).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# _repair_unready: race-safe read-repair of unready cache dirs (ADVICE r10)
+# ---------------------------------------------------------------------------
+
+
+def _mk_index(p, ready=True):
+    import os
+
+    os.makedirs(os.path.join(p, "bands"), exist_ok=True)
+    os.makedirs(os.path.join(p, "shingles"), exist_ok=True)
+    if ready:
+        with open(os.path.join(p, "params.json"), "w") as f:
+            f.write("{}")
+
+
+def _ready(p):
+    import os
+
+    return (
+        os.path.isdir(os.path.join(p, "bands"))
+        and os.path.isdir(os.path.join(p, "shingles"))
+        and os.path.exists(os.path.join(p, "params.json"))
+    )
+
+
+def test_repair_unready_clears_stale_dir(tmp_path):
+    """The normal read-repair case: a pre-sidecar/half-landed dir is
+    removed and the caller is told to rebuild."""
+    import os
+
+    from etl_project_gcp_spark.queries import _repair_unready
+
+    p = str(tmp_path / "idx")
+    _mk_index(p, ready=False)
+    assert _repair_unready(p, _ready) is False
+    assert not os.path.exists(p)  # stale dir gone, rebuild proceeds
+
+
+def test_repair_unready_missing_dir_is_noop(tmp_path):
+    from etl_project_gcp_spark.queries import _repair_unready
+
+    p = str(tmp_path / "never_built")
+    assert _repair_unready(p, _ready) is False
+
+
+def test_repair_unready_preserves_concurrently_installed_build(tmp_path):
+    """ADVICE r10's race: between the caller's failed readiness check
+    and the repair, another process renames a FINISHED build into
+    place. The old bare rmtree deleted that fresh index out from under
+    its readers; the rename-aside repair must detect the good build on
+    the trash dir and put it back intact."""
+    import os
+
+    from etl_project_gcp_spark.queries import _repair_unready
+
+    p = str(tmp_path / "idx")
+    _mk_index(p, ready=True)  # the concurrent builder's finished install
+    assert _repair_unready(p, _ready) is True
+    assert _ready(p)  # build survives, byte-for-byte in place
+    assert not os.path.exists(f"{p}.trash-{os.getpid()}")
+
+
+def test_repair_unready_lost_rename_race_rechecks_path(tmp_path, monkeypatch):
+    """If ANOTHER repairer renames the dir aside first (our os.rename
+    raises), the helper re-checks the final path rather than assuming
+    it must rebuild — a concurrent builder may have installed a good
+    build in the meantime."""
+    import os
+
+    from etl_project_gcp_spark import queries as Q
+
+    p = str(tmp_path / "idx")
+    real_rename = os.rename
+
+    def racing_rename(src, dst):
+        # simulate: the other repairer already moved the stale dir away
+        # AND a builder installed a ready one before our rename runs
+        if src == p:
+            _mk_index(p, ready=True)
+            raise OSError("simulated lost rename race")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    assert Q._repair_unready(p, _ready) is True
+    assert _ready(p)

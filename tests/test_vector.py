@@ -3,6 +3,7 @@ is hash-derived, so recall is deterministic per dataset."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_project_gcp_spark.operators import vector as VX
@@ -513,3 +514,96 @@ def test_ivf_index_search_runs_query_lineage_once_internally(
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert plan.count("embeddings.parquet") == 1, plan
     assert len(res.collect()) == 50
+
+
+# ---------------------------------------------------------------------------
+# Clustered-corpus recall (VERDICT r10 #2): every prior recall number came
+# from the sf* embeddings — random near-orthogonal vectors with no cluster
+# structure (NOTES r1 caveat). A real training-data corpus is CLUSTERED
+# (topics/domains, with Zipf-skewed popularity), which is the regime IVF's
+# coarse quantizer is built for and where LSH's random hyperplanes see
+# correlated, not independent, bucket collisions. This deterministic
+# mixture-of-Gaussians corpus pins recall floors on that distribution.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    """50 unit-sphere centers in R^64, 2000 points, Zipf cluster sizes
+    (cluster 1 ~ 1/1 weight ... cluster 50 ~ 1/50), per-point noise with
+    total norm ~0.8 (cosine-to-own-center ~0.78 — overlapping but real
+    clusters; at 0.35 every path saturates to recall 1.0 and the test
+    discriminates nothing). Fixed RandomState(11) → byte-identical
+    corpus every run, and every search path is hash/seed-deterministic,
+    so the measured recalls below are exact, not flaky."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    n_centers, dim, n = 50, 64, 2000
+    centers = rng.normal(size=(n_centers, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    w = 1.0 / np.arange(1, n_centers + 1)
+    assign = rng.choice(n_centers, size=n, p=w / w.sum())
+    pts = centers[assign] + rng.normal(size=(n, dim)) * (0.8 / np.sqrt(dim))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    rows = [
+        (int(i), [float(x) for x in pts[i]], int(assign[i])) for i in range(n)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).persist()
+    emb.count()
+    yield emb
+    emb.unpersist()
+
+
+def test_clustered_corpus_recall_floors(spark, clustered_emb):
+    """Measured on this corpus (20 queries, k=10, deterministic):
+    lsh 0.895 · ivf-seed(16,4) 0.965 · ivf-kmeans(16,4) 0.93 ·
+    ivf-kmeans(50,4) 0.895 · quantized 0.99 · two-stage 1.0. Floors sit
+    one noise-notch below so a quantizer/hash regression trips them
+    while the pinned corpus itself never can."""
+    emb = clustered_emb
+    q = emb.filter(F.col("vec_id") < 20)
+    truth = VX.brute_force_topk(emb, q, k=10).collect()
+    assert len(truth) == 200
+
+    assert _recall(truth, VX.lsh_topk(emb, q, k=10).collect()) >= 0.82
+    assert _recall(truth, VX.ivf_topk(emb, q, k=10).collect()) >= 0.9
+    assert (
+        _recall(
+            truth, VX.ivf_topk(emb, q, k=10, quantizer="kmeans").collect()
+        )
+        >= 0.85
+    )
+    # 50 trained lists = one per true center, nprobe=4 probes only 8%
+    # of them — the hardest setting here, and the one closest to a
+    # production IVF layout (lists ~= natural clusters)
+    assert (
+        _recall(
+            truth,
+            VX.ivf_topk(
+                emb, q, k=10, n_lists=50, quantizer="kmeans"
+            ).collect(),
+        )
+        >= 0.8
+    )
+    quant = _recall(truth, VX.quantized_topk(emb, q, k=10).collect())
+    two = _recall(truth, VX.two_stage_topk(emb, q, k=10).collect())
+    assert quant >= 0.95
+    assert two >= max(0.98, quant)
+
+
+def test_clustered_corpus_persisted_ivf_index_recall(
+    spark, clustered_emb, tmp_path
+):
+    """The build-once index path must hold the same clustered-corpus
+    floor as in-memory IVF — same quantizer, same probes, recall
+    through the parquet round-trip."""
+    emb = clustered_emb
+    q = emb.filter(F.col("vec_id") < 20)
+    truth = VX.brute_force_topk(emb, q, k=10).collect()
+    path = str(tmp_path / "ivf_clustered")
+    VX.ivf_build_index(emb, path, n_lists=16)
+    got = VX.ivf_search_index(spark, path, q, k=10).collect()
+    assert _recall(truth, got) >= 0.9
