@@ -153,16 +153,26 @@ def stateful_sessionize(
     )
     state_schema = "start long, last long, n int, total double"
 
-    def close_out(uid: int, s: int, last: int, n: int, total: float):
+    def close_out(uid: int, sessions):
+        # ONE frame for ALL of a group's closed sessions: building a
+        # 1-row DataFrame per session and pd.concat-ing them cost ~2.1 s
+        # of the 5.4 s sf0.1 drain (tools/drain_attribution.py, r11) —
+        # frame construction is pandas' per-call overhead, not data.
         import pandas as pd
 
         return pd.DataFrame(
             {
-                user_col: [uid],
-                "session_start": [pd.Timestamp(s, unit="us")],
-                "session_end": [pd.Timestamp(last, unit="us")],
-                "n_events": [n],
-                "total_value": [total],
+                user_col: [uid] * len(sessions),
+                "session_start": pd.to_datetime(
+                    [int(c[0]) for c in sessions], unit="us"
+                ),
+                "session_end": pd.to_datetime(
+                    [int(c[1]) for c in sessions], unit="us"
+                ),
+                "n_events": pd.array(
+                    [int(c[2]) for c in sessions], dtype="int32"
+                ),
+                "total_value": [float(c[3]) for c in sessions],
             }
         )
 
@@ -173,7 +183,7 @@ def stateful_sessionize(
         if state.hasTimedOut:
             s, last, n, total = state.get
             state.remove()
-            yield close_out(uid, s, last, n, total)
+            yield close_out(uid, [(s, last, n, total)])
             return
 
         rows = pd.concat(list(pdfs)).sort_values(ts_col)
@@ -212,8 +222,15 @@ def stateful_sessionize(
                 late = None
             return s, n, total
 
-        for ts, val in zip(rows[ts_col], rows["value"]):
-            t = ts.value // 1000  # ns → us
+        # numpy int64 microseconds instead of per-row pd.Timestamp
+        # wrappers: Series iteration boxes every element, and .value
+        # per event was a measurable share of the fold (r11 probe)
+        # (datetime64[us] cast first: unit-safe whether the serializer
+        # hands ns- or us-resolution timestamps)
+        ts_us = (
+            rows[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        )
+        for t, val in zip(ts_us, rows["value"].to_numpy()):
             if s is None:
                 s = last = t
                 n, total = 1, float(val)
@@ -246,12 +263,12 @@ def stateful_sessionize(
             # still pending after the fold check: genuinely > gap from
             # every session it could have joined — its own session
             closed.append(tuple(late))
-        state.update((s, last, n, total))
-        state.setTimeoutTimestamp((last + gap_us) // 1000)  # us → ms
+        # int()-coerce: s/last flow from numpy int64 now, and the state
+        # serializer wants plain Python longs
+        state.update((int(s), int(last), int(n), float(total)))
+        state.setTimeoutTimestamp((int(last) + gap_us) // 1000)  # us → ms
         if closed:
-            yield pd.concat(
-                [close_out(uid, *c) for c in closed], ignore_index=True
-            )
+            yield close_out(uid, closed)
 
     return (
         stream.withWatermark(ts_col, watermark)
