@@ -309,3 +309,62 @@ def test_jsonl_compressed_roundtrip(spark, tmp_path):
         assert parts and all(p.endswith(suffix) for p in parts), parts
         back = read_jsonl(spark, out, schema="doc_id bigint, text string")
         assert sorted(map(tuple, back.collect())) == want
+
+
+def test_case_insensitive_column_resolution_parity(spark, tmp_path):
+    """SURVEY §1.4 / r10 verdict ask #5: the reference's notebook
+    groupBy('origin')s a column the CSV header declares as `Origin`
+    (etl_spark.ipynb cell-7 reads with ';' delimiter, cell-20 groups
+    lower-case) — legal only because spark.sql.caseSensitive defaults
+    to false. Pin that the engine's readers + ops resolve mixed-case
+    references the same way, end to end including a parquet round-trip
+    (resolution is analyzer-level, so it must survive re-reads)."""
+    import pyspark.sql.functions as F
+
+    assert spark.conf.get("spark.sql.caseSensitive") == "false"
+
+    src = tmp_path / "flights.csv"
+    src.write_text(
+        "Origin;Dest;DepDelay\n"
+        "SEA;SFO;5\n"
+        "SEA;LAX;15\n"
+        "PDX;SFO;0\n"
+    )
+    df = read_csv_delimited(spark, str(src), sep=";")
+    assert df.columns == ["Origin", "Dest", "DepDelay"]  # case preserved
+
+    # the notebook's exact shape: lower-case groupBy over an upper-case
+    # declaration, mixed-case agg/filter/select references
+    # (the groupBy output column carries the case AS REFERENCED —
+    # "origin" — while resolving against the declared "Origin";
+    # Row access is Python-side and stays case-sensitive)
+    got = {
+        r["origin"]: r.total
+        for r in df.groupBy("origin")
+        .agg(F.sum("depdelay").alias("total"))
+        .collect()
+    }
+    assert got == {"SEA": 20, "PDX": 0}
+    assert df.filter(F.col("ORIGIN") == "SEA").count() == 2
+    assert df.select("dest").distinct().count() == 2
+
+    # parquet round-trip: the stored schema keeps `Origin`, and a
+    # lower-case reference still resolves after re-read
+    out = str(tmp_path / "flights_parquet")
+    write_parquet_overwrite(df, out)
+    back = spark.read.parquet(out)
+    assert back.schema["Origin"].name == "Origin"
+    assert (
+        back.groupBy("origin").count().where(F.col("origin") == "SEA")
+        .first()["count"] == 2
+    )
+    # and a DUPLICATE-under-case-folding reference fails loudly, not
+    # silently picks one (the analyzer's ambiguity contract)
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    dup = df.withColumn("ORIGIN2", F.lit("x")).withColumnRenamed(
+        "Dest", "origin2"
+    )
+    with pytest.raises(AnalysisException):
+        dup.select("origin2").collect()
