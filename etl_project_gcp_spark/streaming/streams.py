@@ -437,10 +437,15 @@ def streaming_forward_fill(
         # single latest observation.
         lv = lt = None
         filled = []
-        for ts, et, val in zip(
-            rows[ts_col], rows["event_type"], rows["value"]
+        # numpy int64 microseconds — same de-boxing as the sessionize
+        # fold (r11): Series iteration wraps every element in a
+        # pd.Timestamp otherwise
+        ts_us = (
+            rows[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        )
+        for rt, et, val in zip(
+            ts_us, rows["event_type"].to_numpy(), rows["value"].to_numpy()
         ):
-            rt = ts.value // 1000
             if et == observe_type:
                 if t is None or rt >= t:
                     # newer-or-equal observation advances the carry; a
@@ -460,7 +465,9 @@ def streaming_forward_fill(
             else:
                 filled.append(None)
         if v is not None:
-            state.update((v, t))
+            # int()-coerce: t flows from numpy int64 now, and the state
+            # serializer wants plain Python longs
+            state.update((float(v), int(t)))
         out = pd.DataFrame(
             {
                 "event_id": rows["event_id"].to_numpy(),

@@ -35,6 +35,10 @@ def main() -> int:
     ap.add_argument("--groups", type=int, default=25_000_000)
     ap.add_argument("--group-size", type=int, default=4)
     ap.add_argument("--edges", type=int, default=200_000_000)
+    # r10 verdict ask #6: name the knob behind the 12x-per-10x-edges
+    # wall curve — sweep this at fixed graph size to see whether the
+    # 250M-edge run is partition-starved or genuinely IO-bound
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -42,7 +46,9 @@ def main() -> int:
     from etl_project_gcp_spark.operators import dedup as DD
     from etl_project_gcp_spark.session import get_spark
 
-    spark = get_spark(app_name="cc-mega-probe")
+    spark = get_spark(
+        app_name="cc-mega-probe", shuffle_partitions=args.shuffle_partitions
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     g, gs = args.groups, args.group_size
@@ -87,12 +93,13 @@ def main() -> int:
     ).count()
     check_wall = time.time() - t0
 
+    sp = spark.conf.get("spark.sql.shuffle.partitions")
     print(f"\n| graph | sym edges | nodes | clusters | rounds "
-          f"| distributed (s) | labels exact |")
-    print("|---|---|---|---|---|---|---|")
+          f"| shuffle parts | distributed (s) | labels exact |")
+    print("|---|---|---|---|---|---|---|---|")
     ok = (n_clusters == g and n_nodes == g * gs and n_wrong == 0)
     print(f"| synthetic {gs}-cliques | {stats['edges']:,} | {n_nodes:,} "
-          f"| {n_clusters:,} | {stats['rounds']} | {wall:.0f} "
+          f"| {n_clusters:,} | {stats['rounds']} | {sp} | {wall:.0f} "
           f"| {'yes' if ok else f'NO (wrong={n_wrong})'} |")
     print(f"(ground-truth verification itself: {check_wall:.0f}s)")
     return 0 if ok else 1
