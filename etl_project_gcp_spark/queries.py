@@ -2189,6 +2189,13 @@ def _repair_unready(path: str, ready) -> bool:
     import shutil
 
     trash = f"{path}.trash-{os.getpid()}"
+    # clear any stale leftover under OUR trash name first (a crashed
+    # earlier repair, incl. pid reuse across container restarts) —
+    # renaming a directory onto a non-empty one fails ENOTEMPTY, which
+    # would strand the unready dir at `path` and turn every future
+    # build install into a rename failure. Pid-suffixing makes this
+    # delete race-free: a LIVE concurrent repairer has a different pid.
+    shutil.rmtree(trash, ignore_errors=True)
     try:
         os.rename(path, trash)
     except OSError:

@@ -1367,3 +1367,22 @@ def test_repair_unready_lost_rename_race_rechecks_path(tmp_path, monkeypatch):
     monkeypatch.setattr(os, "rename", racing_rename)
     assert Q._repair_unready(p, _ready) is True
     assert _ready(p)
+
+
+def test_repair_unready_survives_stale_trash_leftover(tmp_path):
+    """A crashed earlier repair (or pid reuse across container
+    restarts) can leave a non-empty dir under OUR trash name; renaming
+    a directory onto a non-empty one fails ENOTEMPTY, which would have
+    stranded the unready dir in place and broken every later build
+    install. The helper must clear its own trash name first."""
+    import os
+
+    from etl_project_gcp_spark.queries import _repair_unready
+
+    p = str(tmp_path / "idx")
+    _mk_index(p, ready=False)
+    stale = f"{p}.trash-{os.getpid()}"
+    _mk_index(stale, ready=False)  # non-empty leftover under our name
+    assert _repair_unready(p, _ready) is False
+    assert not os.path.exists(p)  # unready dir actually cleared
+    assert not os.path.exists(stale)
