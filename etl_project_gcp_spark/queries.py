@@ -5596,9 +5596,12 @@ def _drain_stream_once(
         # every stateful partition carries a state STORE, so a
         # stream-stream join (2 stores/partition) at gate scale is
         # store-setup-bound and wants FEW partitions (32→8 measured
-        # 6.9→2.7 s), while a Python applyInPandasWithState fold is
-        # CPU-bound and wants the full core count (8→32 measured
-        # 9.0→5.3 s on the sessionizer). None = keep the session value;
+        # 6.9→2.7 s). The Python applyInPandasWithState fold WAS
+        # CPU-bound and wanted full width (8→32 measured 9.0→5.3 s);
+        # after the r11 vectorized emission the sessionizer is
+        # plumbing-bound and flat across widths (4/8/16/32 measured
+        # 3.3/2.9/2.5/2.8 s — within noise), so no override is worth
+        # binding into the checkpoint. None = keep the session value;
         # production redeploys size this to the cluster.
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         if stream_shuffle_partitions is not None:
