@@ -115,6 +115,28 @@ def compute_normalizer(warm: dict, sf_val) -> dict | None:
     }
 
 
+def compact_normalizer_fields(normalizer: dict | None) -> dict:
+    """Normalizer fields for the ONE-line stdout payload. When the
+    pin-disagreement alarm fired, the pooled ratio the run just
+    declared meaningless must NOT ship under the name a downstream
+    consumer normalizes with (ADVICE r11) — it ships as
+    ``normalizer_ratio_rejected`` so accidental use is impossible,
+    alongside the per-pin evidence and the unreliable flag. Full
+    evidence always lives in BENCH_FULL.json's normalizer block."""
+    if normalizer is None:
+        return {}
+    fields = {
+        "normalizer_per_pin_ratios": normalizer["per_pin_ratios"],
+        "normalizer_pin_spread": normalizer["pin_spread"],
+    }
+    if normalizer["reliable"]:
+        fields["normalizer_ratio"] = normalizer["ratio"]
+    else:
+        fields["normalizer_ratio_rejected"] = normalizer["ratio"]
+        fields["normalizer_unreliable"] = True
+    return fields
+
+
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -174,6 +196,16 @@ def main() -> None:
     # driver's CORRECTNESS pass runs without this env, so the gates
     # stay fully exercised where they matter.
     os.environ["ETL_GCP_SPARK_DISABLE_PINS"] = "1"
+    # Sitting metadata (r11 verdict ask #4): inter-sitting pin drift
+    # (~15% on an idle box, NOTES r11 addendum) made the idle-sitting
+    # check a PROCEDURAL discipline — record loadavg + wall timestamps
+    # in the payload so every recorded sitting carries the evidence to
+    # judge its own noise floor, instead of relying on the operator
+    # having checked.
+    sitting = {
+        "loadavg_start": [round(x, 2) for x in os.getloadavg()],
+        "started_unix": round(time.time(), 1),
+    }
     spark = get_spark(app_name="etl_project_gcp_spark-bench")
     registry = Q.queries()
     materialize(registry["count_lineitem"](spark, SF_DIR))  # warmup
@@ -196,6 +228,8 @@ def main() -> None:
     ) % (WARM_RUNS, len(registry))
     head35 = round(sum(timings[n] for n in HEADLINE_35 if n in timings), 3)
     head35_warm = round(sum(warm[n] for n in HEADLINE_35 if n in warm), 3)
+    sitting["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+    sitting["finished_unix"] = round(time.time(), 1)
     normalizer = compute_normalizer(warm, sf_val)
     full = {
         "metric": "full-registry query wall time, local[%s]"
@@ -209,6 +243,7 @@ def main() -> None:
         "value_headline35_warm": head35_warm,
         "sf": sf_val,
         "bench_protocol": protocol,
+        "sitting": sitting,
     }
     if normalizer is not None:
         full["normalizer"] = normalizer
@@ -249,17 +284,11 @@ def main() -> None:
                 "sf": sf_val,
                 "bench_protocol": protocol,
                 "queries_full": "BENCH_FULL.json",
-                **(
-                    {
-                        "normalizer_ratio": normalizer["ratio"],
-                        "normalizer_per_pin_ratios": normalizer[
-                            "per_pin_ratios"
-                        ],
-                        "normalizer_pin_spread": normalizer["pin_spread"],
-                    }
-                    if normalizer is not None
-                    else {}
-                ),
+                "loadavg": {
+                    "start_1m": sitting["loadavg_start"][0],
+                    "end_1m": sitting["loadavg_end"][0],
+                },
+                **compact_normalizer_fields(normalizer),
                 **(
                     {
                         "value_normalized": full["value_normalized"],
@@ -274,8 +303,6 @@ def main() -> None:
                         ],
                     }
                     if normalizer is not None and normalizer["reliable"]
-                    else {"normalizer_unreliable": True}
-                    if normalizer is not None
                     else {}
                 ),
             }

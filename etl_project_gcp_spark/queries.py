@@ -2174,34 +2174,54 @@ def _lsh_index_path(sf_dir: str) -> str:
     return os.path.join(_cache_root("lsh"), key)
 
 
+def _trash_name(path: str) -> str:
+    """Per-(process, thread) trash name for _repair_unready's
+    rename-aside. Pid alone is only race-free ACROSS processes — two
+    threads in one driver share a pid, so thread B's leading
+    rmtree(trash) could delete a good build thread A had just renamed
+    aside for rescue (ADVICE r11). Thread ident makes concurrent
+    same-process repairers never collide; a stale leftover under a
+    dead thread's name is cleared by that same (pid, tid) pair on
+    reuse — a LIVE repairer always holds a different pair."""
+    import os
+    import threading
+
+    return f"{path}.trash-{os.getpid()}-{threading.get_ident()}"
+
+
 def _repair_unready(path: str, ready) -> bool:
     """Clear an unready cache dir WITHOUT racing a concurrent builder
     (ADVICE r10): a bare rmtree(path) between a failed readiness check
     and the delete could destroy a fresh build another process renamed
-    into place during the gap. Rename the dir aside to a pid-suffixed
-    trash name first — atomic, so a concurrently-installed build is
-    either untouched (our rename sees nothing and raises) or moved
-    aside INTACT, in which case readiness is re-checked on the trash
-    dir and the build is renamed straight back. Returns True when a
-    good build is now at `path` and the caller should serve it instead
-    of rebuilding."""
+    into place during the gap. Rename the dir aside to a
+    (pid, thread)-suffixed trash name first — atomic, so a
+    concurrently-installed build is either untouched (our rename sees
+    nothing and raises) or moved aside INTACT, in which case readiness
+    is re-checked on the trash dir and the build is renamed straight
+    back. Returns True when a good build is now at `path` and the
+    caller should serve it instead of rebuilding."""
     import os
     import shutil
 
-    trash = f"{path}.trash-{os.getpid()}"
+    trash = _trash_name(path)
     # clear any stale leftover under OUR trash name first (a crashed
-    # earlier repair, incl. pid reuse across container restarts) —
-    # renaming a directory onto a non-empty one fails ENOTEMPTY, which
-    # would strand the unready dir at `path` and turn every future
-    # build install into a rename failure. Pid-suffixing makes this
-    # delete race-free: a LIVE concurrent repairer has a different pid.
+    # earlier repair, incl. (pid, tid) reuse across container
+    # restarts) — renaming a directory onto a non-empty one fails
+    # ENOTEMPTY, which would strand the unready dir at `path` and turn
+    # every future build install into a rename failure. The
+    # (pid, thread) suffix makes this delete race-free: a LIVE
+    # concurrent repairer holds a different pair (ADVICE r11).
     shutil.rmtree(trash, ignore_errors=True)
     try:
         os.rename(path, trash)
-    except OSError:
-        # nothing cached at all, or another repairer moved it aside
-        # first; if a concurrent builder landed a good build in the
-        # gap, serve it rather than deleting or rebuilding it
+    except FileNotFoundError:
+        # the EXPECTED race: nothing cached at all, or another
+        # repairer moved it aside first; if a concurrent builder
+        # landed a good build in the gap, serve it rather than
+        # deleting or rebuilding it. Other OSError kinds (EACCES,
+        # EXDEV, ...) mean the unready dir is STILL at `path` — a
+        # rebuild would waste a full index build only for the install
+        # rename to hit the same wall, so fail fast (ADVICE r11).
         return ready(path)
     if ready(trash):
         # we grabbed a just-installed GOOD build — put it back

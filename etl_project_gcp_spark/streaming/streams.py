@@ -58,6 +58,29 @@ def apply_state_store_conf(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
 
 
+def _ts_to_us(series):
+    """Timestamp Series → numpy int64 microseconds, serializer-agnostic.
+
+    The vectorized fast path (r11's de-boxing fix) assumes the
+    ``applyInPandasWithState`` Arrow serializer hands a tz-naive
+    ``datetime64`` column — true under the current serializer, but a
+    tz-aware or object-dtype column would make the ``datetime64[us]``
+    cast raise mid-stream (ADVICE r11). Guard on the dtype and fall
+    back to the per-row ``.value`` path (handles pd.Timestamp objects
+    and tz-aware dtypes, ns → us), so a future serializer change
+    degrades to the slow path instead of failing inside a micro-batch.
+    """
+    import numpy as np
+
+    arr = series.to_numpy()
+    if arr.dtype.kind == "M":  # tz-naive datetime64: vectorized
+        return arr.astype("datetime64[us]").astype("int64")
+    # object / tz-aware extension dtype: .value is ns since epoch (UTC)
+    return np.fromiter(
+        (t.value // 1000 for t in series), dtype="int64", count=len(series)
+    )
+
+
 def read_event_stream(
     spark: SparkSession,
     path: str,
@@ -224,12 +247,10 @@ def stateful_sessionize(
 
         # numpy int64 microseconds instead of per-row pd.Timestamp
         # wrappers: Series iteration boxes every element, and .value
-        # per event was a measurable share of the fold (r11 probe)
-        # (datetime64[us] cast first: unit-safe whether the serializer
-        # hands ns- or us-resolution timestamps)
-        ts_us = (
-            rows[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
-        )
+        # per event was a measurable share of the fold (r11 probe);
+        # dtype-guarded so a tz-aware serializer falls back per-row
+        # instead of raising (ADVICE r11)
+        ts_us = _ts_to_us(rows[ts_col])
         for t, val in zip(ts_us, rows["value"].to_numpy()):
             if s is None:
                 s = last = t
@@ -438,11 +459,8 @@ def streaming_forward_fill(
         lv = lt = None
         filled = []
         # numpy int64 microseconds — same de-boxing as the sessionize
-        # fold (r11): Series iteration wraps every element in a
-        # pd.Timestamp otherwise
-        ts_us = (
-            rows[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
-        )
+        # fold (r11), same tz-aware fallback guard (ADVICE r11)
+        ts_us = _ts_to_us(rows[ts_col])
         for rt, et, val in zip(
             ts_us, rows["event_type"].to_numpy(), rows["value"].to_numpy()
         ):

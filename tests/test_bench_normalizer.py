@@ -74,3 +74,44 @@ def test_zero_pin_time_is_unreliable_not_crash():
     n = bench.compute_normalizer(warm, 0.1)
     assert n is not None and n["reliable"] is False
     assert n["pin_spread"] is None
+
+
+# ---------------------------------------------------------------------------
+# compact_normalizer_fields: the ONE-line stdout fragment (ADVICE r11 —
+# a rejected pooled ratio must never ship under the name a downstream
+# consumer normalizes with)
+# ---------------------------------------------------------------------------
+
+
+def test_compact_fields_reliable_emits_normalizer_ratio():
+    warm = _warm(
+        {"count_lineitem": 1.10, "pricing_summary": 1.08, "doc_token_stats": 1.12}
+    )
+    fields = bench.compact_normalizer_fields(bench.compute_normalizer(warm, 0.1))
+    assert "normalizer_ratio" in fields
+    assert "normalizer_ratio_rejected" not in fields
+    assert "normalizer_unreliable" not in fields
+    assert fields["normalizer_pin_spread"] is not None
+
+
+def test_compact_fields_unreliable_renames_ratio():
+    """The r11 driver sitting's exact failure mode: the alarm fired,
+    yet the compact line still carried normalizer_ratio — a consumer
+    keying on that field alone would silently normalize with the
+    rejected ratio. Rejected ratios must be impossible to use by
+    accident."""
+    warm = _warm(
+        {"count_lineitem": 1.06, "pricing_summary": 1.08, "doc_token_stats": 1.41}
+    )
+    n = bench.compute_normalizer(warm, 0.1)
+    assert n["reliable"] is False
+    fields = bench.compact_normalizer_fields(n)
+    assert "normalizer_ratio" not in fields
+    assert fields["normalizer_unreliable"] is True
+    # the evidence still ships, under the unmistakable name
+    assert fields["normalizer_ratio_rejected"] == n["ratio"]
+    assert fields["normalizer_per_pin_ratios"] == n["per_pin_ratios"]
+
+
+def test_compact_fields_no_normalizer_is_empty():
+    assert bench.compact_normalizer_fields(None) == {}

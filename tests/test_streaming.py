@@ -1106,3 +1106,50 @@ def test_streaming_dedup_suppresses_cross_batch_dupe_within_watermark(
 
     got = sorted(r.event_id for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# _ts_to_us: serializer-agnostic timestamp de-boxing (ADVICE r11)
+# ---------------------------------------------------------------------------
+
+
+def test_ts_to_us_tz_naive_fast_path_matches_value_path():
+    import numpy as np
+    import pandas as pd
+
+    from etl_project_gcp_spark.streaming.streams import _ts_to_us
+
+    s = pd.Series(
+        pd.to_datetime(
+            ["2024-01-01 00:00:00.000001", "2024-06-15 12:34:56.789012"]
+        )
+    )
+    got = _ts_to_us(s)
+    want = np.array([t.value // 1000 for t in s], dtype="int64")
+    assert got.dtype == np.int64
+    assert (got == want).all()
+
+
+def test_ts_to_us_tz_aware_falls_back_instead_of_raising():
+    """The r11 vectorized fold assumed the applyInPandasWithState
+    serializer hands tz-naive datetime64; a tz-aware (object/extension
+    dtype) column made `.astype("datetime64[us]")` raise. The guarded
+    helper must take the per-row .value path and return the same epoch
+    microseconds the tz-naive twin would."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_project_gcp_spark.streaming.streams import _ts_to_us
+
+    naive = pd.Series(
+        pd.to_datetime(["2024-01-01 00:00:00", "2024-06-15 12:34:56"])
+    )
+    aware = naive.dt.tz_localize("UTC")
+    assert aware.to_numpy().dtype.kind != "M"  # really the slow path
+    got = _ts_to_us(aware)
+    assert (got == _ts_to_us(naive)).all()
+    assert got.dtype == np.int64
+
+    # object-dtype Timestamps (another serializer shape) also work
+    obj = pd.Series(list(naive), dtype="object")
+    assert (_ts_to_us(obj) == _ts_to_us(naive)).all()

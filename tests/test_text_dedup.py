@@ -1337,11 +1337,13 @@ def test_repair_unready_preserves_concurrently_installed_build(tmp_path):
 
     from etl_project_gcp_spark.queries import _repair_unready
 
+    from etl_project_gcp_spark.queries import _trash_name
+
     p = str(tmp_path / "idx")
     _mk_index(p, ready=True)  # the concurrent builder's finished install
     assert _repair_unready(p, _ready) is True
     assert _ready(p)  # build survives, byte-for-byte in place
-    assert not os.path.exists(f"{p}.trash-{os.getpid()}")
+    assert not os.path.exists(_trash_name(p))
 
 
 def test_repair_unready_lost_rename_race_rechecks_path(tmp_path, monkeypatch):
@@ -1359,9 +1361,11 @@ def test_repair_unready_lost_rename_race_rechecks_path(tmp_path, monkeypatch):
     def racing_rename(src, dst):
         # simulate: the other repairer already moved the stale dir away
         # AND a builder installed a ready one before our rename runs
+        # (the lost race surfaces as ENOENT — FileNotFoundError — which
+        # is the one OSError kind the helper treats as expected)
         if src == p:
             _mk_index(p, ready=True)
-            raise OSError("simulated lost rename race")
+            raise FileNotFoundError("simulated lost rename race")
         return real_rename(src, dst)
 
     monkeypatch.setattr(os, "rename", racing_rename)
@@ -1379,10 +1383,60 @@ def test_repair_unready_survives_stale_trash_leftover(tmp_path):
 
     from etl_project_gcp_spark.queries import _repair_unready
 
+    from etl_project_gcp_spark.queries import _trash_name
+
     p = str(tmp_path / "idx")
     _mk_index(p, ready=False)
-    stale = f"{p}.trash-{os.getpid()}"
+    stale = _trash_name(p)
     _mk_index(stale, ready=False)  # non-empty leftover under our name
     assert _repair_unready(p, _ready) is False
     assert not os.path.exists(p)  # unready dir actually cleared
     assert not os.path.exists(stale)
+
+
+def test_repair_unready_trash_names_differ_across_threads(tmp_path):
+    """ADVICE r11: a pid-only trash suffix made two same-process
+    repairer threads share a trash name — thread B's leading
+    rmtree(trash) could delete the good build thread A had just
+    renamed aside for rescue. The name must be unique per
+    (process, thread) so concurrent same-process repairers never
+    touch each other's rename-aside."""
+    import threading
+
+    from etl_project_gcp_spark.queries import _trash_name
+
+    p = str(tmp_path / "idx")
+    mine = _trash_name(p)
+    theirs = []
+    t = threading.Thread(target=lambda: theirs.append(_trash_name(p)))
+    t.start()
+    t.join()
+    assert theirs and theirs[0] != mine
+    # and stable within a thread (the stale-leftover cleanup contract)
+    assert _trash_name(p) == mine
+
+
+def test_repair_unready_reraises_non_enoent_rename_failure(
+    tmp_path, monkeypatch
+):
+    """ADVICE r11: a bare `except OSError` conflated the expected
+    lost-race ENOENT with real failures (EACCES, EXDEV). On a real
+    failure the unready dir is STILL at `path`, so swallowing it
+    commits the caller to a full rebuild whose install rename hits the
+    same wall — fail fast instead."""
+    import os
+
+    import pytest
+
+    from etl_project_gcp_spark import queries as Q
+
+    p = str(tmp_path / "idx")
+    _mk_index(p, ready=False)
+
+    def denied_rename(src, dst):
+        raise PermissionError(f"simulated EACCES: {src}")
+
+    monkeypatch.setattr(os, "rename", denied_rename)
+    with pytest.raises(PermissionError):
+        Q._repair_unready(p, _ready)
+    assert os.path.exists(p)  # untouched — nothing was deleted
