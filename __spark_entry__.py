@@ -46,22 +46,14 @@ _FORCE_RECHECK: list[str] = [
 # tie-break only (within a green-count tier), so never-checked entries
 # still come first. Use _FORCE_RECHECK for entries that must be reached
 # regardless of their green count.
-_PRIORITY = [
-    # r9's single-green entries (r9 verdict ask #1): one more clean
-    # round each closes the >=2-clean-rounds bar registry-wide under
-    # full value oracles. They sit in the 1-green tier so the rotation
-    # reaches them right after the re-check slice anyway; listing them
-    # pins their order deterministically.
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_ivf_index_topk",
-    "ann_quantized_topk",
-    "ann_two_stage_topk",
-    "ann_ivf_kmeans_topk",
-    "binary_embed_topk",
-    "dedup_simhash",
-    "binary_file_ingest_meta",
-    "bpe_merges",
+_PRIORITY: list[str] = [
+    # r12: empty. The r9 ten (ann_* x6, binary_embed_topk,
+    # dedup_simhash, binary_file_ingest_meta, bpe_merges) all collected
+    # their second and third full-hash rows in r10/r11 and sit at >=4
+    # greens — above the 3-green tier the rotation's budget reaches —
+    # so the tie-break no longer applies to them. Every registry entry
+    # is >=3-green (r11 verdict); the rotation now just walks the
+    # 3-green tier toward 4-green registry-wide, no steering needed.
 ]
 
 
