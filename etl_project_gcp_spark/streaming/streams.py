@@ -170,6 +170,15 @@ def stateful_sessionize(
 
     gap_us = gap_seconds * 1_000_000
 
+    # applyInPandasWithState hands the Python fn EVERY input column by
+    # contract, so Catalyst cannot prune below it — project to the
+    # three columns the fold reads before the stateful exchange, or
+    # dead columns (`props`, ...) ride the shuffle AND the Arrow
+    # round trip in proportion to their width. Marginal at sf0.1
+    # (~4%, tools probe r12 — testdata props are tiny) but structural
+    # at 100 TB, where a JSON props column is KB-scale per row.
+    stream = stream.select(user_col, ts_col, "value")
+
     out_schema = (
         f"{user_col} bigint, session_start timestamp, session_end timestamp, "
         "n_events int, total_value double"
@@ -442,6 +451,13 @@ def streaming_forward_fill(
     carries (the batch formulation is the replayable truth).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    # same pre-projection rationale as stateful_sessionize: the fn sees
+    # every input column by contract, so prune the dead ones (props)
+    # before the stateful exchange/Arrow boundary
+    stream = stream.select(
+        "event_id", user_col, ts_col, "event_type", "value"
+    )
 
     out_schema = (
         f"event_id bigint, {user_col} bigint, {ts_col} timestamp, "
