@@ -122,7 +122,7 @@ def compute_normalizer(warm: dict, sf_val) -> dict | None:
         "pinned_warm_sec": NORMALIZER_PINS_SF01,
         "pin_provenance": (
             "median warm sec across 3 full-sweep sittings "
-            "(r11 driver 76a2a62, r11 re-record 900c83e, r12)"
+            "(r11 driver 76a2a62, r11 re-record 900c83e, r12 f317655)"
         ),
         "warm_sec": {n: warm[n] for n in NORMALIZER_PINS_SF01},
         "per_pin_ratios": per_pin,

@@ -5619,8 +5619,12 @@ def _drain_stream_once(
         # 6.9→2.7 s). The Python applyInPandasWithState fold WAS
         # CPU-bound and wanted full width (8→32 measured 9.0→5.3 s);
         # after the r11 vectorized emission the sessionizer is
-        # plumbing-bound and flat across widths (4/8/16/32 measured
-        # 3.3/2.9/2.5/2.8 s — within noise), so no override is worth
+        # plumbing-bound and near-flat across widths (4/8/16/32
+        # measured 3.3/2.9/2.5/2.8 s in r11; the r12 interleaved
+        # 8-rep probe resolved the residual per-partition store term
+        # at ~11 ms/partition/batch — 2.20 s at w=8 vs 2.47 at w=32,
+        # tools/drain_partitions_probe.py — a minor term that
+        # amortizes as rows/partition grows), so no override is worth
         # binding into the checkpoint. None = keep the session value;
         # production redeploys size this to the cluster.
         prev = spark.conf.get("spark.sql.shuffle.partitions")
