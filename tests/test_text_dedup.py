@@ -1440,3 +1440,73 @@ def test_repair_unready_reraises_non_enoent_rename_failure(
     with pytest.raises(PermissionError):
         Q._repair_unready(p, _ready)
     assert os.path.exists(p)  # untouched — nothing was deleted
+
+
+def test_repair_unready_multithread_stress_converges(tmp_path):
+    """Real-thread stress for the whole repair/build/install lifecycle
+    (the r10-r12 ADVICE thread): 8 threads race _repair_unready plus a
+    build-and-install on ONE cache path, alternating rounds that
+    pre-seed a READY dir (exercises the grab-good-build rescue) and an
+    UNREADY dir (exercises clear-and-rebuild). Under the r11 pid-only
+    trash naming, a loser thread's leading rmtree(trash) could delete
+    the winner's renamed-aside good build and surface as an uncaught
+    FileNotFoundError on the rename-back — so the regression signal
+    here is ANY exception escaping a worker. After every round all
+    repairs and installs have completed (barrier), so the path must be
+    ready and no .trash-*/.build-* strands may remain."""
+    import os
+    import shutil
+    import threading
+
+    from etl_project_gcp_spark.queries import _repair_unready
+
+    p = str(tmp_path / "idx")
+    n_threads, n_rounds = 8, 12
+    barrier = threading.Barrier(n_threads)
+    errors = []
+
+    def build_and_install():
+        tmp = f"{p}.build-{os.getpid()}-{threading.get_ident()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        _mk_index(tmp, ready=True)
+        try:
+            os.rename(tmp, p)
+        except OSError:
+            if not _ready(p):
+                raise
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def worker(idx):
+        try:
+            for rnd in range(n_rounds):
+                barrier.wait()
+                if idx == 0:
+                    shutil.rmtree(p, ignore_errors=True)
+                    _mk_index(p, ready=(rnd % 2 == 0))
+                barrier.wait()
+                if not (_ready(p) or _repair_unready(p, _ready)):
+                    build_and_install()
+                barrier.wait()
+                if idx == 0:
+                    assert _ready(p), f"round {rnd}: path not ready"
+                    strands = [
+                        f
+                        for f in os.listdir(tmp_path)
+                        if ".trash-" in f or ".build-" in f
+                    ]
+                    assert not strands, f"round {rnd}: strands {strands}"
+        except Exception as exc:  # noqa: BLE001 — collected for the assert
+            errors.append((idx, repr(exc)))
+            # unblock peers so the test fails fast instead of hanging
+            barrier.abort()
+
+    threads = [
+        threading.Thread(target=worker, args=(i,)) for i in range(n_threads)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errors, errors
+    assert _ready(p)
