@@ -4,7 +4,7 @@ sf0.1). The sessionize attribution (tools/drain_attribution.py) paid for
 itself 2x over; this is the same rung method for the dual-source
 stream-stream join, which has never had one.
 
-Four rungs on the SAME landed source (sf0.1 events, exactly what the
+Five rungs on the SAME landed source (sf0.1 events, exactly what the
 registry entry drains; inner join needs no sentinels), each a fresh
 availableNow streaming query with its own checkpoint, all at the
 entry's pinned stream shuffle width (8 — queries.py binds it because a
@@ -22,6 +22,10 @@ stream-stream join carries TWO state stores per partition and measured
                 zero pairs match — state plumbing without output
   full        — streaming_interval_join itself: + matching + the
                 ~300k-pair output materialization
+  full_pruned — inputs hand-projected to the three columns the join
+                reads/emits: the column-pruning headroom witness. This
+                rung found the r12 fix (the operator now pre-projects,
+                so post-fix it should read within noise of `full`).
 
 So (stateless) ~ machinery, (dual_scan - stateless) ~ second source
 branch, (join_nomatch - dual_scan) ~ symmetric-hash-join state
