@@ -20,6 +20,14 @@ hardcoded list, now the --entries default); r12 rechecked the two r11
 1.2x drifters (medallion_gold_sales_summary,
 streaming_interval_join_drain) against the r10 and r11 driver sittings.
 
+Caveat (r12 pin re-derivation, NOTES r12): IO-shape and CPU-shape pin
+speeds decouple by up to ~1.9x between idle sittings, so the pooled
+median-pin ratio used for the "normalized" column is a coarse
+instrument and the 1.25 verdict bound carries that slack. Treat the
+verdict as advisory; the raw medians from THIS idle sitting are the
+primary evidence (a drift that survives an idle re-measure raw is
+real regardless of the ratio).
+
 Usage: python tools/noise_recheck.py [--runs 5] [--max-load 4]
          [--entries a,b,c] [--ref-rev <rev>] [--ref-label r8]
 """
