@@ -29,6 +29,8 @@ distributed top-k (ICDE 2021) for the partition-then-merge shape.
 
 from __future__ import annotations
 
+from threading import Lock
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
@@ -581,17 +583,33 @@ def quantized_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_quantized: DataFrame | None = None,
 ) -> DataFrame:
     """Cosine top-k over int8-quantized vectors (approximate: scores
     carry quantization error; recall-tested vs the exact path). The
     dot product runs over tinyint arrays widened per-element — scan
-    traffic is the quantized bytes, not the original doubles."""
+    traffic is the quantized bytes, not the original doubles.
+
+    ``corpus_quantized`` (the output of :func:`quantize_embeddings` on
+    the same corpus) skips re-quantizing: at 100 TB the quantized
+    corpus is a MAINTAINED table (built once, appended at ingest — the
+    IVF-index lifecycle), not a per-query-batch projection, and the
+    per-element clamp/round lambdas are interpreted (no codegen for
+    higher-order functions), so re-deriving it costs real CPU —
+    measured 0.72 s on even the 2k-row bench corpus, ~half the int8
+    path's wall. Quantization is deterministic, so results are
+    bit-identical either way (unit-tested)."""
     q = quantize_embeddings(queries, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col("q_scale").alias("qs"),
         F.col("q_vec").alias("qv"),
     )
-    c = quantize_embeddings(corpus, id_col, vec_col).select(
+    cq = (
+        corpus_quantized
+        if corpus_quantized is not None
+        else quantize_embeddings(corpus, id_col, vec_col)
+    )
+    c = cq.select(
         F.col(id_col).alias("neighbor_id"),
         F.col("q_scale").alias("cs"),
         F.col("q_vec").alias("cv"),
@@ -636,6 +654,7 @@ def two_stage_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_scores: int = 6,
+    corpus_quantized: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage retrieval, the production ANN shape: stage 1 scans the
     int8-QUANTIZED corpus for ``overfetch·k`` candidates per query (4×
@@ -645,9 +664,10 @@ def two_stage_topk(
     quantization error can only cost recall at the stage-1 cut, never
     score accuracy (recall-tested ≥ the plain quantized path). The
     rerank join touches k·overfetch·|Q| rows, noise at any scale."""
-    cand = quantized_topk(corpus, queries, k * overfetch, id_col, vec_col).select(
-        "query_id", "neighbor_id"
-    )
+    cand = quantized_topk(
+        corpus, queries, k * overfetch, id_col, vec_col,
+        corpus_quantized=corpus_quantized,
+    ).select("query_id", "neighbor_id")
     cv = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
     qv = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
     rescored = (
@@ -989,6 +1009,28 @@ def recall_report(
     spark = corpus.sparkSession
     corpus_c = corpus.localCheckpoint()
     queries_c = queries.localCheckpoint()
+    # One shared quantized corpus for the int8-based paths — the
+    # production lifecycle (quantized corpus = maintained table, like
+    # the IVF index), and the r12 attribution's finding: quantization
+    # is interpreted-lambda CPU (~0.72 s even at 2k rows) and two_stage
+    # was the ensemble's critical path (1.73 s alone) largely because
+    # it re-quantized. Materialized LAZILY inside whichever int8-family
+    # thread gets there first (lock + memo), NOT upfront: an upfront
+    # localCheckpoint serializes 0.7 s before every path can launch and
+    # measured as a wash (2.28 vs 2.21 s), while the lazy form overlaps
+    # it with the non-quantized paths (2.21 -> 1.69 s median, values
+    # identical — interleaved A/B, r12). Deterministic, so audited
+    # values are unchanged (pytest: prequantized == fresh, bit-equal).
+    quant_lock = Lock()
+    quant_box: list[DataFrame] = []
+
+    def _quant_c() -> DataFrame:
+        with quant_lock:
+            if not quant_box:
+                quant_box.append(
+                    quantize_embeddings(corpus_c).localCheckpoint()
+                )
+            return quant_box[0]
 
     searches = {
         "truth": lambda: brute_force_topk(corpus_c, queries_c, k=k),
@@ -998,8 +1040,12 @@ def recall_report(
             corpus_c, queries_c, k=k, quantizer="kmeans",
             centroids=kmeans_centroids,
         ),
-        "int8": lambda: quantized_topk(corpus_c, queries_c, k=k),
-        "two_stage": lambda: two_stage_topk(corpus_c, queries_c, k=k),
+        "int8": lambda: quantized_topk(
+            corpus_c, queries_c, k=k, corpus_quantized=_quant_c()
+        ),
+        "two_stage": lambda: two_stage_topk(
+            corpus_c, queries_c, k=k, corpus_quantized=_quant_c()
+        ),
     }
     if index_path is not None:
         searches["ivf_index"] = lambda: ivf_search_index(

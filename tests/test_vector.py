@@ -137,6 +137,30 @@ def test_quantized_topk_recall_and_memory_shape(spark, sf01_dir):
     assert _recall(truth, approx) >= 0.9
 
 
+def test_prequantized_corpus_matches_fresh_quantization(spark, sf01_dir):
+    """corpus_quantized pass-through (the r12 shared-quantization path
+    recall_report uses — at 100 TB the quantized corpus is a maintained
+    table): results must be BIT-identical to in-line quantization for
+    both the int8 and two-stage paths, since quantization is
+    deterministic. Guards the audit's 'values unchanged' claim."""
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    pre = VX.quantize_embeddings(emb).localCheckpoint()
+
+    def key(rows):
+        return sorted(tuple(r) for r in rows)
+
+    fresh = VX.quantized_topk(emb, q, k=10).collect()
+    shared = VX.quantized_topk(emb, q, k=10, corpus_quantized=pre).collect()
+    assert key(fresh) == key(shared)
+
+    fresh2 = VX.two_stage_topk(emb, q, k=10).collect()
+    shared2 = VX.two_stage_topk(
+        emb, q, k=10, corpus_quantized=pre
+    ).collect()
+    assert key(fresh2) == key(shared2)
+
+
 def test_two_stage_topk_recall_at_least_quantized(spark, sf01_dir):
     """Exact rerank on an overfetched quantized candidate set: recall
     must be >= the plain quantized path, and surviving scores must equal
