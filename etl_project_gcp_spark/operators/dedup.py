@@ -216,12 +216,21 @@ def minhash_signatures(
     ``CreateArray(...)[i]`` to just the i-th fold (each then evaluated
     once), whereas indexing a single lambda-built array re-inlines the
     WHOLE 64-seed computation per reference — measured 3× slower
-    banding at sf0.1."""
-    elems = [
-        F.expr(f"array_min(transform(sh_arr, s -> xxhash64(s, {i})))")
+    banding at sf0.1.
+
+    Built as ONE SQL expression string, not ``num_hashes`` ``F.expr``
+    calls composed with ``F.array``: each Column call is a py4j round
+    trip, and plan CONSTRUCTION (not analysis, not execution) measured
+    70 → 23 ms here and 0.85 s/call in ``_stack_bands`` before the
+    same treatment (r12 profile: ~3.9k py4j round trips per candidates
+    build). Parses to the identical CreateArray-of-folds plan."""
+    inner = ", ".join(
+        f"array_min(transform(sh_arr, s -> xxhash64(s, {i})))"
         for i in range(num_hashes)
-    ]
-    return shingle_arrs.select(id_col, F.array(*elems).alias("sig"))
+    )
+    return shingle_arrs.select(
+        id_col, F.expr(f"array({inner})").alias("sig")
+    )
 
 
 def _stack_bands(
@@ -232,24 +241,32 @@ def _stack_bands(
 ) -> DataFrame:
     """(id, band, bh) — the banded signature in stacked form, the join
     key of every LSH candidate-generation variant (self-join for
-    whole-corpus dedup, delta×corpus join for incremental)."""
-    band_cols = [
-        F.xxhash64(
-            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
-            F.lit(b),
-        ).alias(f"band{b}")
+    whole-corpus dedup, delta×corpus join for incremental).
+
+    Both projections are single SQL expression strings for the same
+    reason as :func:`minhash_signatures`: the Column-DSL form here was
+    ~3.9k py4j round trips = 0.85 s of driver time PER candidates
+    build (r12 cProfile), pure client-side latency that every dedup
+    entry paid twice over. ``inline`` replaces explode-struct-then-
+    reproject with one generator; the array is constant-size so no
+    pathological size-filter is inferred (the shingle_docs hazard
+    doesn't apply). Identical (id, band, bh) rows, pytest-equal."""
+    band_exprs = [
+        "xxhash64("
+        + ", ".join(
+            [f"sig[{b * rows_per_band + r}]" for r in range(rows_per_band)]
+            + [str(b)]
+        )
+        + f") AS band{b}"
         for b in range(bands)
     ]
-    banded = signatures.select(id_col, *band_cols)
-    return banded.select(
-        id_col,
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bh"))
-                for b in range(bands)
-            ])
-        ).alias("e"),
-    ).select(id_col, F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    banded = signatures.selectExpr(f"`{id_col}`", *band_exprs)
+    struct_items = ", ".join(
+        f"struct({b} AS band, band{b} AS bh)" for b in range(bands)
+    )
+    return banded.selectExpr(
+        f"`{id_col}`", f"inline(array({struct_items}))"
+    )
 
 
 def lsh_candidate_pairs(

@@ -274,13 +274,110 @@ def _attr_cands(spark, sf_dir: str) -> dict:
     return {"runs": res, "median": med, "attribution": deltas}
 
 
+def _attr_incr(spark, sf_dir: str) -> dict:
+    """Rungs for dedup_incremental_near (delta = doc_id%10==3, corpus =
+    the rest): delta-side prep, corpus-side prep (expected dominant —
+    it's 90% of docs and pays the 64-seed folds), the delta x corpus
+    band join, then the full screen (+cross-side verify + summary)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    from etl_project_gcp_spark import queries as Q
+    from etl_project_gcp_spark.operators import dedup as DD
+
+    docs = Q._t(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % 10 == 3)
+    corpus = docs.filter(F.col("doc_id") % 10 != 3)
+
+    def _prep(side):
+        return DD._stack_bands(
+            DD.minhash_signatures(DD.shingle_arrays(side)), "doc_id", 16, 4
+        )
+
+    def _cands():
+        d_band = _prep(delta).select(
+            F.col("doc_id").alias("a"), "band", "bh"
+        )
+        c_sized = _prep(corpus).withColumn(
+            "_bsz", F.count(F.lit(1)).over(W.partitionBy("band", "bh"))
+        ).filter(F.col("_bsz") <= 1000)
+        return (
+            d_band.join(
+                c_sized.select(F.col("doc_id").alias("b"), "band", "bh"),
+                ["band", "bh"],
+            ).select("a", "b").distinct()
+        )
+
+    res = {
+        "delta_prep": _timed(spark, lambda: _prep(delta)),
+        "corpus_prep": _timed(spark, lambda: _prep(corpus)),
+        "cands_join": _timed(spark, _cands),
+        "full_screen": _timed(
+            spark, lambda: DD.incremental_near_dedup(delta, corpus)
+        ),
+    }
+    med = {k: statistics.median(v) for k, v in res.items()}
+    return {
+        "runs": res,
+        "median": med,
+        "attribution": {
+            "delta_prep_sec": med["delta_prep"],
+            "corpus_prep_sec": med["corpus_prep"],
+            # the cands rung's plan CONTAINS both preps (they are its
+            # inputs, recomputed in-plan), so the join's own cost is
+            # cands minus BOTH — approximate, since the shared docs
+            # scan overlaps
+            "band_join_delta_sec": round(
+                med["cands_join"] - med["corpus_prep"] - med["delta_prep"],
+                3,
+            ),
+            "verify_summary_delta_sec": round(
+                med["full_screen"] - med["cands_join"], 3
+            ),
+        },
+    }
+
+
+def _attr_cluster(spark, sf_dir: str) -> dict:
+    """Rungs for dedup_cluster_canonical: near-dup pairs (the measured
+    dedup_pipeline cost), + connected components over those pairs,
+    + the full entry (CC + keeper window + singleton re-attach)."""
+    from etl_project_gcp_spark import queries as Q
+    from etl_project_gcp_spark.operators import dedup as DD
+
+    docs = Q._t(spark, sf_dir, "documents")
+
+    def _cc():
+        pairs = DD.near_dup_pipeline(docs).select("a", "b")
+        return DD.connected_components(pairs)
+
+    entry = Q.queries()["dedup_cluster_canonical"]
+    res = {
+        "pairs": _timed(spark, lambda: DD.near_dup_pipeline(docs)),
+        "pairs_cc": _timed(spark, _cc),
+        "full_entry": _timed(spark, lambda: entry(spark, sf_dir)),
+    }
+    med = {k: statistics.median(v) for k, v in res.items()}
+    return {
+        "runs": res,
+        "median": med,
+        "attribution": {
+            "pairs_sec": med["pairs"],
+            "cc_delta_sec": round(med["pairs_cc"] - med["pairs"], 3),
+            "canonical_window_delta_sec": round(
+                med["full_entry"] - med["pairs_cc"], 3
+            ),
+        },
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument(
         "--entries", nargs="*",
         default=["ann", "simhash", "pipeline"],
-        choices=["ann", "simhash", "pipeline", "cands"],
+        choices=["ann", "simhash", "pipeline", "cands", "incr", "cluster"],
     )
     args = ap.parse_args()
 
@@ -295,7 +392,8 @@ def main() -> None:
         "loadavg_start": [round(x, 2) for x in os.getloadavg()],
     }
     fns = {"ann": _attr_ann, "simhash": _attr_simhash,
-           "pipeline": _attr_pipeline, "cands": _attr_cands}
+           "pipeline": _attr_pipeline, "cands": _attr_cands,
+           "incr": _attr_incr, "cluster": _attr_cluster}
     for key in args.entries:
         out[key] = fns[key](spark, args.sf_dir)
     print(json.dumps(out))
