@@ -60,17 +60,24 @@ HEADLINE_35 = (
 # re-derived r12 per the r11 verdict ask #4). These three entries cover
 # the three cost shapes (scan+count overhead, CPU-bound wide aggregate,
 # tokenize-heavy text scan). Pinned values = per-entry MEDIAN warm
-# seconds across the three post-r11-code full-sweep sittings (the r11
-# driver sitting 76a2a62, the r11 re-record 900c83e, and the r12
-# sitting recorded in BENCH_FULL.json), replacing the single-sitting
-# r8 pins whose IO entries turned out to carry one sitting's
-# page-cache luck (most later sittings read 1.3-1.4x on them while the
-# CPU pin read ~1.0x). Pins are sf0.1-only; at any other SF the
-# normalizer block is omitted entirely.
+# seconds across THREE post-_t-memoization idle full-bench sittings
+# (the original r12 full-sweep method). Two supersessions inside r12:
+# the mid-round pins (0.199/1.536/0.275) embedded ~100 ms/table/run of
+# parquet footer re-resolution that the _t memo removed
+# (count_lineitem's pin was mostly that tax); a first post-memo
+# re-pin from fresh-process tools/pin_sittings.py sittings
+# (0.116/1.190/0.261) then proved to carry a PROTOCOL bias — with the
+# footer tax gone, the pins' residual wall is JVM-warmup-sensitive,
+# and a fresh 6-run process reads count_lineitem ~1.7x over its
+# deep-warm in-bench value (0.116 vs 0.069) where the pre-memo tax
+# had masked the difference. Pins are compared against IN-BENCH warm
+# values, so they are derived from in-bench sittings. Per-sitting
+# spreads under these pins: 1.00/1.03/1.52. Pins are sf0.1-only; at
+# any other SF the normalizer block is omitted entirely.
 NORMALIZER_PINS_SF01 = {
-    "count_lineitem": 0.199,
-    "pricing_summary": 1.536,
-    "doc_token_stats": 0.275,
+    "count_lineitem": 0.069,
+    "pricing_summary": 1.247,
+    "doc_token_stats": 0.203,
 }
 
 # What the r12 re-derivation measured (NOTES r12): under the refreshed
@@ -93,6 +100,12 @@ NORMALIZER_PINS_SF01 = {
 # The decoupled flag fires only past the observed idle maximum (1.87,
 # rounded up) — meaning the sitting's pins disagree more than ANY
 # known-good sitting ever measured, not merely "more than we'd like".
+# The n=8 range was measured under the pre-memoization pins (whose
+# sittings ran pre-memoization CODE, so they cannot be re-based onto
+# the new pins); the four post-memoization sittings read 1.05-1.29.
+# The bound is kept until r13+ accrues multi-day sittings on this
+# tree — it is a conservative ceiling either way (page-cache
+# decoupling on the scan/text pins is the driver and is unchanged).
 PIN_SPREAD_IDLE_RANGE = (1.23, 1.87)  # n=8 idle sittings, NOTES r12
 PIN_SPREAD_DECOUPLED = 1.9
 
@@ -121,8 +134,10 @@ def compute_normalizer(warm: dict, sf_val) -> dict | None:
         "entries": sorted(NORMALIZER_PINS_SF01),
         "pinned_warm_sec": NORMALIZER_PINS_SF01,
         "pin_provenance": (
-            "median warm sec across 3 full-sweep sittings "
-            "(r11 driver 76a2a62, r11 re-record 900c83e, r12 f317655)"
+            "median IN-BENCH warm sec across 3 idle full-bench "
+            "sittings on the post-_t-memoization r12 tree (fresh-"
+            "process pin_sittings values rejected: JVM-warmup bias, "
+            "see module comment)"
         ),
         "warm_sec": {n: warm[n] for n in NORMALIZER_PINS_SF01},
         "per_pin_ratios": per_pin,

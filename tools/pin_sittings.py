@@ -10,6 +10,15 @@ line. Run it >= 3 times on an idle container, then re-pin
 bench.NORMALIZER_PINS_SF01 from the per-pin MEDIANS across sittings.
 
 Usage: python tools/pin_sittings.py [--runs 5] [--max-load 4]
+
+CAVEAT (r12, post-_t-memoization): this tool's fresh-process protocol
+over-reads JVM-warmup-sensitive pins relative to the deep-warm
+in-bench state the pins are actually compared against — with the
+~100 ms/table footer-resolution tax memoized away, count_lineitem
+read ~1.7x its in-bench value here (0.116 vs 0.069). Pins are
+therefore derived from IN-BENCH medians across full-bench sittings
+(bench.py module comment); this tool remains useful as a quick
+relative box-speed probe, not as a pin source.
 """
 
 from __future__ import annotations
