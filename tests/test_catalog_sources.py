@@ -368,3 +368,37 @@ def test_case_insensitive_column_resolution_parity(spark, tmp_path):
     )
     with pytest.raises(AnalysisException):
         dup.select("origin2").collect()
+
+
+def test_table_read_memo_contract(spark, sf01_dir, tmp_path):
+    """_t memoizes per (app, path, size, mtime_ns) — the r12 fix for
+    ~100 ms/table/call of parquet footer re-resolution. The contract
+    has three edges worth pinning: (1) repeat reads of an unchanged
+    path return the SAME DataFrame instance (the memo actually hits);
+    (2) a path rewritten in place is re-read, never served stale (the
+    mtime key); (3) a missing path still raises AnalysisException via
+    the fresh-read fallback, not KeyError/None (the verify skill's
+    bad-sf_dir probe)."""
+    import time as _time
+
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from etl_project_gcp_spark import queries as Q
+
+    a = Q._t(spark, sf01_dir, "nation")
+    b = Q._t(spark, sf01_dir, "nation")
+    assert a is b, "memo miss on unchanged path"
+
+    src = str(tmp_path)
+    a.limit(3).write.parquet(f"{src}/t.parquet")
+    first = Q._t(spark, src, "t")
+    assert first.count() == 3
+    _time.sleep(0.02)  # ensure a distinct mtime_ns on coarse filesystems
+    a.limit(5).write.mode("overwrite").parquet(f"{src}/t.parquet")
+    second = Q._t(spark, src, "t")
+    assert second is not first, "stale plan served after rewrite"
+    assert second.count() == 5
+
+    with pytest.raises(AnalysisException):
+        Q._t(spark, src, "missing").count()
