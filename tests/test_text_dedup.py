@@ -1510,3 +1510,44 @@ def test_repair_unready_multithread_stress_converges(tmp_path):
         t.join(timeout=60)
     assert not errors, errors
     assert _ready(p)
+
+
+@pytest.mark.parametrize("bands,rows_per_band", [(16, 4), (8, 8), (32, 2)])
+def test_stack_bands_sql_string_matches_column_dsl(
+    spark, sf01_dir, bands, rows_per_band
+):
+    """_stack_bands builds its projections as single SQL expression
+    strings (the r12 py4j-latency fix); this pins them to the original
+    Column-DSL formulation across band geometries, not just the 16x4
+    the registry uses — same (id, band, bh) row set, bit for bit."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf01_dir}/documents.parquet").limit(150)
+    sigs = DD.minhash_signatures(DD.shingle_arrays(docs))
+
+    def dsl_reference(signatures, id_col, bands, rows_per_band):
+        band_cols = [
+            F.xxhash64(
+                *[F.col("sig")[b * rows_per_band + r]
+                  for r in range(rows_per_band)],
+                F.lit(b),
+            ).alias(f"band{b}")
+            for b in range(bands)
+        ]
+        banded = signatures.select(id_col, *band_cols)
+        return banded.select(
+            id_col,
+            F.explode(F.array(*[
+                F.struct(F.lit(b).alias("band"),
+                         F.col(f"band{b}").alias("bh"))
+                for b in range(bands)
+            ])).alias("e"),
+        ).select(
+            id_col, F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
+        )
+
+    got = {tuple(r) for r in
+           DD._stack_bands(sigs, "doc_id", bands, rows_per_band).collect()}
+    want = {tuple(r) for r in
+            dsl_reference(sigs, "doc_id", bands, rows_per_band).collect()}
+    assert got == want
