@@ -102,10 +102,12 @@ NORMALIZER_PINS_SF01 = {
 # known-good sitting ever measured, not merely "more than we'd like".
 # The n=8 range was measured under the pre-memoization pins (whose
 # sittings ran pre-memoization CODE, so they cannot be re-based onto
-# the new pins); the four post-memoization sittings read 1.05-1.29.
-# The bound is kept until r13+ accrues multi-day sittings on this
-# tree — it is a conservative ceiling either way (page-cache
-# decoupling on the scan/text pins is the driver and is unchanged).
+# the new pins); the EIGHT post-memoization in-bench sittings read
+# 1.00 / 1.03 / 1.52 / 1.28 / 1.37 / 1.58 / 1.15 / 1.02 (same-day
+# range 1.0-1.6 — NOTES r12). The bound is kept until r13+ accrues
+# multi-day sittings on this tree — it is a conservative ceiling
+# either way (page-cache decoupling on the scan/text pins is the
+# driver and is unchanged).
 PIN_SPREAD_IDLE_RANGE = (1.23, 1.87)  # n=8 idle sittings, NOTES r12
 PIN_SPREAD_DECOUPLED = 1.9
 

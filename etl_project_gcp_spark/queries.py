@@ -78,24 +78,42 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     rebuilds its plan per run (the bench and driver contract), so an
     un-memoized read taxed EVERY timed run ~0.1-0.6 s of identical
     driver-side re-resolution (r12 construction sweep: plain 3-join
-    TPC-H entries paid 0.3-0.6 s per BUILD before any execution). The
-    key carries size+mtime_ns (the _ivf_index_path convention): a
-    path rewritten in place re-reads; a missing path falls through to
-    a fresh read so Spark still raises its normal PATH_NOT_FOUND.
+    TPC-H entries paid 0.3-0.6 s per BUILD before any execution).
+
+    Contract edges (each pinned by tests/test_catalog_sources.py):
+    - URI-scheme paths (gs://, s3a://, hdfs://, file:) BYPASS the memo
+      untouched — os.path.abspath would mangle the scheme, and a local
+      stat cannot key remote state anyway; Spark handles them as
+      before.
+    - The key carries inode+size+mtime_ns (the _ivf_index_path
+      convention plus st_ino): an overwrite that recreates the
+      directory/file invalidates via the new inode even on a
+      filesystem whose mtime granularity is coarser than the rewrite
+      gap; an in-place same-inode content edit is keyed by mtime_ns
+      (its resolution is the filesystem's — the one documented
+      boundary).
+    - A missing path falls through to a fresh read so Spark still
+      raises its normal PATH_NOT_FOUND.
+    - The session OBJECT is part of the key (not just applicationId):
+      sibling spark.newSession() handles share an application but not
+      conf state, and a cached plan executes under the session that
+      read it.
     DataFrames are immutable logical plans, so sharing one instance
     across entries/threads is safe; the dict-set race is benign (last
     writer wins, both values equivalent)."""
     import os
+    import re
 
     _ensure_session_confs(spark)
-    path = os.path.abspath(f"{sf_dir}/{name}.parquet")
+    raw = f"{sf_dir}/{name}.parquet"
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", raw):
+        return spark.read.parquet(raw)
+    path = os.path.abspath(raw)
     try:
         st = os.stat(path)
     except OSError:
         return spark.read.parquet(path)
-    key = (
-        spark.sparkContext.applicationId, path, st.st_size, st.st_mtime_ns
-    )
+    key = (spark, path, st.st_ino, st.st_size, st.st_mtime_ns)
     df = _TABLE_CACHE.get(key)
     if df is None:
         if len(_TABLE_CACHE) > 256:  # rewritten-fixture keys accrue

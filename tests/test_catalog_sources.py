@@ -394,7 +394,12 @@ def test_table_read_memo_contract(spark, sf01_dir, tmp_path):
     a.limit(3).write.parquet(f"{src}/t.parquet")
     first = Q._t(spark, src, "t")
     assert first.count() == 3
-    _time.sleep(0.02)  # ensure a distinct mtime_ns on coarse filesystems
+    # Spark's overwrite deletes and recreates the directory, so the
+    # key's st_ino changes regardless of the filesystem's mtime
+    # granularity — the sleep is NOT what the invalidation rests on
+    # (an in-place same-inode edit within one mtime tick is the one
+    # documented stale window; directory rewrites are not that case).
+    _time.sleep(0.02)
     a.limit(5).write.mode("overwrite").parquet(f"{src}/t.parquet")
     second = Q._t(spark, src, "t")
     assert second is not first, "stale plan served after rewrite"
@@ -402,3 +407,10 @@ def test_table_read_memo_contract(spark, sf01_dir, tmp_path):
 
     with pytest.raises(AnalysisException):
         Q._t(spark, src, "missing").count()
+
+    # URI-scheme paths bypass the memo untouched (abspath would mangle
+    # the scheme; a local stat can't key remote state) and still read
+    u1 = Q._t(spark, f"file:{src}", "t")
+    u2 = Q._t(spark, f"file:{src}", "t")
+    assert u1.count() == 5
+    assert u2 is not u1, "URI path must not be memoized"

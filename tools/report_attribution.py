@@ -47,9 +47,10 @@ os.environ.setdefault("ETL_GCP_SPARK_DISABLE_PINS", "1")
 
 REPS = int(os.environ.get("REPORT_ATTR_REPS", "3"))
 
-
-def _noop(df) -> None:
-    df.write.format("noop").mode("overwrite").save()
+# the bench's own materializer, imported so the rungs time the exact
+# sink the bench times — a bench-side sink change cannot silently
+# desynchronize the attribution method from the numbers it explains
+from bench import materialize as _noop  # noqa: E402
 
 
 def _timed(spark, build, *, reps: int = REPS, warmup: bool = True,
