@@ -250,7 +250,12 @@ def _stack_bands(
     entry paid twice over. ``inline`` replaces explode-struct-then-
     reproject with one generator; the array is constant-size so no
     pathological size-filter is inferred (the shingle_docs hazard
-    doesn't apply). Identical (id, band, bh) rows, pytest-equal."""
+    doesn't apply). Identical (id, band, bh) rows, pytest-equal.
+
+    ``id_col`` is interpolated into selectExpr under backtick quoting;
+    embedded backticks are escaped by doubling (ADVICE r12 — a
+    backticked name would otherwise break the parse / inject SQL)."""
+    id_q = id_col.replace("`", "``")
     band_exprs = [
         "xxhash64("
         + ", ".join(
@@ -260,12 +265,12 @@ def _stack_bands(
         + f") AS band{b}"
         for b in range(bands)
     ]
-    banded = signatures.selectExpr(f"`{id_col}`", *band_exprs)
+    banded = signatures.selectExpr(f"`{id_q}`", *band_exprs)
     struct_items = ", ".join(
         f"struct({b} AS band, band{b} AS bh)" for b in range(bands)
     )
     return banded.selectExpr(
-        f"`{id_col}`", f"inline(array({struct_items}))"
+        f"`{id_q}`", f"inline(array({struct_items}))"
     )
 
 

@@ -663,7 +663,24 @@ def two_stage_topk(
     ``brute_force_topk``'s for every candidate that survives stage 1 —
     quantization error can only cost recall at the stage-1 cut, never
     score accuracy (recall-tested ≥ the plain quantized path). The
-    rerank join touches k·overfetch·|Q| rows, noise at any scale."""
+    rerank join touches k·overfetch·|Q| rows, noise at any scale.
+
+    Contract (ADVICE r12): ``corpus_quantized`` MUST be
+    :func:`quantize_embeddings` over the SAME corpus passed here — it
+    is trusted, not re-derived. A stale/mismatched quantized table
+    fails loudly if its schema is wrong (asserted below), but a
+    same-schema table over a DIFFERENT id set degrades silently: ids
+    present only in the quantized side drop at the exact-rerank inner
+    join (fewer than k rows per query, no error). Maintain the
+    quantized table with the same lifecycle as the corpus (rebuild /
+    append on ingest, the IVF-index convention)."""
+    if corpus_quantized is not None:
+        missing = {"q_scale", "q_vec", id_col} - set(corpus_quantized.columns)
+        if missing:
+            raise ValueError(
+                "corpus_quantized must be quantize_embeddings() output "
+                f"(missing columns: {sorted(missing)})"
+            )
     cand = quantized_topk(
         corpus, queries, k * overfetch, id_col, vec_col,
         corpus_quantized=corpus_quantized,

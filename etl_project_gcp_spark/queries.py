@@ -67,11 +67,50 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     ship_package_to_workers(spark)
 
 
-_TABLE_CACHE: dict[tuple, DataFrame] = {}
+# Attribute under which each session carries its own path-keyed plan
+# dict. Stored ON the SparkSession instance, not in a module-level map
+# (ADVICE r12: a flat dict held strong session refs until the >256
+# wholesale clear — and a WeakKeyDictionary cannot fix that here,
+# because the cached DataFrames reference their session, and WKD
+# values that reach their key keep the entry alive per the weakref
+# docs). Instance storage makes the cache's lifetime exactly the
+# session's: drop/stop the session, its plans go with it.
+_TABLE_MEMO_ATTR = "_spark_graft_table_memo"
+
+
+def _dir_stat_key(path: str, st) -> tuple:
+    """Stat-derived cache key for a parquet dataset path.
+
+    For a FILE dataset the file's own (ino, size, mtime_ns) suffices.
+    For a DIRECTORY dataset (the normal parquet layout) the directory
+    entry only changes on add/remove/rename of children — an in-place
+    edit of a part-file's CONTENTS updates that file's mtime but not
+    the directory's (ADVICE r12, medium). Fold each child's
+    (name, size, mtime_ns) into the key via one os.scandir pass —
+    ~10 µs for typical part counts, vs the ~100 ms footer resolution
+    the memo saves — so content rewrites of any child invalidate. The
+    remaining undetectable window is now the same as for files: an
+    in-place same-inode child edit inside one filesystem mtime tick.
+    """
+    import os
+    import stat as _stat
+
+    if not _stat.S_ISDIR(st.st_mode):
+        return (st.st_ino, st.st_size, st.st_mtime_ns)
+    children = []
+    with os.scandir(path) as it:
+        for entry in it:
+            try:
+                cst = entry.stat()
+            except OSError:
+                continue
+            children.append((entry.name, cst.st_size, cst.st_mtime_ns))
+    children.sort()
+    return (st.st_ino, st.st_size, st.st_mtime_ns, tuple(children))
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Table scan, memoized per (application, path, size, mtime_ns).
+    """Table scan, memoized per (session, path, stat-key).
 
     ``spark.read.parquet`` resolves the footer schema eagerly —
     measured ~100 ms per table per call — and every registry entry
@@ -85,19 +124,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       untouched — os.path.abspath would mangle the scheme, and a local
       stat cannot key remote state anyway; Spark handles them as
       before.
-    - The key carries inode+size+mtime_ns (the _ivf_index_path
-      convention plus st_ino): an overwrite that recreates the
-      directory/file invalidates via the new inode even on a
-      filesystem whose mtime granularity is coarser than the rewrite
-      gap; an in-place same-inode content edit is keyed by mtime_ns
-      (its resolution is the filesystem's — the one documented
-      boundary).
+    - The key carries inode+size+mtime_ns of the dataset path AND, for
+      directory datasets, every child's (name, size, mtime_ns) via one
+      os.scandir pass (_dir_stat_key; ADVICE r12 — a part-file content
+      edit updates the file's mtime but not the directory's, so the
+      old directory-only stat served stale plans for in-place child
+      edits). An overwrite that recreates the directory/file
+      invalidates via the new inode even on a filesystem whose mtime
+      granularity is coarser than the rewrite gap; the one remaining
+      undetectable window is an in-place same-inode edit inside a
+      single filesystem mtime tick (nanosecond resolution here).
     - A missing path falls through to a fresh read so Spark still
       raises its normal PATH_NOT_FOUND.
-    - The session OBJECT is part of the key (not just applicationId):
-      sibling spark.newSession() handles share an application but not
-      conf state, and a cached plan executes under the session that
-      read it.
+    - The cache dict lives ON the session OBJECT (not in a module map,
+      and not keyed by applicationId): sibling spark.newSession()
+      handles share an application but not conf state, a cached plan
+      executes under the session that read it, and a dropped/stopped
+      session releases all its cached plans with itself (ADVICE r12 —
+      the flat strong-ref dict kept stopped sessions alive until the
+      wholesale clear; a WeakKeyDictionary can't fix that because the
+      cached DataFrames reference their session, pinning the entry).
     DataFrames are immutable logical plans, so sharing one instance
     across entries/threads is safe; the dict-set race is benign (last
     writer wins, both values equivalent)."""
@@ -113,13 +159,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         st = os.stat(path)
     except OSError:
         return spark.read.parquet(path)
-    key = (spark, path, st.st_ino, st.st_size, st.st_mtime_ns)
-    df = _TABLE_CACHE.get(key)
+    key = (path, _dir_stat_key(path, st))
+    cache = getattr(spark, _TABLE_MEMO_ATTR, None)
+    if cache is None:
+        cache = {}
+        setattr(spark, _TABLE_MEMO_ATTR, cache)
+    df = cache.get(key)
     if df is None:
-        if len(_TABLE_CACHE) > 256:  # rewritten-fixture keys accrue
-            _TABLE_CACHE.clear()
+        if len(cache) > 256:  # rewritten-fixture keys accrue
+            cache.clear()
         df = spark.read.parquet(path)
-        _TABLE_CACHE[key] = df
+        cache[key] = df
     return df
 
 

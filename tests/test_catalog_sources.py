@@ -414,3 +414,85 @@ def test_table_read_memo_contract(spark, sf01_dir, tmp_path):
     u2 = Q._t(spark, f"file:{src}", "t")
     assert u1.count() == 5
     assert u2 is not u1, "URI path must not be memoized"
+
+
+def test_table_read_memo_inplace_child_edit(spark, tmp_path):
+    """ADVICE r13 (medium): an in-place content edit of a PART FILE
+    inside a parquet directory updates the file's mtime but not the
+    directory's inode/size/mtime — the old directory-only stat key
+    served the stale cached plan. _dir_stat_key now folds every
+    child's (name, size, mtime_ns) into the key via os.scandir, so a
+    same-directory-inode child rewrite invalidates."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from etl_project_gcp_spark import queries as Q
+
+    def _overwrite_bytes(dst, srcf):
+        with open(srcf, "rb") as f_in, open(dst, "wb") as f_out:
+            shutil.copyfileobj(f_in, f_out)
+
+    src = str(tmp_path)
+    spark.range(3).coalesce(1).write.parquet(f"{src}/t.parquet")
+    first = Q._t(spark, src, "t")
+    assert first.count() == 3
+
+    # Build a 5-row replacement elsewhere, then copy its part file's
+    # BYTES over the existing part file — same directory inode, same
+    # child name, new content: exactly the case a directory-only stat
+    # cannot see. The Hadoop local FS keeps a .crc sidecar per part, so
+    # its bytes are overwritten too (otherwise the checksummed read of
+    # the new bytes fails — which proves in passing that the bytes
+    # really did change in place).
+    spark.range(5).coalesce(1).write.parquet(f"{src}/t2.parquet")
+    old_part = glob.glob(f"{src}/t.parquet/part-*.parquet")[0]
+    new_part = glob.glob(f"{src}/t2.parquet/part-*.parquet")[0]
+    _time.sleep(0.02)
+    _overwrite_bytes(old_part, new_part)
+    old_crc = f"{os.path.dirname(old_part)}/.{os.path.basename(old_part)}.crc"
+    new_crc = f"{os.path.dirname(new_part)}/.{os.path.basename(new_part)}.crc"
+    if os.path.exists(old_crc) and os.path.exists(new_crc):
+        _overwrite_bytes(old_crc, new_crc)
+    # Directory mtime may be unchanged (no entry added/removed); the
+    # child's size/mtime_ns is what must carry the invalidation.
+    second = Q._t(spark, src, "t")
+    assert second is not first, "stale plan served after in-place child edit"
+    assert second.count() == 5
+    # touch-only (mtime bump, same bytes) also invalidates — the key is
+    # conservative, never stale
+    os.utime(old_part)
+    third = Q._t(spark, src, "t")
+    assert third is not second
+
+
+def test_table_read_memo_dies_with_session(spark, sf01_dir):
+    """ADVICE r13 (low): the per-session plan dict lives ON the session
+    object (no module-level strong map), so a dropped newSession()
+    handle releases its cached plans with it. (A WeakKeyDictionary
+    cannot express this: cached DataFrames reference their session, and
+    WKD values that reach their key pin the entry — weakref docs.)"""
+    import gc
+    import weakref
+
+    from etl_project_gcp_spark import queries as Q
+
+    sibling = spark.newSession()
+    df = Q._t(sibling, sf01_dir, "nation")
+    cache = getattr(sibling, Q._TABLE_MEMO_ATTR)
+    assert any(v is df for v in cache.values())
+    # PySpark itself pins the LATEST-constructed session: the classic
+    # SparkSession __init__ monkey-patches RDD.toDF with a closure over
+    # the session (pyspark.sql.classic.session._monkey_patch_RDD), a
+    # class-level strong ref only displaced by constructing another
+    # session. Make a displacing sibling so what we measure is OUR
+    # memo's pinning, not PySpark's.
+    displacer = spark.newSession()
+    # session → memo dict → DataFrame → session is a pure cycle with no
+    # external strong ref once the locals go; gc must reclaim it all
+    probe = weakref.ref(sibling)
+    del sibling, df, cache
+    gc.collect()
+    assert probe() is None, "dropped session still pinned by its table memo"
+    del displacer

@@ -37,6 +37,22 @@ def test_minhash_finds_planted_near_dups(spark):
     assert exact.jaccard == 1.0
 
 
+def test_stack_bands_escapes_backticked_id_col(spark):
+    """ADVICE r13 (low): id_col reaches selectExpr under backtick
+    quoting; a name CONTAINING a backtick must be escaped by doubling,
+    not break the parse / inject SQL."""
+    weird = "doc`id"
+    docs = _docs(spark, [(1, BASE), (2, BASE)])
+    sh = DD.shingle_arrays(docs)
+    sigs = DD.minhash_signatures(sh, num_hashes=16).withColumnRenamed(
+        "doc_id", weird
+    )
+    stacked = DD._stack_bands(sigs, weird, bands=4, rows_per_band=4)
+    rows = stacked.collect()
+    assert {r[weird] for r in rows} == {1, 2}
+    assert len(rows) == 8  # 2 docs × 4 bands
+
+
 def test_simhash_finds_planted_near_dups(spark):
     near = BASE.replace("quick", "swift")
     far = (
