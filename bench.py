@@ -97,19 +97,24 @@ NORMALIZER_PINS_SF01 = {
 # Cross-round comparison rests on raw medians from idle sittings plus
 # the tools/noise_recheck.py protocol for any suspected drift.
 #
-# The decoupled flag fires only past the observed idle maximum (1.87,
-# rounded up) — meaning the sitting's pins disagree more than ANY
-# known-good sitting ever measured, not merely "more than we'd like".
-# The n=8 range was measured under the pre-memoization pins (whose
-# sittings ran pre-memoization CODE, so they cannot be re-based onto
-# the new pins); the EIGHT post-memoization in-bench sittings read
-# 1.00 / 1.03 / 1.52 / 1.28 / 1.37 / 1.58 / 1.15 / 1.02 (same-day
-# range 1.0-1.6 — NOTES r12). The bound is kept until r13+ accrues
-# multi-day sittings on this tree — it is a conservative ceiling
-# either way (page-cache decoupling on the scan/text pins is the
-# driver and is unchanged).
-PIN_SPREAD_IDLE_RANGE = (1.23, 1.87)  # n=8 idle sittings, NOTES r12
-PIN_SPREAD_DECOUPLED = 1.9
+# The decoupled flag fires only past every known-good idle sitting —
+# meaning the sitting's pins disagree more than ANY sitting the
+# post-memoization population ever measured, not merely "more than
+# we'd like". Range provenance (re-derived r13 per the r12 verdict ask
+# #2 and ADVICE #5): THIRTEEN post-memoization in-bench idle sittings
+# across TWO days — r12's eight (1.00 / 1.03 / 1.52 / 1.28 / 1.37 /
+# 1.58 / 1.15 / 1.02, same-day) plus r13's five on the shipped tree
+# (1.194 / 1.115 / 1.108 / 1.259 / 1.208; NOTES r13 lists each
+# sitting's totals + loadavg). This retires the pre-memo (1.23, 1.87)
+# range whose sittings ran pre-memoization code under different pins
+# and could not be re-based. The decoupled bound sits at the observed
+# n=13 multi-day max (1.58) plus tail margin — at n=13 the
+# distribution tail is not resolved, and the r12 same-day accrual
+# already showed 1.5+ spreads on normal sittings (page-cache state
+# decoupling the scan/text pins from the CPU pin), so the bound
+# tightens 1.9 -> 1.75 rather than snapping to the max.
+PIN_SPREAD_IDLE_RANGE = (1.00, 1.58)  # n=13 idle sittings, 2 days, NOTES r13
+PIN_SPREAD_DECOUPLED = 1.75
 
 
 def compute_normalizer(warm: dict, sf_val) -> dict | None:

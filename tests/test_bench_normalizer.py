@@ -7,7 +7,10 @@ refreshed multi-sitting pins — 1.23-1.87 across eight known-good idle
 sittings — which contains every sitting previously called pathological,
 so the pooled divisor was removed entirely: the pins now ship as three
 per-shape speed indicators plus spread/median evidence, and a
-``decoupled`` flag that fires only past the observed idle maximum."""
+``decoupled`` flag that fires only past the observed idle maximum.
+The r13 re-derivation (r12 verdict ask #2) retired that pre-memo range
+for the post-memoization multi-day population: n=13 in-bench idle
+sittings across two days, range 1.00-1.58, decoupled bound 1.75."""
 
 from __future__ import annotations
 
@@ -38,9 +41,10 @@ def test_agreeing_pins_record_ratios_and_median():
 
 def test_idle_range_spread_is_not_flagged():
     """r10's '1.06/1.08/1.41' sitting (spread 1.33) motivated the old
-    alarm — but the r12 idle distribution (1.23-1.87, n=8) CONTAINS
-    it, so under the evidence-only design it records, not alarms:
-    page-cache decoupling at this magnitude is the normal state."""
+    alarm — but the post-memo idle distribution (1.00-1.58, n=13 over
+    two days) CONTAINS it, so under the evidence-only design it
+    records, not alarms: page-cache decoupling at this magnitude is
+    the normal state."""
     warm = _warm(
         {"count_lineitem": 1.06, "pricing_summary": 1.08, "doc_token_stats": 1.41}
     )
