@@ -78,8 +78,10 @@ def _ensure_session_confs(spark: SparkSession) -> None:
 _TABLE_MEMO_ATTR = "_spark_graft_table_memo"
 
 
-def _dir_stat_key(path: str, st) -> tuple:
-    """Stat-derived cache key for a parquet dataset path.
+def _dir_stat_key(path: str, st) -> tuple | None:
+    """Stat-derived cache key for a parquet dataset path, or None when
+    the path vanished mid-scan (the caller falls through to a fresh
+    read so Spark raises its normal PATH_NOT_FOUND).
 
     For a FILE dataset the file's own (ino, size, mtime_ns) suffices.
     For a DIRECTORY dataset (the normal parquet layout) the directory
@@ -89,24 +91,35 @@ def _dir_stat_key(path: str, st) -> tuple:
     (name, size, mtime_ns) into the key via one os.scandir pass —
     ~10 µs for typical part counts, vs the ~100 ms footer resolution
     the memo saves — so content rewrites of any child invalidate. The
-    remaining undetectable window is now the same as for files: an
-    in-place same-inode child edit inside one filesystem mtime tick.
+    children land in the key as a blake2b digest, not the raw tuple:
+    a many-part local directory would otherwise make every cache key
+    carry the whole listing (r13 self-review; the digest is exact up
+    to 128-bit collisions, far below the memo's other trust
+    assumptions). The remaining undetectable window is the same as for
+    files: an in-place same-inode child edit inside one mtime tick.
     """
+    import hashlib
     import os
     import stat as _stat
 
     if not _stat.S_ISDIR(st.st_mode):
         return (st.st_ino, st.st_size, st.st_mtime_ns)
     children = []
-    with os.scandir(path) as it:
-        for entry in it:
-            try:
-                cst = entry.stat()
-            except OSError:
-                continue
-            children.append((entry.name, cst.st_size, cst.st_mtime_ns))
+    try:
+        with os.scandir(path) as it:
+            for entry in it:
+                try:
+                    cst = entry.stat()
+                except OSError:
+                    continue
+                children.append((entry.name, cst.st_size, cst.st_mtime_ns))
+    except OSError:  # directory removed between stat and scandir
+        return None
     children.sort()
-    return (st.st_ino, st.st_size, st.st_mtime_ns, tuple(children))
+    digest = hashlib.blake2b(
+        repr(children).encode(), digest_size=16
+    ).hexdigest()
+    return (st.st_ino, st.st_size, st.st_mtime_ns, digest)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -159,7 +172,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         st = os.stat(path)
     except OSError:
         return spark.read.parquet(path)
-    key = (path, _dir_stat_key(path, st))
+    stat_key = _dir_stat_key(path, st)
+    if stat_key is None:  # vanished mid-scan: let Spark raise normally
+        return spark.read.parquet(path)
+    key = (path, stat_key)
     cache = getattr(spark, _TABLE_MEMO_ATTR, None)
     if cache is None:
         cache = {}
