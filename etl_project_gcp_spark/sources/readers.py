@@ -37,6 +37,7 @@ def read_csv_bronze(
     spark: SparkSession,
     path: str,
     schema: T.StructType | None = None,
+    sampling_ratio: float | None = None,
 ) -> DataFrame:
     """Bronze CSV load with the reference's strictness semantics.
 
@@ -44,12 +45,26 @@ def read_csv_bronze(
     ``allow_jagged_rows=false`` → FAILFAST, ``allow_quoted_newlines=false``
     → multiLine=False, autodetect → inferSchema (unless an explicit schema
     is pinned, which silver-layer casts make equivalent — SURVEY §4.3.1).
-    """
+
+    ``sampling_ratio`` is the ingest-layer scale knob: Spark's default
+    inference PARSES every row a full extra time before the real read,
+    and the r13 medallion scale probe measured that pass at 1.12 s on a
+    15M-row corpus vs 0.25 s at ratio 0.001 (~31% off the whole bronze
+    layer, schema-identical on uniform data). BigQuery's own autodetect
+    — the semantics this loader mirrors — samples up to 500 rows, so a
+    sampled inference is arguably MORE parity-faithful; the default
+    stays full-scan because a sampled schema on adversarial data (a
+    column whose late rows widen the type) turns into a FAILFAST parse
+    error at read time, and the safe default belongs on the gate.
+    Callers at scale pass a ratio (or better, a pinned ``schema`` —
+    silver casts make it equivalent and it skips the pass entirely)."""
     reader = spark.read.options(header=True, mode="FAILFAST", multiLine=False)
     if schema is not None:
         reader = reader.schema(schema)
     else:
         reader = reader.option("inferSchema", True)
+        if sampling_ratio is not None:
+            reader = reader.option("samplingRatio", sampling_ratio)
     return reader.csv(path)
 
 

@@ -33,6 +33,28 @@ def test_table_schema(spark, sf_dir):
     assert C.table_schema(df) == [("r_regionkey", "int"), ("r_name", "string")]
 
 
+def test_csv_bronze_sampled_inference_matches_full(spark, sf01_dir, tmp_path):
+    """The ingest-layer scale knob (r13): sampled schema inference must
+    land the same schema AND values as the full-scan default on the
+    driver corpus (at 100x the sampled pass measured 1.12 -> 0.25 s;
+    here we pin equivalence, not speed)."""
+    from etl_project_gcp_spark.queries import _t
+
+    orders = _t(spark, sf01_dir, "orders")
+    orders.write.mode("overwrite").options(header=True).csv(
+        str(tmp_path / "landing")
+    )
+    full = read_csv_bronze(spark, str(tmp_path / "landing"))
+    sampled = read_csv_bronze(
+        spark, str(tmp_path / "landing"), sampling_ratio=0.01
+    )
+    assert sampled.schema == full.schema
+    assert sampled.count() == full.count() == orders.count()
+    # same schema + same source ⇒ same parse; spot-check values too
+    assert sampled.orderBy("o_orderkey").limit(5).collect() == \
+        full.orderBy("o_orderkey").limit(5).collect()
+
+
 def test_csv_roundtrip_with_custom_delimiter(spark, tmp_path):
     df = spark.createDataFrame([(1, "a;x"), (2, "b")], ["id", "val"])
     # default-delimiter sink then re-read (S3)
@@ -465,6 +487,22 @@ def test_table_read_memo_inplace_child_edit(spark, tmp_path):
     os.utime(old_part)
     third = Q._t(spark, src, "t")
     assert third is not second
+
+
+def test_dir_stat_key_vanished_dir_returns_none(tmp_path):
+    """r13 self-review: a dataset directory deleted between os.stat
+    and os.scandir must yield None (the _t fresh-read fallback), not
+    raise FileNotFoundError out of the key function."""
+    import os
+    import shutil
+
+    from etl_project_gcp_spark.queries import _dir_stat_key
+
+    d = tmp_path / "gone.parquet"
+    d.mkdir()
+    st = os.stat(d)
+    shutil.rmtree(d)
+    assert _dir_stat_key(str(d), st) is None
 
 
 def test_table_read_memo_dies_with_session(spark, sf01_dir):
