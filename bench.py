@@ -117,6 +117,33 @@ PIN_SPREAD_IDLE_RANGE = (1.00, 1.58)  # n=13 idle sittings, 2 days, NOTES r13
 PIN_SPREAD_DECOUPLED = 1.75
 
 
+def _cpu_jiffies() -> dict | None:
+    """Host-wide cumulative CPU jiffies from /proc/stat, or None off
+    Linux. Captured at sitting start/end so the payload carries the
+    sitting's own CPU-time breakdown — in particular STEAL, the
+    hypervisor term that explains a box running uniformly slow on all
+    three pins at loadavg ~0 (three r13 sittings did exactly that; a
+    pooled loadavg cannot see a noisy VM neighbor)."""
+    try:
+        vals = open("/proc/stat").readline().split()[1:]
+    except OSError:
+        return None
+    names = ("user", "nice", "system", "idle", "iowait", "irq",
+             "softirq", "steal", "guest", "guest_nice")
+    return {n: int(v) for n, v in zip(names, vals)}
+
+
+def _cpu_pct_delta(start: dict | None, end: dict | None) -> dict | None:
+    """Per-category percent of the sitting's elapsed host CPU time."""
+    if not start or not end:
+        return None
+    delta = {n: end[n] - start[n] for n in end if n in start}
+    tot = sum(delta.values())
+    if tot <= 0:
+        return None
+    return {n: round(100.0 * v / tot, 2) for n, v in delta.items() if v}
+
+
 def compute_normalizer(warm: dict, sf_val) -> dict | None:
     """Container-speed EVIDENCE block from the three pinned entries.
 
@@ -242,6 +269,7 @@ def main() -> None:
     sitting = {
         "loadavg_start": [round(x, 2) for x in os.getloadavg()],
         "started_unix": round(time.time(), 1),
+        "cpu_jiffies_start": _cpu_jiffies(),
     }
     spark = get_spark(app_name="etl_project_gcp_spark-bench")
     registry = Q.queries()
@@ -267,6 +295,9 @@ def main() -> None:
     head35_warm = round(sum(warm[n] for n in HEADLINE_35 if n in warm), 3)
     sitting["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
     sitting["finished_unix"] = round(time.time(), 1)
+    sitting["cpu_pct"] = _cpu_pct_delta(
+        sitting.pop("cpu_jiffies_start"), _cpu_jiffies()
+    )
     normalizer = compute_normalizer(warm, sf_val)
     full = {
         "metric": "full-registry query wall time, local[%s]"
