@@ -134,10 +134,19 @@ def _cpu_jiffies() -> dict | None:
 
 
 def _cpu_pct_delta(start: dict | None, end: dict | None) -> dict | None:
-    """Per-category percent of the sitting's elapsed host CPU time."""
+    """Per-category percent of the sitting's elapsed host CPU time.
+
+    guest/guest_nice are EXCLUDED from both the delta and the
+    denominator (ADVICE r13): per proc(5), Linux already folds guest
+    time into user/nice, so counting the guest columns too would
+    double-count it on a host running VMs."""
     if not start or not end:
         return None
-    delta = {n: end[n] - start[n] for n in end if n in start}
+    delta = {
+        n: end[n] - start[n]
+        for n in end
+        if n in start and n not in ("guest", "guest_nice")
+    }
     tot = sum(delta.values())
     if tot <= 0:
         return None

@@ -87,16 +87,25 @@ def _dir_stat_key(path: str, st) -> tuple | None:
     For a DIRECTORY dataset (the normal parquet layout) the directory
     entry only changes on add/remove/rename of children — an in-place
     edit of a part-file's CONTENTS updates that file's mtime but not
-    the directory's (ADVICE r12, medium). Fold each child's
-    (name, size, mtime_ns) into the key via one os.scandir pass —
-    ~10 µs for typical part counts, vs the ~100 ms footer resolution
-    the memo saves — so content rewrites of any child invalidate. The
-    children land in the key as a blake2b digest, not the raw tuple:
-    a many-part local directory would otherwise make every cache key
-    carry the whole listing (r13 self-review; the digest is exact up
-    to 128-bit collisions, far below the memo's other trust
-    assumptions). The remaining undetectable window is the same as for
-    files: an in-place same-inode child edit inside one mtime tick.
+    the directory's (ADVICE r12, medium). Fold every DESCENDANT's
+    (relative path, size, mtime_ns) into the key via a recursive
+    scandir walk (ADVICE r13: the original single-level scandir missed
+    in-place edits of part files INSIDE partition subdirectories, e.g.
+    ``year=.../part-0.parquet`` — the subdirectory's own stat doesn't
+    change either) — ~10 µs per level for typical part counts, vs the
+    ~100 ms footer resolution the memo saves — so content rewrites of
+    any file anywhere in the layout invalidate. The descendants land
+    in the key as a blake2b digest, not the raw tuple: a many-part
+    local directory would otherwise make every cache key carry the
+    whole listing (r13 self-review; the digest is exact up to 128-bit
+    collisions, far below the memo's other trust assumptions). A
+    subdirectory vanishing mid-walk is skipped — its disappearance
+    already changed the parent listing, so the digest moves anyway;
+    only the TOP path vanishing returns None. Symlinked subdirectories
+    are keyed as entries but not descended (no cycle risk); the
+    testdata/driver layouts contain none. The remaining undetectable
+    window is the same as for files: an in-place same-inode descendant
+    edit inside one mtime tick.
     """
     import hashlib
     import os
@@ -104,16 +113,25 @@ def _dir_stat_key(path: str, st) -> tuple | None:
 
     if not _stat.S_ISDIR(st.st_mode):
         return (st.st_ino, st.st_size, st.st_mtime_ns)
-    children = []
-    try:
-        with os.scandir(path) as it:
+    children: list[tuple] = []
+
+    def _fold(d: str, prefix: str) -> None:
+        with os.scandir(d) as it:
             for entry in it:
                 try:
                     cst = entry.stat()
                 except OSError:
                     continue
-                children.append((entry.name, cst.st_size, cst.st_mtime_ns))
-    except OSError:  # directory removed between stat and scandir
+                rel = prefix + entry.name
+                children.append((rel, cst.st_size, cst.st_mtime_ns))
+                if entry.is_dir(follow_symlinks=False):
+                    try:
+                        _fold(entry.path, rel + "/")
+                    except OSError:  # subdir vanished mid-walk: its
+                        continue  # parent entry already changed
+    try:
+        _fold(path, "")
+    except OSError:  # TOP directory removed between stat and scandir
         return None
     children.sort()
     digest = hashlib.blake2b(
@@ -138,11 +156,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       stat cannot key remote state anyway; Spark handles them as
       before.
     - The key carries inode+size+mtime_ns of the dataset path AND, for
-      directory datasets, every child's (name, size, mtime_ns) via one
-      os.scandir pass (_dir_stat_key; ADVICE r12 — a part-file content
-      edit updates the file's mtime but not the directory's, so the
-      old directory-only stat served stale plans for in-place child
-      edits). An overwrite that recreates the directory/file
+      directory datasets, every descendant's (relpath, size, mtime_ns)
+      via a recursive scandir walk (_dir_stat_key; ADVICE r12 — a
+      part-file content edit updates the file's mtime but not the
+      directory's, so the old directory-only stat served stale plans
+      for in-place child edits; ADVICE r13 widened the walk to nested
+      partition subdirectories, where a single-level scan had the same
+      blind spot). An overwrite that recreates the directory/file
       invalidates via the new inode even on a filesystem whose mtime
       granularity is coarser than the rewrite gap; the one remaining
       undetectable window is an in-place same-inode edit inside a

@@ -120,3 +120,17 @@ def test_zero_pin_time_is_decoupled_not_crash():
     n = bench.compute_normalizer(warm, 0.1)
     assert n is not None and n["decoupled"] is True
     assert n["pin_spread"] is None
+
+
+def test_cpu_pct_delta_excludes_guest_time():
+    """ADVICE r14 (low): Linux folds guest/guest_nice into user/nice in
+    /proc/stat (proc(5)), so the percentage denominator must not count
+    the guest columns a second time."""
+    start = {"user": 0, "nice": 0, "system": 0, "idle": 0, "iowait": 0,
+             "irq": 0, "softirq": 0, "steal": 0, "guest": 0,
+             "guest_nice": 0}
+    end = dict(start, user=80, guest=60, idle=20)  # guest ⊂ user
+    pct = bench._cpu_pct_delta(start, end)
+    assert "guest" not in pct and "guest_nice" not in pct
+    # denominator is user+idle=100, NOT user+guest+idle=160
+    assert pct["user"] == 80.0 and pct["idle"] == 20.0

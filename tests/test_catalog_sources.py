@@ -489,6 +489,63 @@ def test_table_read_memo_inplace_child_edit(spark, tmp_path):
     assert third is not second
 
 
+def test_table_read_memo_nested_partition_child_edit(spark, tmp_path):
+    """ADVICE r14 (low): an in-place content edit of a part file inside
+    a NESTED partition subdirectory (year=.../part-0.parquet) changes
+    neither the dataset directory's stat nor the partition
+    subdirectory's stat — the r13 single-level scandir key stayed
+    unchanged and served the stale plan. _dir_stat_key now walks
+    descendants recursively, so the nested file's (relpath, size,
+    mtime_ns) carries the invalidation."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from etl_project_gcp_spark import queries as Q
+
+    def _overwrite_bytes(dst, srcf):
+        with open(srcf, "rb") as f_in, open(dst, "wb") as f_out:
+            shutil.copyfileobj(f_in, f_out)
+
+    src = str(tmp_path)
+    (
+        spark.range(4)
+        .withColumn("year", F.lit(2024))
+        .coalesce(1)
+        .write.partitionBy("year")
+        .parquet(f"{src}/t.parquet")
+    )
+    first = Q._t(spark, src, "t")
+    assert first.count() == 4
+
+    # Replacement bytes with the SAME partition layout, copied over the
+    # nested part file in place: dataset dir and year=2024 subdir keep
+    # their inode/size/mtime (no entry added/removed at either level).
+    (
+        spark.range(7)
+        .withColumn("year", F.lit(2024))
+        .coalesce(1)
+        .write.partitionBy("year")
+        .parquet(f"{src}/t2.parquet")
+    )
+    old_part = glob.glob(f"{src}/t.parquet/year=2024/part-*.parquet")[0]
+    new_part = glob.glob(f"{src}/t2.parquet/year=2024/part-*.parquet")[0]
+    _time.sleep(0.02)
+    _overwrite_bytes(old_part, new_part)
+    old_crc = f"{os.path.dirname(old_part)}/.{os.path.basename(old_part)}.crc"
+    new_crc = f"{os.path.dirname(new_part)}/.{os.path.basename(new_part)}.crc"
+    if os.path.exists(old_crc) and os.path.exists(new_crc):
+        _overwrite_bytes(old_crc, new_crc)
+    second = Q._t(spark, src, "t")
+    assert second is not first, (
+        "stale plan served after in-place nested partition child edit"
+    )
+    assert second.count() == 7
+
+
 def test_dir_stat_key_vanished_dir_returns_none(tmp_path):
     """r13 self-review: a dataset directory deleted between os.stat
     and os.scandir must yield None (the _t fresh-read fallback), not

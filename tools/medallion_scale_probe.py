@@ -82,7 +82,15 @@ def main() -> None:
 
     spark = get_spark(
         app_name="medallion-scale-probe",
-        extra_conf={"spark.ui.enabled": "true"},
+        extra_conf={
+            "spark.ui.enabled": "true",
+            # ADVICE r13: _shuffle_write_bytes sums the completed-stages
+            # REST listing; a K=100 sweep can exceed the default 1000
+            # retained stages, silently evicting early stages and
+            # undercounting the start-to-end delta. Retain enough for
+            # the whole sweep.
+            "spark.ui.retainedStages": "100000",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
