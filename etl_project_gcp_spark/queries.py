@@ -114,25 +114,31 @@ def _dir_stat_key(path: str, st) -> tuple | None:
     if not _stat.S_ISDIR(st.st_mode):
         return (st.st_ino, st.st_size, st.st_mtime_ns)
     children: list[tuple] = []
-
-    def _fold(d: str, prefix: str) -> None:
-        with os.scandir(d) as it:
-            for entry in it:
-                try:
-                    cst = entry.stat()
-                except OSError:
-                    continue
-                rel = prefix + entry.name
-                children.append((rel, cst.st_size, cst.st_mtime_ns))
-                if entry.is_dir(follow_symlinks=False):
-                    try:
-                        _fold(entry.path, rel + "/")
-                    except OSError:  # subdir vanished mid-walk: its
-                        continue  # parent entry already changed
-    try:
-        _fold(path, "")
-    except OSError:  # TOP directory removed between stat and scandir
-        return None
+    # explicit worklist, not recursion (r14 self-review): a
+    # pathologically deep tree would otherwise raise RecursionError,
+    # which is NOT the OSError the fallback contract catches
+    dirs: list[tuple[str, str]] = [(path, "")]
+    top_level = True
+    while dirs:
+        d, pfx = dirs.pop()
+        try:
+            with os.scandir(d) as it:
+                entries = list(it)
+        except OSError:
+            if top_level:  # TOP dir removed between stat and scandir
+                return None
+            continue  # subdir vanished mid-walk: its parent entry
+            # already changed the digest
+        top_level = False
+        for entry in entries:
+            try:
+                cst = entry.stat()
+            except OSError:
+                continue
+            rel = pfx + entry.name
+            children.append((rel, cst.st_size, cst.st_mtime_ns))
+            if entry.is_dir(follow_symlinks=False):
+                dirs.append((entry.path, rel + "/"))
     children.sort()
     digest = hashlib.blake2b(
         repr(children).encode(), digest_size=16

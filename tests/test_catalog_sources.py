@@ -546,6 +546,27 @@ def test_table_read_memo_nested_partition_child_edit(spark, tmp_path):
     assert second.count() == 7
 
 
+def test_dir_stat_key_survives_pathologically_deep_tree(tmp_path):
+    """r14 self-review: the descendant walk is an explicit worklist,
+    not recursion — a tree deeper than the Python recursion limit must
+    yield a key, not raise RecursionError (which is not the OSError
+    the _t fallback contract catches)."""
+    import os
+    import sys
+
+    from etl_project_gcp_spark.queries import _dir_stat_key
+
+    depth = sys.getrecursionlimit() + 200
+    d = str(tmp_path / "deep.parquet")
+    os.makedirs(d)
+    cur = d
+    for i in range(depth):
+        cur = os.path.join(cur, "x")
+        os.mkdir(cur)
+    key = _dir_stat_key(d, os.stat(d))
+    assert isinstance(key, tuple) and len(key) == 4
+
+
 def test_dir_stat_key_vanished_dir_returns_none(tmp_path):
     """r13 self-review: a dataset directory deleted between os.stat
     and os.scandir must yield None (the _t fresh-read fallback), not
