@@ -551,19 +551,31 @@ def test_dir_stat_key_survives_pathologically_deep_tree(tmp_path):
     not recursion — a tree deeper than the Python recursion limit must
     yield a key, not raise RecursionError (which is not the OSError
     the _t fallback contract catches)."""
+    import inspect
     import os
     import sys
 
     from etl_project_gcp_spark.queries import _dir_stat_key
 
-    depth = sys.getrecursionlimit() + 200
+    # A tree deeper than the recursion limit cannot be BUILT on Linux
+    # (PATH_MAX caps ~2000 levels, below pytest's raised limit), so
+    # instead lower the limit to just above the test's own stack depth:
+    # a recursive walk of the 300-level tree would need ~300 more
+    # frames and blow it; the worklist walk uses constant stack.
+    depth = 300
     d = str(tmp_path / "deep.parquet")
     os.makedirs(d)
     cur = d
     for i in range(depth):
         cur = os.path.join(cur, "x")
         os.mkdir(cur)
-    key = _dir_stat_key(d, os.stat(d))
+    here = len(inspect.stack())
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(here + depth // 3)
+    try:
+        key = _dir_stat_key(d, os.stat(d))
+    finally:
+        sys.setrecursionlimit(old)
     assert isinstance(key, tuple) and len(key) == 4
 
 
