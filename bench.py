@@ -115,11 +115,11 @@ NORMALIZER_PINS_SF01 = {
 # tightens 1.9 -> 1.75 rather than snapping to the max.
 PIN_SPREAD_IDLE_RANGE = (1.00, 1.58)  # n=13 idle sittings, 2 days, NOTES r13
 PIN_SPREAD_DECOUPLED = 1.75
-# r14 accrual: nine more gated idle sittings on a third day (spreads
-# 1.046-1.369, NOTES r14) all land INSIDE the range — n=22 total,
+# r14 accrual: ten more gated idle sittings on a third day (spreads
+# 1.046-1.369, NOTES r14) all land INSIDE the range — n=23 total,
 # constants re-affirmed, not re-derived. The bound also earned its
 # second in-vivo true-positive (spread 2.30 on a 9x-steal sitting)
-# with still zero false firings across 18 quiet post-derivation
+# with still zero false firings across 19 quiet post-derivation
 # sittings.
 
 
