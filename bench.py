@@ -159,6 +159,73 @@ def _cpu_pct_delta(start: dict | None, end: dict | None) -> dict | None:
     return {n: round(100.0 * v / tot, 2) for n, v in delta.items() if v}
 
 
+def _fs_meta_probe(n_files: int = 120) -> dict | None:
+    """Filesystem-METADATA latency pin: times the commit protocol's
+    primitive ops (create, rename, list, unlink — what
+    FileOutputCommitter v1 does per task/partition dir) over n_files
+    1 KiB files in a fresh tempdir, plus one fsync'd 1 MiB write as a
+    journal-latency probe. Returns milliseconds per phase, or None
+    when the probe can't run (read-only /tmp, ENOSPC).
+
+    Why (NOTES r14, day-3 dataset): partitioned-write entries
+    (medallion gold +30%) and stateful drains (+30-45%) stayed
+    elevated on sittings whose three CPU pins read PAR — an
+    FS-metadata/state-store latency axis the CPU pins cannot carry,
+    consistent with the same-day span-probe variance (part_write
+    15→29 s run-to-run at D=870 leaf dirs, ~2,500 metadata ops). The
+    steal instrument (r13) made every payload carry the hypervisor
+    axis; this pin does the same for the filesystem axis, so a
+    slow-FS sitting self-documents instead of reading as a tree
+    regression on the write/drain families. Captured at sitting start
+    AND end (like the CPU jiffies) — the axis drifts within a day.
+    Cost: ~5 × n_files syscalls + one 1 MiB fsync, ≪ 1 s."""
+    import shutil
+    import tempfile
+
+    try:
+        root = tempfile.mkdtemp(prefix="bench_fsmeta_")
+    except OSError:
+        return None
+    try:
+        payload = b"x" * 1024
+        t0 = time.perf_counter()
+        for i in range(n_files):
+            with open(os.path.join(root, "f%03d" % i), "wb") as f:
+                f.write(payload)
+        t_create = time.perf_counter()
+        for i in range(n_files):
+            os.rename(
+                os.path.join(root, "f%03d" % i),
+                os.path.join(root, "g%03d" % i),
+            )
+        t_rename = time.perf_counter()
+        n_seen = sum(1 for _ in os.scandir(root))
+        t_list = time.perf_counter()
+        for i in range(n_files):
+            os.unlink(os.path.join(root, "g%03d" % i))
+        t_unlink = time.perf_counter()
+        with open(os.path.join(root, "sync.bin"), "wb") as f:
+            f.write(b"x" * (1 << 20))
+            f.flush()
+            os.fsync(f.fileno())
+        t_fsync = time.perf_counter()
+        if n_seen != n_files:  # probe integrity, not a timing concern
+            return None
+        return {
+            "n_files": n_files,
+            "create_ms": round(1000 * (t_create - t0), 2),
+            "rename_ms": round(1000 * (t_rename - t_create), 2),
+            "list_ms": round(1000 * (t_list - t_rename), 2),
+            "unlink_ms": round(1000 * (t_unlink - t_list), 2),
+            "fsync_1mib_ms": round(1000 * (t_fsync - t_unlink), 2),
+            "meta_total_ms": round(1000 * (t_unlink - t0), 2),
+        }
+    except OSError:
+        return None
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def compute_normalizer(warm: dict, sf_val) -> dict | None:
     """Container-speed EVIDENCE block from the three pinned entries.
 
@@ -285,6 +352,7 @@ def main() -> None:
         "loadavg_start": [round(x, 2) for x in os.getloadavg()],
         "started_unix": round(time.time(), 1),
         "cpu_jiffies_start": _cpu_jiffies(),
+        "fs_meta_start": _fs_meta_probe(),
     }
     spark = get_spark(app_name="etl_project_gcp_spark-bench")
     registry = Q.queries()
@@ -313,6 +381,7 @@ def main() -> None:
     sitting["cpu_pct"] = _cpu_pct_delta(
         sitting.pop("cpu_jiffies_start"), _cpu_jiffies()
     )
+    sitting["fs_meta_end"] = _fs_meta_probe()
     normalizer = compute_normalizer(warm, sf_val)
     full = {
         "metric": "full-registry query wall time, local[%s]"

@@ -122,6 +122,32 @@ def test_zero_pin_time_is_decoupled_not_crash():
     assert n["pin_spread"] is None
 
 
+def test_fs_meta_probe_returns_all_phases_positive():
+    """The r14 FS-metadata pin: every phase of the commit-protocol
+    primitive set (create/rename/list/unlink + fsync journal probe)
+    must report a non-negative wall and the file count must be
+    verified — a probe that silently timed the wrong number of ops
+    would corrupt the cross-sitting axis it exists to carry."""
+    out = bench._fs_meta_probe(n_files=16)
+    assert out is not None and out["n_files"] == 16
+    for k in ("create_ms", "rename_ms", "list_ms", "unlink_ms",
+              "fsync_1mib_ms", "meta_total_ms"):
+        assert out[k] >= 0.0
+    # meta_total covers exactly the four metadata phases (fsync excluded)
+    phases = (out["create_ms"] + out["rename_ms"] + out["list_ms"]
+              + out["unlink_ms"])
+    assert abs(out["meta_total_ms"] - phases) < 0.5
+
+
+def test_fs_meta_probe_cleans_up_tempdir():
+    import glob
+
+    before = set(glob.glob("/tmp/bench_fsmeta_*"))
+    bench._fs_meta_probe(n_files=8)
+    after = set(glob.glob("/tmp/bench_fsmeta_*"))
+    assert after <= before
+
+
 def test_cpu_pct_delta_excludes_guest_time():
     """ADVICE r14 (low): Linux folds guest/guest_nice into user/nice in
     /proc/stat (proc(5)), so the percentage denominator must not count
