@@ -199,8 +199,17 @@ def _fs_meta_probe(n_files: int = 120) -> dict | None:
                 os.path.join(root, "g%03d" % i),
             )
         t_rename = time.perf_counter()
-        n_seen = sum(1 for _ in os.scandir(root))
+        # Explicit close (ADVICE r15): exhaustion closes the scandir
+        # handle too, but the context manager also covers the early
+        # exits below without relying on GC.
+        with os.scandir(root) as it:
+            n_seen = sum(1 for _ in it)
         t_list = time.perf_counter()
+        # Probe integrity, checked as soon as the count exists
+        # (ADVICE r15): a stray file dooms the probe, so bail before
+        # paying the unlink loop and the 1 MiB fsync for nothing.
+        if n_seen != n_files:
+            return None
         for i in range(n_files):
             os.unlink(os.path.join(root, "g%03d" % i))
         t_unlink = time.perf_counter()
@@ -209,8 +218,6 @@ def _fs_meta_probe(n_files: int = 120) -> dict | None:
             f.flush()
             os.fsync(f.fileno())
         t_fsync = time.perf_counter()
-        if n_seen != n_files:  # probe integrity, not a timing concern
-            return None
         return {
             "n_files": n_files,
             "create_ms": round(1000 * (t_create - t0), 2),

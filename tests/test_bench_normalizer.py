@@ -14,6 +14,8 @@ sittings across two days, range 1.00-1.58, decoupled bound 1.75."""
 
 from __future__ import annotations
 
+import os
+
 import bench
 
 
@@ -140,12 +142,39 @@ def test_fs_meta_probe_returns_all_phases_positive():
 
 
 def test_fs_meta_probe_cleans_up_tempdir():
+    """ADVICE r15 (low): glob under tempfile.gettempdir(), not a literal
+    /tmp — mkdtemp honors TMPDIR, so the literal made this assertion
+    vacuously true (two empty sets) whenever TMPDIR pointed elsewhere."""
     import glob
+    import tempfile
 
-    before = set(glob.glob("/tmp/bench_fsmeta_*"))
+    pattern = os.path.join(tempfile.gettempdir(), "bench_fsmeta_*")
+    before = set(glob.glob(pattern))
     bench._fs_meta_probe(n_files=8)
-    after = set(glob.glob("/tmp/bench_fsmeta_*"))
+    after = set(glob.glob(pattern))
     assert after <= before
+
+
+def test_fs_meta_probe_integrity_check_precedes_fsync(monkeypatch):
+    """ADVICE r15 (low): a stray file in the probe tempdir must doom the
+    probe right after the list phase — before the unlink loop and the
+    1 MiB fsync run for a result that will be discarded. Pinned by
+    making fsync explode: the reordered probe never reaches it."""
+    import tempfile
+
+    real_mkdtemp = tempfile.mkdtemp
+
+    def mkdtemp_with_stray(prefix=""):
+        d = real_mkdtemp(prefix=prefix)
+        open(os.path.join(d, "stray"), "wb").close()
+        return d
+
+    def fsync_boom(fd):
+        raise AssertionError("fsync ran on a doomed probe")
+
+    monkeypatch.setattr(tempfile, "mkdtemp", mkdtemp_with_stray)
+    monkeypatch.setattr(os, "fsync", fsync_boom)
+    assert bench._fs_meta_probe(n_files=8) is None
 
 
 def test_cpu_pct_delta_excludes_guest_time():
