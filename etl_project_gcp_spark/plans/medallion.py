@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import logging
 from dataclasses import dataclass, field
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -205,10 +206,12 @@ class MedallionPipeline:
             )
         )
 
-    def _gold_sales_summary(self) -> DataFrame:
+    def _gold_sales_summary(self, sales: DataFrame | None = None) -> DataFrame:
         """Calendar rollup (etl_medallion.py:198-209): EXTRACT year/month
-        groups + count/sum/round-avg."""
-        s = self.table("silver", "sales")
+        groups + count/sum/round-avg. ``sales`` overrides the silver
+        source so the incremental refresh can roll up just the touched
+        months with the identical plan shape."""
+        s = sales if sales is not None else self.table("silver", "sales")
         return s.groupBy(
             F.year("sale_date").alias("year"),
             F.month("sale_date").alias("month"),
@@ -218,6 +221,79 @@ class MedallionPipeline:
             F.count(F.lit(1)).alias("total_transactions"),
             F.sum("total_amount").alias("total_revenue"),
             money_round(F.avg("total_amount")).alias("avg_transaction_value"),
+        )
+
+    # -- incremental gold refresh (r14 span-probe regime → product) -------
+    def refresh_gold_sales_summary_incremental(
+        self, changed_sales: DataFrame
+    ) -> list[dict]:
+        """Refresh ONLY the (year, month) gold partitions touched by a
+        batch of new/changed silver sales rows, via dynamic partition
+        overwrite — the measured scale regime for a calendar pipeline.
+
+        Why this exists (tools/medallion_span_probe.py, NOTES r14): the
+        full-rewrite gold path pays FileOutputCommitter v1's
+        single-threaded O(D) commit loop — ~12-18.5 ms per leaf dir,
+        measured to 870 dirs — while dynamic single-partition overwrite
+        stays FLAT (~0.3 s) at every span. A steady-state daily pipeline
+        touches days, not history, so from D ≳ 25 leaf dirs the
+        incremental path wins (~5× at 80 dirs, ~50× at 800). The
+        full-rewrite ``gold_layer`` remains the default gate for
+        reference parity (etl_medallion.py:162-198 is overwrite
+        semantics); this method is the scale mode.
+
+        Semantics: touched partitions are the distinct
+        (year(sale_date), month(sale_date)) tuples of ``changed_sales``.
+        Each touched partition is recomputed FROM CURRENT SILVER (the
+        rollup is not incrementally patched — re-aggregating one month
+        is cheap and order-independent), then written under
+        ``partitionOverwriteMode=dynamic`` so untouched partitions'
+        files are never rewritten (asserted byte-for-byte in
+        tests/test_medallion_incremental.py). A touched month whose
+        silver rows have ALL been deleted yields an empty slice, which
+        dynamic overwrite cannot express — its stale directory is
+        pruned explicitly (see ``refresh_partitions``).
+
+        Bootstrap: a missing gold table falls back to the full build.
+        Returns the touched partition tuples for logging/audit.
+
+        At 100 TB: ``changed_sales`` is a daily batch (its distinct
+        collect is bounded by touched months); silver would itself be
+        date-partitioned so the filter below prunes the silver scan
+        too — here silver is a fixture-scale single table and the
+        filter is a plain scan predicate.
+        """
+        from etl_project_gcp_spark.plans.incremental import _target_exists
+
+        touched = [
+            r.asDict()
+            for r in changed_sales.select(
+                F.year("sale_date").alias("year"),
+                F.month("sale_date").alias("month"),
+            ).distinct().collect()
+        ]
+        target = self.path("gold", "sales_summary")
+        if not _target_exists(self.spark, target):
+            self._write(
+                self._gold_sales_summary(), "gold", "sales_summary",
+                partition_by=["year", "month"],
+            )
+            return touched
+        if not touched:
+            return []
+        pred = reduce(
+            lambda a, b: a | b,
+            [
+                F.year("sale_date").eqNullSafe(F.lit(t["year"]))
+                & F.month("sale_date").eqNullSafe(F.lit(t["month"]))
+                for t in touched
+            ],
+        )
+        slice_df = self._gold_sales_summary(
+            self.table("silver", "sales").filter(pred)
+        )
+        return refresh_partitions(
+            self.spark, target, slice_df, ["year", "month"], touched
         )
 
     # -- orchestration (etl_medallion.py:302-344) -------------------------
@@ -240,6 +316,82 @@ class MedallionPipeline:
             "success": ok,
             "layers": {r.layer: r.statement_success for r in results},
         }
+
+
+_HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def refresh_partitions(
+    spark: SparkSession,
+    target_path: str,
+    slice_df: DataFrame,
+    partition_cols: list[str],
+    touched: list[dict],
+) -> list[dict]:
+    """Replace exactly the ``touched`` partitions of a partitioned
+    Parquet table with ``slice_df`` (the recomputed rows for those
+    partitions), under ``partitionOverwriteMode=dynamic`` — no other
+    partition's files are opened, rewritten, or re-committed.
+
+    Dynamic overwrite replaces only partitions PRESENT in the written
+    frame; a touched partition whose recomputed slice is EMPTY (every
+    source row for it was deleted) would otherwise survive as a stale
+    directory. Those are pruned explicitly through the Hadoop FS (any
+    scheme), matching what an overwrite-from-scratch would produce.
+    Hive partition-dir encoding: ``col=value`` with NULL as
+    ``__HIVE_DEFAULT_PARTITION__``; values here are calendar ints —
+    callers with string partition values needing URL-escaping should
+    partition on a sanitized column instead.
+
+    ``slice_df`` must contain rows ONLY for ``touched`` partitions
+    (the caller derives both from the same predicate); rows outside
+    would silently overwrite partitions the audit trail never named.
+    Returns ``touched``.
+    """
+    if not touched:
+        return []
+    present = {
+        tuple(r[c] for c in partition_cols)
+        for r in slice_df.select(*partition_cols).distinct().collect()
+    }
+    stray = [
+        p for p in present
+        if dict(zip(partition_cols, p)) not in touched
+    ]
+    if stray:
+        raise ValueError(
+            f"slice contains partitions not in the touched set: "
+            f"{stray[:5]} — the caller's slice predicate and touched "
+            f"derivation disagree"
+        )
+    if present:
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (slice_df.write.mode("overwrite")
+                     .partitionBy(*partition_cols).parquet(target_path))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    emptied = [
+        t for t in touched
+        if tuple(t[c] for c in partition_cols) not in present
+    ]
+    if emptied:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        root = jvm.org.apache.hadoop.fs.Path(target_path)
+        fs = root.getFileSystem(hconf)
+        for t in emptied:
+            rel = "/".join(
+                f"{c}={_HIVE_DEFAULT_PARTITION if t[c] is None else t[c]}"
+                for c in partition_cols
+            )
+            p = jvm.org.apache.hadoop.fs.Path(target_path + "/" + rel)
+            if fs.exists(p):
+                fs.delete(p, True)
+    return touched
 
 
 def run_corpus_gold_sales_summary(
@@ -308,3 +460,84 @@ def run_corpus_gold_sales_summary(
         f"{w}/gold/sales_summary"
     )
     return spark.read.parquet(f"{w}/gold/sales_summary")
+
+
+def run_corpus_gold_incremental(
+    spark: SparkSession, sf_dir: str, root: str
+) -> DataFrame:
+    """The incremental gold-refresh regime as an ORACLE-CHECKABLE gate:
+    simulate yesterday's gold (built before the last ~2 calendar months
+    of orders arrived), then land the late months with
+    ``refresh_partitions`` dynamic overwrite — recomputing ONLY the
+    touched (year, month) partitions from full silver — and return the
+    read-back table. Because late rows land only in their own months,
+    the stale partitions were already correct, so the final table must
+    equal the from-scratch full rollup — which is exactly what the
+    DuckDB oracle computes. Any divergence in the touched-partition
+    derivation, the slice predicate, the dynamic overwrite, or the
+    read-back hash-fails.
+
+    Same silver typing + exact-decimal money as
+    ``run_corpus_gold_sales_summary`` (the full-rewrite twin); skips
+    the CSV landing leg — that leg is the OTHER entry's contract, and
+    this one's subject is the refresh regime, not ingest.
+    """
+    from etl_project_gcp_spark import exact as X
+
+    w = root.rstrip("/")
+    silver = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            "o_orderkey",
+            F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+            F.col("o_totalprice").cast("decimal(15,2)").alias("o_totalprice"),
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .filter(F.col("o_totalprice") > 0)
+    )
+    silver.write.mode("overwrite").parquet(f"{w}/silver/orders")
+    silver = spark.read.parquet(f"{w}/silver/orders")
+
+    def rollup(src: DataFrame) -> DataFrame:
+        return src.groupBy(
+            F.year("o_orderdate").alias("year"),
+            F.month("o_orderdate").alias("month"),
+            "o_orderpriority",
+            "o_orderstatus",
+        ).agg(
+            F.count(F.lit(1)).alias("total_transactions"),
+            X.dsum_round(F.col("o_totalprice")).alias("total_revenue"),
+            X.davg(F.col("o_totalprice")).alias("avg_transaction_value"),
+        )
+
+    # Deterministic late-arrival cut from the data itself: the last two
+    # distinct calendar months are "not yet landed" when gold is built.
+    mono = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    cutoff = silver.agg(F.max(mono)).first()[0] - 1
+    gold_path = f"{w}/gold/sales_summary"
+    rollup(silver.filter(mono < cutoff)).write.mode("overwrite").partitionBy(
+        "year", "month"
+    ).parquet(gold_path)
+
+    late = silver.filter(mono >= cutoff)
+    touched = [
+        r.asDict()
+        for r in late.select(
+            F.year("o_orderdate").alias("year"),
+            F.month("o_orderdate").alias("month"),
+        ).distinct().collect()
+    ]
+    pred = reduce(
+        lambda a, b: a | b,
+        [
+            F.year("o_orderdate").eqNullSafe(F.lit(t["year"]))
+            & F.month("o_orderdate").eqNullSafe(F.lit(t["month"]))
+            for t in touched
+        ],
+    )
+    refresh_partitions(
+        spark, gold_path, rollup(silver.filter(pred)), ["year", "month"],
+        touched,
+    )
+    return spark.read.parquet(gold_path)

@@ -6011,6 +6011,60 @@ def medallion_gold_sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "medallion_gold_incremental_refresh",
+    f"""
+    WITH silver AS (
+        SELECT o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_totalprice > 0
+    )
+    SELECT CAST(year(o_orderdate) AS INTEGER)   AS year,
+           CAST(month(o_orderdate) AS INTEGER)  AS month,
+           o_orderpriority,
+           o_orderstatus,
+           count(*)                             AS total_transactions,
+           {_osumr('o_totalprice')}    AS total_revenue,
+           {_oavg('o_totalprice')}              AS avg_transaction_value
+    FROM silver
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def medallion_gold_incremental_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The r14 span-probe regime wired into the pipeline, as a DRIVER
+    gate (r14 verdict ask #1): gold is first built WITHOUT the last two
+    calendar months of orders (yesterday's table), then the late months
+    land via ``plans.medallion.refresh_partitions`` — dynamic partition
+    overwrite recomputing ONLY the touched (year, month) partitions —
+    and the read-back table is returned
+    (plans/medallion.py::run_corpus_gold_incremental). The oracle is
+    the from-scratch full rollup (same SQL as
+    ``medallion_gold_sales_summary``), so the entry hash-fails unless
+    incremental refresh lands the table in exactly the full-rewrite
+    state. Measured motivation: full rewrite pays ~12-18.5 ms/partition-
+    dir in committer time (to 870 dirs); dynamic overwrite is flat
+    ~0.3 s — the steady-state calendar pipeline path at 100 TB.
+    Byte-level untouched-partition preservation and emptied-partition
+    pruning are pinned in tests/test_medallion_incremental.py."""
+    import shutil
+    import tempfile
+
+    from etl_project_gcp_spark.plans.medallion import (
+        run_corpus_gold_incremental,
+    )
+
+    root = tempfile.mkdtemp(prefix="medallion_incr_")
+    try:
+        out = run_corpus_gold_incremental(spark, sf_dir, root).select(
+            "year", "month", "o_orderpriority", "o_orderstatus",
+            "total_transactions", "total_revenue", "avg_transaction_value",
+        ).localCheckpoint()  # materialize before the warehouse is reclaimed
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
     "train_val_test_split",
     """
     WITH b AS (
