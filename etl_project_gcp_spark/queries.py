@@ -215,6 +215,107 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _parquet_row_groups(path: str) -> int | None:
+    """Total parquet row groups under a LOCAL dataset path (file or
+    directory walk), or None when unknowable (no parquet files, or an
+    unreadable footer). Row groups — not files, not byte-size splits —
+    are the parquet SPLIT ATOM: a scan task reads exactly the row
+    groups whose midpoints fall in its split, so a table with fewer
+    row groups than the session has cores cannot spread its scan-stage
+    compute no matter what ``maxPartitionBytes`` says."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isfile(path):
+        files = [path]
+    else:
+        files = []
+        for root, _dirs, fns in os.walk(path):
+            files.extend(
+                os.path.join(root, fn)
+                for fn in fns
+                if fn.endswith(".parquet") and not fn.startswith((".", "_"))
+            )
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        try:
+            total += pq.ParquetFile(f).metadata.num_row_groups
+        except Exception:  # corrupt/odd footer: treat as unknowable
+            return None
+    return total
+
+
+# Session-attached memo for _t_wide's row-group counts, keyed like the
+# plan memo (path + stat key) so a rewrite invalidates. Footer reads
+# cost ~1 ms/file and the bench rebuilds every entry per run.
+_RG_MEMO_ATTR = "_spark_graft_rg_memo"
+
+
+def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``_t`` plus a coarse-layout rebalance for CPU-heavy consumers
+    (optimization guide §2.5, "one huge unsplittable file ... repartition
+    immediately after the read").
+
+    The driver corpus ships ONE row group per table, so every
+    scan-stage expression — shingle/minhash folds, tokenization,
+    decimal aggregates — ran on a single core regardless of cluster
+    width (measured: all 600 k lineitem rows in one scan task on
+    local[32]; the minhash signature stage alone 1.79 s → 0.48 s once
+    rebalanced). When the layout's total row-group count cannot feed
+    half the session's parallelism, hash-free ``repartition(width)``
+    right after the read trades one small shuffle of the input for
+    full-width downstream compute. The explicit numPartitions keeps
+    AQE from coalescing the rebalance away.
+
+    Scale adaptivity: any production layout carries row groups ≫
+    cores, so the condition never fires and NO exchange enters the
+    plan — 100 TB scans keep their shuffle-free shape (pinned by
+    tests/test_catalog_sources.py::test_t_wide_*). URI schemes and
+    unreadable footers also leave the plan untouched."""
+    return _coarse_rebalance(spark, _t(spark, sf_dir, name), sf_dir, name)
+
+
+def _coarse_rebalance(
+    spark: SparkSession, df: DataFrame, sf_dir: str, name: str
+) -> DataFrame:
+    """The rebalance decision behind :func:`_t_wide`, applied to an
+    already-read frame (kept separate so probes/tests can drive it
+    against any base plan)."""
+    import os
+    import re
+
+    raw = f"{sf_dir}/{name}.parquet"
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", raw):
+        return df
+    width = spark.sparkContext.defaultParallelism
+    if width < 4:  # nothing to spread
+        return df
+    path = os.path.abspath(raw)
+    try:
+        st = os.stat(path)
+    except OSError:
+        return df
+    stat_key = _dir_stat_key(path, st)
+    if stat_key is None:
+        return df
+    memo = getattr(spark, _RG_MEMO_ATTR, None)
+    if memo is None:
+        memo = {}
+        setattr(spark, _RG_MEMO_ATTR, memo)
+    key = (path, stat_key)
+    if key not in memo:
+        if len(memo) > 256:
+            memo.clear()
+        memo[key] = _parquet_row_groups(path)
+    rg = memo[key]
+    if rg is None or rg >= max(2, width // 2):
+        return df
+    return df.repartition(width)
+
+
 def _pin_sql_value(v, typ: str) -> str:
     """One pinned value as a DuckDB-typed SQL literal: BIGINT/DOUBLE
     carry explicit casts (bare ints/floats land as INT32/DECIMAL and
@@ -363,7 +464,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: partial aggregation map-side → shuffle carries ≤ (partitions ×
     4 groups) rows; the filter and 7-column projection push to the scan.
     """
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t_wide(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return R.grouped_agg(
         R.keep_where(li, F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")),
@@ -2003,7 +2104,7 @@ def source_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token statistics (X4): token count, exact mean token
     length, short-doc flag."""
-    return TX.token_stats(_t(spark, sf_dir, "documents"))
+    return TX.token_stats(_t_wide(spark, sf_dir, "documents"))
 
 
 @register(
@@ -2073,7 +2174,7 @@ def doc_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rules quality flags (X4): token-count and mean-token-length
     bounds plus fraction-of-distinct-tokens repetition floor — the
     pre-training filter family, exact across engines."""
-    return TX.gopher_quality(_t(spark, sf_dir, "documents"))
+    return TX.gopher_quality(_t_wide(spark, sf_dir, "documents"))
 
 
 @register(
@@ -2101,7 +2202,7 @@ def doc_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring (X4): length/punct/stopword signals — the
     standard pre-training corpus filters."""
-    return TX.quality_score(_t(spark, sf_dir, "documents"))
+    return TX.quality_score(_t_wide(spark, sf_dir, "documents"))
 
 
 @register(
@@ -2238,7 +2339,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs (X2): shingle → minhash → band
     bucket join → exact-Jaccard verify. Oracle: LSH-free full-pairs
     Jaccard (see _jaccard_pairs_oracle — pair sets proven equal)."""
-    return DD.minhash_near_duplicates(_t(spark, sf_dir, "documents"))
+    return DD.minhash_near_duplicates(_t_wide(spark, sf_dir, "documents"))
 
 
 _INCR_NEAR_ORACLE = r"""
@@ -2290,7 +2391,7 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall guarantee (and corpus guard) as dedup_minhash's oracle.
     The fixture split crosses real near-dup pairs (6 at sf0.01,
     verified), so both the hit and miss paths are value-checked."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return DD.incremental_near_dedup(
         docs.filter(F.col("doc_id") % 10 == 3),
         docs.filter(F.col("doc_id") % 10 != 3),
@@ -2494,7 +2595,7 @@ def dedup_incremental_near_bucketed(
     sort-merge join). Same oracle as dedup_incremental_near: the
     bucketed layout must produce the identical screen verdict."""
     path = _lsh_bucketed_index_ensure(spark, sf_dir)
-    delta = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 3)
+    delta = _t_wide(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 3)
     return DD.lsh_search_index(spark, path, delta)
 
 
@@ -2510,7 +2611,7 @@ def dedup_incremental_near_indexed(spark: SparkSession, sf_dir: str) -> DataFram
     oracle as dedup_incremental_near: the persisted path must produce
     the identical screen verdict."""
     path = _lsh_index_ensure(spark, sf_dir)
-    delta = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 3)
+    delta = _t_wide(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 3)
     return DD.lsh_search_index(spark, path, delta)
 
 
@@ -2572,7 +2673,7 @@ def simhash_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Measured ~3 s warm."""
     from concurrent.futures import ThreadPoolExecutor
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
 
     def _pairs(fn):
         return {(r.a, r.b) for r in fn(docs).select("a", "b").collect()}
@@ -2603,7 +2704,7 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash on a 100×-duplicated corpus, same near-dup structure.
     Oracle: canonical-docs full-pairs Jaccard (pair sets proven
     equal — see _jaccard_pairs_oracle)."""
-    return DD.near_dup_pipeline(_t(spark, sf_dir, "documents"))
+    return DD.near_dup_pipeline(_t_wide(spark, sf_dir, "documents"))
 
 
 @register("dedup_ngram_jaccard", _jaccard_pairs_oracle(3, 0.8, canonical_first=False))
@@ -2612,7 +2713,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles, then exact n-gram Jaccard verify at 0.8 (the X2 family's
     exact-verification primitive exposed as its own operator). Oracle:
     LSH-free full-pairs 3-gram Jaccard (pair sets proven equal)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     sigs = DD.minhash_signatures(DD.shingle_arrays(docs, k=3))
     cands = DD.lsh_candidate_pairs(sigs)
     return DD.ngram_jaccard_pairs(docs, cands, n=3, threshold=0.8)
@@ -4611,7 +4712,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     these near-dup pairs sit well above threshold), and the banding is
     hash-deterministic, so the check is stable — a full SQL proof of
     the LSH pipeline's end state."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     pairs = DD.near_dup_pipeline(docs).select("a", "b")
     return DD.cluster_canonical(docs, pairs)
 
@@ -5253,7 +5354,7 @@ def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stride 10) that occur ≥2 times anywhere in the corpus. Catches
     cross-document boilerplate that whole-doc dedup misses. sf0.01:
     176/1997 spans duplicated across 457 eligible docs."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return TX.duplicated_spans(docs, window=20, stride=10)
 
 
@@ -5470,7 +5571,7 @@ def quality_model_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     feats = MQ.quality_features(docs).localCheckpoint()
     gen_cols = [c for c in MQ.FEATURE_COLS if c != "stopword_hit_ratio"]
     # the two ensure calls are independent — interleave their (many

@@ -624,3 +624,50 @@ def test_table_read_memo_dies_with_session(spark, sf01_dir):
     gc.collect()
     assert probe() is None, "dropped session still pinned by its table memo"
     del displacer
+
+
+def _simple_plan(df):
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("simple")
+    )
+
+
+def test_t_wide_rebalances_coarse_layout_only(spark, sf01_dir, tmp_path):
+    """r15 optimization: the coarse-scan rebalance must fire ONLY when
+    the parquet layout cannot feed the session's cores (row groups <
+    parallelism/2 — the driver corpus ships ONE row group per table,
+    which serializes every scan-stage expression), and must leave any
+    fine-grained layout's plan untouched (no Exchange — the 100 TB
+    shape). Discriminating both ways: a blanket repartition fails the
+    fine-grained half; dropping the rebalance fails the coarse half."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_project_gcp_spark import queries as Q
+
+    width = spark.sparkContext.defaultParallelism
+    assert width >= 4, "fixture session must have cores to spread"
+
+    # coarse: the driver corpus (1 row group/table) → rebalance fires
+    wide = Q._t_wide(spark, sf01_dir, "documents")
+    assert "Exchange" in _simple_plan(wide)
+    assert wide.rdd.getNumPartitions() == width
+    # and the rebalance is row-preserving
+    assert wide.count() == Q._t(spark, sf01_dir, "documents").count()
+
+    # fine-grained: >= width/2 row groups → NO exchange enters the plan
+    fine = tmp_path / "fine.parquet"
+    pq.write_table(
+        pa.table({"doc_id": list(range(1000))}),
+        str(fine),
+        row_group_size=max(1, 1000 // width),  # >= width row groups
+    )
+    assert Q._parquet_row_groups(str(fine)) >= max(2, width // 2)
+    fine_df = Q._t_wide(spark, str(tmp_path), "fine")
+    assert "Exchange" not in _simple_plan(fine_df)
+
+    # URI-scheme paths bypass the stat/footers entirely (same contract
+    # as the _t memo): plan untouched
+    uri_df = Q._t_wide(spark, f"file://{tmp_path}", "fine")
+    assert "Exchange" not in _simple_plan(uri_df)
