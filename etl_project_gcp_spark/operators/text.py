@@ -1052,6 +1052,31 @@ def bpe_learn_merges(
         ).alias("syms"),
     ).localCheckpoint()
 
+    # AQE off for the merge loop (r15 optimization): every round's
+    # winner aggregate runs over the vocab-bounded (≤ vocab_limit rows)
+    # table, where AQE's per-stage replanning round trips are pure
+    # latency — there is nothing to coalesce or re-join on a table this
+    # small, and the loop pays the latency num_merges times. Interleaved
+    # A/B at sf0.1 (12 merges): 3.56 s → 3.28 s median, merge tables
+    # identical. Restored in the finally so the caller's session is
+    # untouched (including on mid-loop errors).
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        merges = _bpe_distributed_rounds(syms, num_merges)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    return spark.createDataFrame(
+        [(r, l, x, l + x) for r, l, x in merges],
+        "rank int, left string, right string, merged string",
+    )
+
+
+def _bpe_distributed_rounds(
+    syms: DataFrame, num_merges: int
+) -> list[tuple[int, str, str]]:
+    """The sequential distributed merge loop of :func:`bpe_learn_merges`
+    (factored out so the AQE guard above wraps exactly the loop)."""
     merges: list[tuple[int, str, str]] = []
     for rank in range(num_merges):
         pairs = (
@@ -1085,10 +1110,7 @@ def bpe_learn_merges(
         syms.unpersist()
         syms = new_syms
     syms.unpersist()
-    return spark.createDataFrame(
-        [(r, l, x, l + x) for r, l, x in merges],
-        "rank int, left string, right string, merged string",
-    )
+    return merges
 
 
 def bpe_encode(
