@@ -45,11 +45,30 @@ def table_schema(df: DataFrame) -> list[tuple[str, str]]:
     return [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
 
 
-def register_corpus_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...]) -> None:
+def register_corpus_views(
+    spark: SparkSession,
+    sf_dir: str,
+    names: tuple[str, ...],
+    reader=None,
+) -> None:
     """Expose the parquet corpus as temp views so spark.sql() queries and
-    catalog introspection work over it."""
+    catalog introspection work over it.
+
+    ``reader`` (optional): callable ``(spark, sf_dir, name) -> DataFrame``
+    supplying each table's frame — the engine passes its memoized table
+    scan (``queries._t``), because ``spark.read.parquet`` resolves the
+    footer schema eagerly (~100 ms/table) and the catalog entries
+    re-register every run: 12 corpus tables made the metadata-only
+    entries pay ~1 s of pure re-resolution per run (r15 bench).
+    Default stays the plain parquet read (no import cycle, and callers
+    outside the engine keep the unmemoized behavior)."""
     for n in names:
-        spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
+        df = (
+            reader(spark, sf_dir, n)
+            if reader is not None
+            else spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        )
+        df.createOrReplaceTempView(n)
 
 
 # --- INFORMATION_SCHEMA-style DataFrames (M1/M2 as queryable rows) ---------

@@ -953,7 +953,10 @@ def price_quartiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     the last float bits between engines. At 100 TB use
     `percentile_approx` (t-digest sketch) instead — exact percentile
     must ship every group value to one reducer."""
-    orders = _t(spark, sf_dir, "orders")
+    # _t_wide: exact percentile's sort-per-group is scan-stage CPU the
+    # 1-row-group layout serialized; interleaved A/B 9 reps measured
+    # 0.763 -> 0.648 s (w/b 0.85, tools/rebalance_ab_probe.py r15).
+    orders = _t_wide(spark, sf_dir, "orders")
     def pct(q, name):
         return F.round(
             F.expr(f"percentile(o_totalprice, {q})"), 2
@@ -3249,7 +3252,16 @@ def binary_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot hash-match the oracle's formula replay. One shuffle-free
     mapInPandas pass over the scan."""
     ship_package_to_workers(spark)
-    media = MM.synthesize_media(_t(spark, sf_dir, "documents"), "doc_id", kind="png")
+    # _t_wide: the four decode/resize/encode passes are pure Python CPU
+    # per row, so the 1-row-group corpus layout serialized them on one
+    # core; interleaved A/B (tools/rebalance_ab_probe.py, 5 reps)
+    # measured 2.50 -> 0.90 s (w/b 0.36) — by far the largest winner in
+    # the r15 extension sweep. binary_meta (cheap sha256) and
+    # binary_embed_topk (Arrow matmul, empty-batch hazard on a widened
+    # tiny query side) stay on the plain read: both REGRESS widened.
+    media = MM.synthesize_media(
+        _t_wide(spark, sf_dir, "documents"), "doc_id", kind="png"
+    )
     return MM.png_roundtrip_meta(media, target_w=16, target_h=16)
 
 
@@ -5234,7 +5246,7 @@ def catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     and sortable with the same relational operators as any table.
     Metadata-only — O(tables × columns) rows, no data scan."""
     _ensure_session_confs(spark)
-    CAT.register_corpus_views(spark, sf_dir, _CORPUS)
+    CAT.register_corpus_views(spark, sf_dir, _CORPUS, reader=_t)
     return CAT.information_schema_columns(spark, list(_CORPUS))
 
 
@@ -5252,7 +5264,7 @@ def catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, the reference's table-existence audit shape
     (etl_medallion.py:228-233) as queryable rows."""
     _ensure_session_confs(spark)
-    CAT.register_corpus_views(spark, sf_dir, _CORPUS)
+    CAT.register_corpus_views(spark, sf_dir, _CORPUS, reader=_t)
     return CAT.information_schema_tables(spark, list(_CORPUS))
 
 
