@@ -671,3 +671,25 @@ def test_t_wide_rebalances_coarse_layout_only(spark, sf01_dir, tmp_path):
     # as the _t memo): plan untouched
     uri_df = Q._t_wide(spark, f"file://{tmp_path}", "fine")
     assert "Exchange" not in _simple_plan(uri_df)
+
+
+def test_register_corpus_views_honors_reader(spark, sf_dir):
+    """The r15 memoized-read hook: a caller-supplied reader callable
+    must supply the view frames (the engine passes queries._t so the
+    catalog entries stop paying per-run footer re-resolution), and the
+    default path must still read plain parquet."""
+    calls = []
+
+    def reader(s, d, n):
+        calls.append(n)
+        return s.read.parquet(f"{d}/{n}.parquet").withColumn(
+            "via_reader", __import__("pyspark.sql.functions",
+                                     fromlist=["lit"]).lit(True)
+        )
+
+    C.register_corpus_views(spark, sf_dir, ("nation",), reader=reader)
+    assert calls == ["nation"]
+    assert "via_reader" in spark.table("nation").columns
+    # default path: plain read, no marker column
+    C.register_corpus_views(spark, sf_dir, ("nation",))
+    assert "via_reader" not in spark.table("nation").columns

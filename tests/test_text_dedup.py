@@ -1567,3 +1567,63 @@ def test_stack_bands_sql_string_matches_column_dsl(
     want = {tuple(r) for r in
             dsl_reference(sigs, "doc_id", bands, rows_per_band).collect()}
     assert got == want
+
+
+def test_bpe_distributed_cadence_equality_and_tail(spark):
+    """The r15 lineage-truncation cadence (checkpoint every 4 rounds)
+    must not change the learned merges — including at a merge count
+    that is NOT a multiple of the cadence, so the final rounds run on
+    an un-checkpointed growing plan (the tail path a cadence-aligned
+    count never exercises)."""
+    import functools
+
+    from pyspark.sql import functions as F
+
+    from etl_project_gcp_spark.operators import text as TX
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["low low lower lowest", "newer newest new", "wide wider widest"] * 3
+        )],
+        ["doc_id", "text"],
+    )
+    want = [tuple(r) for r in
+            TX.bpe_learn_merges(docs, num_merges=7, fit="distributed").collect()]
+    assert len(want) == 7  # 7 % 4 != 0: tail rounds after the last checkpoint
+    orig = TX._bpe_distributed_rounds
+    try:
+        TX._bpe_distributed_rounds = functools.partial(orig, ckpt_cadence=1)
+        every_round = [tuple(r) for r in
+                       TX.bpe_learn_merges(docs, num_merges=7,
+                                           fit="distributed").collect()]
+    finally:
+        TX._bpe_distributed_rounds = orig
+    assert every_round == want
+
+
+def test_bpe_distributed_restores_aqe_conf(spark):
+    """The merge loop disables AQE for its vocab-bounded rounds and must
+    restore the caller's setting afterwards — including when the loop
+    raises mid-round (the finally path)."""
+    import functools
+
+    from etl_project_gcp_spark.operators import text as TX
+
+    docs = spark.createDataFrame([(1, "aa bb aa")], ["doc_id", "text"])
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    TX.bpe_learn_merges(docs, num_merges=2, fit="distributed")
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+    orig = TX._bpe_distributed_rounds
+
+    def _boom(syms, num_merges, ckpt_cadence=4):
+        raise RuntimeError("mid-loop failure")
+
+    try:
+        TX._bpe_distributed_rounds = _boom
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="mid-loop"):
+            TX.bpe_learn_merges(docs, num_merges=2, fit="distributed")
+    finally:
+        TX._bpe_distributed_rounds = orig
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
