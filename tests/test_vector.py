@@ -631,3 +631,40 @@ def test_clustered_corpus_persisted_ivf_index_recall(
     VX.ivf_build_index(emb, path, n_lists=16)
     got = VX.ivf_search_index(spark, path, q, k=10).collect()
     assert _recall(truth, got) >= 0.9
+
+
+def test_quantize_two_step_matches_inline_lambda_formulation(spark, sf01_dir):
+    """The r15 two-step quantization (scale landed as a column, then
+    referenced by the quantize lambda — interpreted lambdas otherwise
+    re-derive the scale scan per ELEMENT, O(dim²)/row) must be
+    BIT-identical to the original inline aggregate-lambda formulation:
+    same q_scale doubles, same int8 codes. Pins both the native
+    array_max/array_min scale (max |x| = max(|max|, |min|)) and the
+    staged-column rewrite against the reference semantics."""
+    from pyspark.sql import functions as F
+
+    from etl_project_gcp_spark.operators import vector as VX
+
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+
+    v = VX._as_double("embedding")
+    scale = F.greatest(
+        F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))),
+        F.lit(1e-30),
+    ) / F.lit(127.0)
+    reference = emb.select(
+        F.col("vec_id"),
+        scale.alias("q_scale"),
+        F.transform(
+            v,
+            lambda x: F.least(
+                F.greatest(F.round(x / scale), F.lit(-127.0)), F.lit(127.0)
+            ).cast("tinyint"),
+        ).alias("q_vec"),
+    )
+
+    want = {r["vec_id"]: (r["q_scale"], tuple(r["q_vec"]))
+            for r in reference.collect()}
+    got = {r["vec_id"]: (r["q_scale"], tuple(r["q_vec"]))
+           for r in VX.quantize_embeddings(emb).collect()}
+    assert got == want
