@@ -82,27 +82,45 @@ def brute_force_topk(
     Physically: broadcast-nested-loop of |Q| × N with the per-query
     ranking window — the window input is already cut to N·|Q| scored
     rows; no N² blow-up.
+
+    Per-side norms are staged as columns (r15): evaluated inside the
+    per-PAIR projection, ``cosine()``'s two ``_norm`` folds are
+    interpreted d-length aggregates that depend on one side each yet
+    run |Q|·N times; hoisted, each side pays its norm once per ROW and
+    the pair pays only the dot fold. The NULL filter sits ABOVE the
+    ranking window: placed below, the optimizer substitutes the whole
+    score expression into the join condition (one extra interpreted
+    dot fold per pair); predicates off the partition key cannot cross
+    a Window. Under desc NULLS LAST every null ranks strictly after
+    every non-null, so rank-then-drop emits identical rows with
+    identical rk (equality-gated in tools/norm_hoist_probe.py; A/B
+    0.64 at the 2000×64 gate corpus, 0.58 at 40k×64). Same double
+    arithmetic tree — scores are bit-identical.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    )
+    ).withColumn("qn", _norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
-    )
+    ).withColumn("cn", _norm(F.col("cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), round_scores).alias("cosine"),
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0)),
+                round_scores,
+            ).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.filter(F.col("cosine").isNotNull())
-        .withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
+        .filter(F.col("cosine").isNotNull())
     )
 
 
@@ -263,22 +281,37 @@ def lsh_topk(
         .distinct()
     )
 
-    qv = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
-    cv = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+    # staged per-side norms + NULL filter above the window (r15, see
+    # brute_force_topk): candidates hit the same corpus row from many
+    # queries/tables, so the per-pair norm folds collapse to one per
+    # side-row (A/B 0.65 gate / 0.43 at 40k×64, bit-identical rows).
+    # The corpus-side norm is computed per corpus ROW (the projection
+    # sits below the candidate join) — bounded by the bucketing pass
+    # that already touches every row.
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
     scored = (
         cands.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0)),
+                6,
+            ).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.filter(F.col("cosine").isNotNull())
-        .withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
+        .filter(F.col("cosine").isNotNull())
     )
 
 
@@ -301,11 +334,20 @@ def ivf_assign(
         )
         .drop("_tmp")
     )
-    c = corpus.select(F.col(id_col), _as_double(vec_col).alias("v"))
-    scored = c.crossJoin(F.broadcast(centroids)).select(
+    # staged per-side norms (r15, see brute_force_topk): every vector
+    # scores against all n_lists centroids, so the inline cosine paid
+    # both norm folds n_lists times per vector; staged, once per row.
+    cent_n = centroids.withColumn("ctn", _norm(F.col("centroid")))
+    c = corpus.select(
+        F.col(id_col), _as_double(vec_col).alias("v")
+    ).withColumn("vn", _norm(F.col("v")))
+    scored = c.crossJoin(F.broadcast(cent_n)).select(
         id_col,
         "list_id",
-        cosine(F.col("v"), F.col("centroid")).alias("sim"),
+        (
+            _dot(F.col("v"), F.col("centroid"))
+            / F.nullif(F.col("vn") * F.col("ctn"), F.lit(0.0))
+        ).alias("sim"),
     )
     w = W.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("list_id"))
     assigned = (
@@ -518,9 +560,23 @@ def ivf_topk(
         centroids, assigned, _ = kmeans_fit(corpus, n_lists, id_col, vec_col)
     else:
         centroids, assigned = ivf_assign(corpus, n_lists, id_col, vec_col)
-    qv = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
-    probe_scored = qv.crossJoin(F.broadcast(centroids)).select(
-        "query_id", "list_id", cosine(F.col("qv"), F.col("centroid")).alias("sim")
+    # staged per-side norms + NULL filter above the window (r15, see
+    # brute_force_topk): probed-list members meet |Q|·nprobe/n_lists
+    # candidate pairs per row on average, and the probe scoring pays
+    # centroid norms once per centroid instead of once per
+    # (query, centroid) pair (A/B 0.69 at 40k×64, bit-identical rows).
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    probe_scored = qv.crossJoin(
+        F.broadcast(centroids.withColumn("ctn", _norm(F.col("centroid"))))
+    ).select(
+        "query_id",
+        "list_id",
+        (
+            _dot(F.col("qv"), F.col("centroid"))
+            / F.nullif(F.col("qn") * F.col("ctn"), F.lit(0.0))
+        ).alias("sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("list_id"))
     probes = (
@@ -531,19 +587,23 @@ def ivf_topk(
     cand = probes.join(
         assigned.select(
             F.col(id_col).alias("neighbor_id"), "list_id", _as_double(vec_col).alias("cv")
-        ),
+        ).withColumn("cn", _norm(F.col("cv"))),
         "list_id",
     ).filter(F.col("neighbor_id") != F.col("query_id"))
     scored = cand.join(F.broadcast(qv), "query_id").select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        F.round(
+            _dot(F.col("qv"), F.col("cv"))
+            / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0)),
+            6,
+        ).alias("cosine"),
     )
     w2 = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.filter(F.col("cosine").isNotNull())
-        .withColumn("rk", F.row_number().over(w2))
+        scored.withColumn("rk", F.row_number().over(w2))
         .filter(F.col("rk") <= k)
+        .filter(F.col("cosine").isNotNull())
     )
 
 
@@ -618,11 +678,24 @@ def quantized_topk(
     measured 0.72 s on even the 2k-row bench corpus, ~half the int8
     path's wall. Quantization is deterministic, so results are
     bit-identical either way (unit-tested)."""
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    # Per-side SELF-dots staged as columns (r15, see brute_force_topk):
+    # inline, the denominator's two self-dot folds ran per PAIR though
+    # each depends on one side only; staged, once per row. The staged
+    # values are exact longs, so the score's double tree is unchanged
+    # bit-for-bit. NULL filter above the window for the same reason as
+    # brute_force_topk (A/B 0.69 gate / 0.76 at 40k×64).
     q = quantize_embeddings(queries, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col("q_scale").alias("qs"),
         F.col("q_vec").alias("qv"),
-    )
+    ).withColumn("q_self", idot(F.col("qv"), F.col("qv")))
     cq = (
         corpus_quantized
         if corpus_quantized is not None
@@ -632,15 +705,7 @@ def quantized_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col("q_scale").alias("cs"),
         F.col("q_vec").alias("cv"),
-    )
-
-    def idot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
+    ).withColumn("c_self", idot(F.col("cv"), F.col("cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -650,8 +715,8 @@ def quantized_topk(
             (
                 (idot(F.col("qv"), F.col("cv")) * F.col("qs") * F.col("cs"))
                 / F.nullif(
-                    F.sqrt(idot(F.col("qv"), F.col("qv")).cast("double")) * F.col("qs")
-                    * F.sqrt(idot(F.col("cv"), F.col("cv")).cast("double")) * F.col("cs"),
+                    F.sqrt(F.col("q_self").cast("double")) * F.col("qs")
+                    * F.sqrt(F.col("c_self").cast("double")) * F.col("cs"),
                     F.lit(0.0),
                 )
             ).alias("cosine_q"),
@@ -659,9 +724,9 @@ def quantized_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_q"), F.asc("neighbor_id"))
     return (
-        scored.filter(F.col("cosine_q").isNotNull())
-        .withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
+        .filter(F.col("cosine_q").isNotNull())
     )
 
 
@@ -706,6 +771,10 @@ def two_stage_topk(
     ).select("query_id", "neighbor_id")
     cv = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
     qv = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    # NULL filter above the window only (r15, see brute_force_topk) —
+    # no norm staging here: the rerank touches k·overfetch·|Q| rows
+    # while a corpus-side staged norm would fold over every corpus row
+    # below the candidate join, the wrong shape when candidates ≪ N.
     rescored = (
         cand.join(cv, "neighbor_id")
         .join(F.broadcast(qv), "query_id")
@@ -717,9 +786,9 @@ def two_stage_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        rescored.filter(F.col("cosine").isNotNull())
-        .withColumn("rk", F.row_number().over(w))
+        rescored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
+        .filter(F.col("cosine").isNotNull())
     )
 
 
@@ -888,7 +957,13 @@ def ivf_search_index(
     assumption that only held for interactive batch sizes.
     """
     centroids = spark.read.parquet(f"{path}/centroids")
-    qv = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    # staged per-side norms + NULL filter above the window (r15, see
+    # brute_force_topk/ivf_topk — here the corpus-side norm runs only
+    # over the PROBED partitions the scan was pruned to). qn rides the
+    # persisted qv projection, paid once per query row.
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
     # The function runs the query-side lineage for two internal actions
     # (size estimate + probed-list collect) before the caller's final
     # action ever sees it — persist across those so a non-trivial
@@ -914,8 +989,15 @@ def ivf_search_index(
     small_queries = n_q * (dim * 8 + 24 + nprobe * 32) <= max_broadcast_bytes
     small_probes = n_q * nprobe * 32 <= max_broadcast_bytes
     _maybe_bc = F.broadcast if small_queries else (lambda df: df)
-    probe_scored = qv.crossJoin(F.broadcast(centroids)).select(
-        "query_id", "list_id", cosine(F.col("qv"), F.col("centroid")).alias("sim")
+    probe_scored = qv.crossJoin(
+        F.broadcast(centroids.withColumn("ctn", _norm(F.col("centroid"))))
+    ).select(
+        "query_id",
+        "list_id",
+        (
+            _dot(F.col("qv"), F.col("centroid"))
+            / F.nullif(F.col("qn") * F.col("ctn"), F.lit(0.0))
+        ).alias("sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("list_id"))
     probes = (
@@ -957,19 +1039,23 @@ def ivf_search_index(
     cand = probes.join(
         vectors.select(
             F.col(id_col).alias("neighbor_id"), "list_id", _as_double(vec_col).alias("cv")
-        ),
+        ).withColumn("cn", _norm(F.col("cv"))),
         "list_id",
     ).filter(F.col("neighbor_id") != F.col("query_id"))
     scored = cand.join(_maybe_bc(qv), "query_id").select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), round_scores).alias("cosine"),
+        F.round(
+            _dot(F.col("qv"), F.col("cv"))
+            / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0)),
+            round_scores,
+        ).alias("cosine"),
     )
     w2 = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     out = (
-        scored.filter(F.col("cosine").isNotNull())
-        .withColumn("rk", F.row_number().over(w2))
+        scored.withColumn("rk", F.row_number().over(w2))
         .filter(F.col("rk") <= k)
+        .filter(F.col("cosine").isNotNull())
     )
     # Both internal actions are done; drop the cache so repeated
     # searches can't accumulate memory in the caller's session. The

@@ -369,3 +369,21 @@ def test_summary_stats_is_single_scan(spark, sf01_dir):
     scanned once per column."""
     plan = _plan(spark, "lineitem_stats", sf01_dir, mode="simple")
     assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_ann_scored_joins_keep_folds_out_of_join_condition(spark, sf01_dir):
+    """r15 staged-norm scoring: the NULL filter must sit ABOVE the
+    ranking window. Placed below the score projection, the optimizer
+    substitutes the full score expression — an interpreted aggregate
+    fold over the vectors — into the join condition, evaluating the
+    fold twice per pair. Pin: no Join condition line in any ANN
+    search entry's plan carries a higher-order aggregate fold."""
+    for name in ("cosine_topk", "ann_quantized_topk", "ann_lsh_topk",
+                 "ann_ivf_topk", "ann_two_stage_topk"):
+        plan = _plan(spark, name, sf01_dir)
+        offenders = [
+            ln.strip()[:120]
+            for ln in plan.splitlines()
+            if "Join condition" in ln and "aggregate(" in ln
+        ]
+        assert not offenders, f"{name}: fold in join condition: {offenders}"

@@ -668,3 +668,105 @@ def test_quantize_two_step_matches_inline_lambda_formulation(spark, sf01_dir):
     got = {r["vec_id"]: (r["q_scale"], tuple(r["q_vec"]))
            for r in VX.quantize_embeddings(emb).collect()}
     assert got == want
+
+
+def test_staged_norm_scoring_matches_inline_cosine_formulation(spark):
+    """The r15 staged-norm scoring (per-side norm/self-dot columns +
+    NULL filter ABOVE the ranking window) must emit BIT-identical rows
+    — including rk — to the original inline formulation (per-pair
+    cosine(), drop-nulls-then-rank), on a corpus that contains a
+    zero-norm vector so the null path is actually exercised: under
+    desc NULLS LAST the null scores rank strictly after every
+    non-null, so rank-then-drop must not shift any rk."""
+    from pyspark.sql import Window as W
+
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
+            for i in range(1, 40)]
+    rows.append((99, [0.0] * 8))  # zero-norm corpus vector
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 4)
+
+    def inline_brute(corpus, queries, k=10, round_scores=6):
+        qv = queries.select(
+            F.col("vec_id").alias("query_id"),
+            VX._as_double("embedding").alias("qv"),
+        )
+        cv = corpus.select(
+            F.col("vec_id").alias("neighbor_id"),
+            VX._as_double("embedding").alias("cv"),
+        )
+        scored = (
+            cv.crossJoin(F.broadcast(qv))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    VX.cosine(F.col("qv"), F.col("cv")), round_scores
+                ).alias("cosine"),
+            )
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        return (
+            scored.filter(F.col("cosine").isNotNull())
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+        )
+
+    want = sorted(map(tuple, inline_brute(emb, q, k=10).collect()))
+    got = sorted(map(tuple, VX.brute_force_topk(emb, q, k=10).collect()))
+    assert got == want  # bit-exact: doubles and rk included
+
+    # quantized twin: inline per-pair self-dots, drop-then-rank
+    def inline_quantized(corpus, queries, k=10):
+        def idot(a, b):
+            return F.aggregate(
+                F.zip_with(
+                    a, b, lambda x, y: x.cast("long") * y.cast("long")
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+
+        qz = VX.quantize_embeddings(queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q_scale").alias("qs"),
+            F.col("q_vec").alias("qv"),
+        )
+        cz = VX.quantize_embeddings(corpus).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("q_scale").alias("cs"),
+            F.col("q_vec").alias("cv"),
+        )
+        scored = (
+            cz.crossJoin(F.broadcast(qz))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                (
+                    (idot(F.col("qv"), F.col("cv")) * F.col("qs") * F.col("cs"))
+                    / F.nullif(
+                        F.sqrt(idot(F.col("qv"), F.col("qv")).cast("double"))
+                        * F.col("qs")
+                        * F.sqrt(idot(F.col("cv"), F.col("cv")).cast("double"))
+                        * F.col("cs"),
+                        F.lit(0.0),
+                    )
+                ).alias("cosine_q"),
+            )
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.desc("cosine_q"), F.asc("neighbor_id")
+        )
+        return (
+            scored.filter(F.col("cosine_q").isNotNull())
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+        )
+
+    want_q = sorted(map(tuple, inline_quantized(emb, q, k=10).collect()))
+    got_q = sorted(map(tuple, VX.quantized_topk(emb, q, k=10).collect()))
+    assert got_q == want_q
