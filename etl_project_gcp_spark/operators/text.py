@@ -819,8 +819,20 @@ def duplicated_spans(
     SQL oracle can replay it; at 100 TB pass ``hash_spans=True`` to
     shuffle 8-byte ``xxhash64`` keys instead of ~120-byte strings (same
     counts — equality is tested — at ~15× less shuffle width).
+
+    The token array is STAGED as a column before the span transform
+    (r15): referenced from inside the per-span lambda, the
+    ``tokens()`` split re-runs per span ELEMENT (higher-order
+    functions are interpreted, no subexpression elimination) —
+    O(n_tokens²/stride) per doc. The r12 100× probe scaled doc COUNT
+    at fixed length, which a per-doc-quadratic term passes; the
+    doc-LENGTH axis (tools/span_stage_probe.py, constant total
+    tokens) shows it: staged/base 0.84 → 0.34 → 0.27 at 250/1000/4000
+    tokens per doc, outputs equality-gated, gate-shape (short docs)
+    a wash. Same shingle_arrays precedent as dedup.py.
     """
-    toks = tokens(text_col)
+    staged = corpus.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    toks = F.col("__toks")
     n = F.size(toks)
     n_spans = (F.floor((n - F.lit(window)) / F.lit(stride)) + 1).cast("int")
     # sequence(1, 0) would generate a DESCENDING [1, 0] — guard short docs.
@@ -833,7 +845,7 @@ def duplicated_spans(
     spans_arr = F.transform(idx, span_of)
     if hash_spans:
         spans_arr = F.transform(spans_arr, lambda s: F.xxhash64(s))
-    spans = corpus.select(F.col(id_col), F.explode(spans_arr).alias("span"))
+    spans = staged.select(F.col(id_col), F.explode(spans_arr).alias("span"))
     counts = spans.groupBy("span").agg(F.count(F.lit(1)).alias("c"))
     return (
         spans.join(counts, "span")

@@ -1627,3 +1627,68 @@ def test_bpe_distributed_restores_aqe_conf(spark):
     finally:
         TX._bpe_distributed_rounds = orig
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_duplicated_spans_staged_tokens_match_inline_formulation(spark):
+    """The r15 token staging (token array landed as a column before
+    the per-span transform — an inline ``tokens()`` reference inside
+    the lambda re-runs the split per span ELEMENT, O(n²/stride) per
+    doc) must be row-identical to the original inline formulation, in
+    both text and hashed modes, including short docs (< window tokens,
+    the empty-branch guard) and cross-document duplicate spans."""
+    from pyspark.sql import functions as F
+
+    words = [f"w{i}" for i in range(37)]
+    boiler = " ".join(words[:25])  # > window so it contributes spans
+    rows = [
+        (1, boiler + " " + " ".join(words[i % 37] for i in range(0, 180, 2))),
+        (2, boiler + " " + " ".join(words[(i * 3) % 37] for i in range(90))),
+        (3, " ".join(words[(i * 5) % 37] for i in range(400))),
+        (4, "too short to have any span"),
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    def inline(corpus, window=20, stride=10, hash_spans=False):
+        toks = TX.tokens("text")
+        n = F.size(toks)
+        n_spans = (
+            (F.floor((n - F.lit(window)) / F.lit(stride)) + 1).cast("int")
+        )
+        idx = F.when(n >= window, F.sequence(F.lit(1), n_spans)).otherwise(
+            F.array().cast("array<int>")
+        )
+        span_of = lambda i: F.concat_ws(  # noqa: E731
+            " ", F.slice(toks, (i - 1) * stride + 1, window)
+        )
+        spans_arr = F.transform(idx, span_of)
+        if hash_spans:
+            spans_arr = F.transform(spans_arr, lambda s: F.xxhash64(s))
+        spans = corpus.select(F.col("doc_id"), F.explode(spans_arr).alias("span"))
+        counts = spans.groupBy("span").agg(F.count(F.lit(1)).alias("c"))
+        return (
+            spans.join(counts, "span")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_spans"),
+                F.sum((F.col("c") >= 2).cast("long")).alias("n_dup_spans"),
+            )
+            .withColumn(
+                "dup_span_ratio",
+                F.col("n_dup_spans").cast("double")
+                / F.col("n_spans").cast("double"),
+            )
+        )
+
+    for hs in (False, True):
+        want = sorted(map(tuple, inline(docs, hash_spans=hs).collect()))
+        got = sorted(
+            map(tuple, TX.duplicated_spans(docs, hash_spans=hs).collect())
+        )
+        assert got == want, f"hash_spans={hs}"
+    # the planted boilerplate must actually be flagged cross-document
+    flagged = {
+        r.doc_id: r.n_dup_spans
+        for r in TX.duplicated_spans(docs).collect()
+    }
+    assert flagged[1] >= 1 and flagged[2] >= 1
