@@ -215,14 +215,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def _parquet_row_groups(path: str) -> int | None:
-    """Total parquet row groups under a LOCAL dataset path (file or
-    directory walk), or None when unknowable (no parquet files, or an
-    unreadable footer). Row groups — not files, not byte-size splits —
-    are the parquet SPLIT ATOM: a scan task reads exactly the row
-    groups whose midpoints fall in its split, so a table with fewer
-    row groups than the session has cores cannot spread its scan-stage
-    compute no matter what ``maxPartitionBytes`` says."""
+def _parquet_layout(
+    path: str, rg_stop: int | None = None
+) -> tuple[int | None, int | None]:
+    """(total row groups, total rows) under a LOCAL dataset path (file
+    or directory walk), or (None, None) when unknowable (no parquet
+    files, or an unreadable footer). Row groups — not files, not
+    byte-size splits — are the parquet SPLIT ATOM: a scan task reads
+    exactly the row groups whose midpoints fall in its split, so a
+    table with fewer row groups than the session has cores cannot
+    spread its scan-stage compute no matter what ``maxPartitionBytes``
+    says.
+
+    ``rg_stop`` (r15 verdict ask #4) caps the census: the footer walk
+    EARLY-EXITS as soon as the running row-group total reaches it,
+    because the only consumer (:func:`_coarse_rebalance`) compares
+    against exactly that threshold — "at least rg_stop" decides the
+    same way as the exact count, and a production layout with tens of
+    thousands of files should not pay an O(n_files) metadata walk to
+    learn what its first few footers already prove. Rows are then
+    reported as None (partial count, and unused: the rebalance never
+    fires on such a layout)."""
     import os
 
     import pyarrow.parquet as pq
@@ -238,14 +251,24 @@ def _parquet_row_groups(path: str) -> int | None:
                 if fn.endswith(".parquet") and not fn.startswith((".", "_"))
             )
     if not files:
-        return None
-    total = 0
+        return None, None
+    rgs = 0
+    rows = 0
     for f in files:
         try:
-            total += pq.ParquetFile(f).metadata.num_row_groups
+            meta = pq.ParquetFile(f).metadata
         except Exception:  # corrupt/odd footer: treat as unknowable
-            return None
-    return total
+            return None, None
+        rgs += meta.num_row_groups
+        rows += meta.num_rows
+        if rg_stop is not None and rgs >= rg_stop:
+            return rgs, None
+    return rgs, rows
+
+
+def _parquet_row_groups(path: str) -> int | None:
+    """Back-compat shim for the full row-group census (tests/tools)."""
+    return _parquet_layout(path)[0]
 
 
 # Session-attached memo for _t_wide's row-group counts, keyed like the
@@ -254,7 +277,12 @@ def _parquet_row_groups(path: str) -> int | None:
 _RG_MEMO_ATTR = "_spark_graft_rg_memo"
 
 
-def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t_wide(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    rows_per_task: int | None = None,
+) -> DataFrame:
     """``_t`` plus a coarse-layout rebalance for CPU-heavy consumers
     (optimization guide §2.5, "one huge unsplittable file ... repartition
     immediately after the read").
@@ -274,12 +302,31 @@ def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cores, so the condition never fires and NO exchange enters the
     plan — 100 TB scans keep their shuffle-free shape (pinned by
     tests/test_catalog_sources.py::test_t_wide_*). URI schemes and
-    unreadable footers also leave the plan untouched."""
-    return _coarse_rebalance(spark, _t(spark, sf_dir, name), sf_dir, name)
+    unreadable footers also leave the plan untouched.
+
+    ``rows_per_task`` (r15 verdict ask #1) caps the rebalance width at
+    ``ceil(rows / rows_per_task)`` for PYTHON-BOUNDARY consumers: a
+    mapInPandas stage forks one Python worker per concurrent task, and
+    forking/initializing a worker costs more than a small task's work —
+    the driver's r15 bench measured binary_resize_meta at 16.3 s on 32
+    cores vs 1.2 s on 8 (worker fan-out, not compute; fresh-process
+    probe medians in tools/cold_fanout_probe.py: width 32 cold 4.7 s /
+    tail to 10.2 s under load, width 8 cold 3.2-3.4 s stable, and width
+    8 is faster even warm, 0.76 vs 0.99 s). Partition count should
+    follow WORK, not cores (guide §2.1/§4.2); pure-JVM consumers keep
+    the full width, where a task costs no process setup."""
+    return _coarse_rebalance(
+        spark, _t(spark, sf_dir, name), sf_dir, name,
+        rows_per_task=rows_per_task,
+    )
 
 
 def _coarse_rebalance(
-    spark: SparkSession, df: DataFrame, sf_dir: str, name: str
+    spark: SparkSession,
+    df: DataFrame,
+    sf_dir: str,
+    name: str,
+    rows_per_task: int | None = None,
 ) -> DataFrame:
     """The rebalance decision behind :func:`_t_wide`, applied to an
     already-read frame (kept separate so probes/tests can drive it
@@ -301,18 +348,24 @@ def _coarse_rebalance(
     stat_key = _dir_stat_key(path, st)
     if stat_key is None:
         return df
+    threshold = max(2, width // 2)
     memo = getattr(spark, _RG_MEMO_ATTR, None)
     if memo is None:
         memo = {}
         setattr(spark, _RG_MEMO_ATTR, memo)
-    key = (path, stat_key)
+    key = (path, stat_key, threshold)
     if key not in memo:
         if len(memo) > 256:
             memo.clear()
-        memo[key] = _parquet_row_groups(path)
-    rg = memo[key]
-    if rg is None or rg >= max(2, width // 2):
+        memo[key] = _parquet_layout(path, rg_stop=threshold)
+    rg, rows = memo[key]
+    if rg is None or rg >= threshold:
         return df
+    if rows_per_task is not None and rows is not None:
+        # Python-boundary cap: width follows the data, not the cores.
+        width = min(width, max(1, -(-rows // rows_per_task)))
+        if width < 2:  # a 1-partition repartition is pure overhead
+            return df
     return df.repartition(width)
 
 
@@ -3255,12 +3308,22 @@ def binary_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _t_wide: the four decode/resize/encode passes are pure Python CPU
     # per row, so the 1-row-group corpus layout serialized them on one
     # core; interleaved A/B (tools/rebalance_ab_probe.py, 5 reps)
-    # measured 2.50 -> 0.90 s (w/b 0.36) — by far the largest winner in
-    # the r15 extension sweep. binary_meta (cheap sha256) and
+    # measured 2.50 -> 0.90 s (w/b 0.36). binary_meta (cheap sha256) and
     # binary_embed_topk (Arrow matmul, empty-batch hazard on a widened
     # tiny query side) stay on the plain read: both REGRESS widened.
+    # rows_per_task=625 (r16, r15 verdict ask #1): this is a
+    # PYTHON-boundary consumer, so each extra partition forks a Python
+    # worker; full-width fan-out over ~5k rows made the driver's
+    # 32-core bench READ 16.3 s where its 8-core run read 1.2 s. Width
+    # ceil(rows/625) gives 8 tasks at sf0.1 (~0.3 s of PNG work per
+    # task — enough to amortize a fork) and leaves genuinely large
+    # corpora at full width. Fresh-process A/B (cold worker pool,
+    # tools/cold_fanout_probe.py, 3 reps): width-8 cold 3.2-3.8 s vs
+    # base 4.1-10.2 s, and warm 0.76 vs 0.99 s — capped wins both.
     media = MM.synthesize_media(
-        _t_wide(spark, sf_dir, "documents"), "doc_id", kind="png"
+        _t_wide(spark, sf_dir, "documents", rows_per_task=625),
+        "doc_id",
+        kind="png",
     )
     return MM.png_roundtrip_meta(media, target_w=16, target_h=16)
 

@@ -63,6 +63,23 @@ def ship_package_to_workers(spark: SparkSession) -> None:
     _PKG_SHIPPED.add(sid)
 
 
+def _want_pydaemon(master: str | None) -> bool:
+    """Whether to select the preloading worker daemon (pydaemon.py).
+
+    Defaults to ON exactly when the session is local (explicit
+    ``local[...]`` master, or no cluster master configured), because
+    that is when the executor Python provably shares this interpreter's
+    environment. ``SPARK_GRAFT_PYDAEMON=1/0`` force-overrides either
+    way (a cluster that ships the package can opt in; a local debug
+    session can opt out)."""
+    env = os.environ.get("SPARK_GRAFT_PYDAEMON")
+    if env is not None:
+        return env.strip().lower() in ("1", "true", "yes", "on")
+    if master is not None:
+        return master.startswith("local")
+    return not os.environ.get("SPARK_MASTER")
+
+
 def get_spark(
     app_name: str = "etl_project_gcp_spark",
     master: str | None = None,
@@ -102,6 +119,22 @@ def get_spark(
         # the scan parallelizes across cores (cluster deployments keep the
         # 128 MB default — plenty of files there)
         builder = builder.config("spark.sql.files.maxPartitionBytes", "8m")
+    if _want_pydaemon(master):
+        # Preload the heavy per-worker imports (numpy/pandas/pyarrow +
+        # this package) in the Python worker DAEMON so forked workers
+        # inherit them copy-on-write instead of each re-importing
+        # (guide §4.5 at the process level; see pydaemon.py for the
+        # measured fork-storm numbers). Local mode only by default: the
+        # daemon module must be importable by the EXECUTOR-side Python,
+        # which in local mode is this very environment; a cluster
+        # deployment that ships the package can opt in with
+        # SPARK_GRAFT_PYDAEMON=1.
+        builder = builder.config(
+            "spark.python.daemon.module", "etl_project_gcp_spark.pydaemon"
+        ).config(
+            "spark.executorEnv.PYTHONPATH",
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
