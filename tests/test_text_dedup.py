@@ -1692,3 +1692,40 @@ def test_duplicated_spans_staged_tokens_match_inline_formulation(spark):
         for r in TX.duplicated_spans(docs).collect()
     }
     assert flagged[1] >= 1 and flagged[2] >= 1
+
+
+def test_jaccard_verify_arrays_equals_exploded_rows(spark):
+    """r16: the array-intersect candidate verify must return the exact
+    (a, b, jaccard) set of the exploded-row formulation it replaced —
+    the arrays are distinct per doc, so size(array_intersect) is the
+    exploded join's match count and size(sh_arr) its per-doc row count.
+    Checked at threshold 0 so EVERY candidate's score is compared, not
+    just survivors."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, BASE),
+        (2, BASE + " extra trailing words here"),
+        (3, "completely different text about stars and galaxies far away"),
+        (4, BASE.replace("quick", "swift")),
+        (5, "stars and galaxies far away shine over the quiet hills"),
+    ]
+    docs = _docs(spark, rows)
+    sh_arrs = DD.shingle_arrays(docs, "doc_id", "text", 3)
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 4), (3, 5)], ["a", "b"]
+    )
+    shingled = sh_arrs.select(
+        "doc_id", F.explode_outer(F.col("sh_arr")).alias("sh")
+    ).repartition("doc_id")
+    old = {
+        (r.a, r.b, round(r.jaccard, 12))
+        for r in DD.jaccard_verify(cands, shingled, "doc_id", 0.0).collect()
+    }
+    new = {
+        (r.a, r.b, round(r.jaccard, 12))
+        for r in DD.jaccard_verify_arrays(
+            cands, sh_arrs, "doc_id", 0.0
+        ).collect()
+    }
+    assert old == new and len(old) == 4  # (1,3) shares nothing: absent in both
