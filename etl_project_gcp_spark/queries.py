@@ -5877,11 +5877,22 @@ def streaming_sessionize_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     landed = ev.select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     ).unionByName(sentinels)
+    # width 8 (r16): each stateful partition carries a state store AND
+    # — this being applyInPandasWithState — forks a Python worker, so
+    # the drain's width is a worker fan-out knob exactly like a
+    # mapInPandas width (the r15 driver bench read this entry 0.64
+    # faster at 8 cores than 32). Fresh-process A/B with the engine
+    # warmed (tools/drain_width_probe.py, 3 reps): warm 4.95 -> 4.09 s
+    # median at width 8, cold noise-bound either way; the r12
+    # store-term probe (11 ms/partition/batch) points the same way.
+    # Same gate-scale rationale as the interval-join and dedup drains'
+    # existing width-8 override; production sizes this per deployment.
     drained = _drain_stream_once(
         spark,
         landed,
         lambda s: stateful_sessionize(s, gap_seconds=1800),
         "streaming_sessionize_drain_sink",
+        stream_shuffle_partitions=8,
     )
     return drained.select(
         "user_id",
@@ -6057,11 +6068,15 @@ def streaming_forward_fill_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_project_gcp_spark.streaming.streams import streaming_forward_fill
 
     ev = _events(spark, sf_dir)
+    # width 8 (r16): same stateful-Python fan-out reasoning as
+    # streaming_sessionize_drain (worker fork + state store per
+    # partition); warm A/B 3.68 -> 2.97 s median, cold noise-bound.
     drained = _drain_stream_once(
         spark,
         ev,
         lambda s: streaming_forward_fill(s, observe_type="purchase"),
         "streaming_forward_fill_drain_sink",
+        stream_shuffle_partitions=8,
     )
     return drained.select(
         "event_id",
