@@ -80,6 +80,56 @@ def _want_pydaemon(master: str | None) -> bool:
     return not os.environ.get("SPARK_MASTER")
 
 
+def _prewarm_python_workers(spark: SparkSession) -> None:
+    """Boot the Python worker daemon and fork one worker per core in a
+    BACKGROUND thread, so the session's first real Python-boundary query
+    doesn't pay the pool's startup inside its own wall time.
+
+    Measured (tools/cold_fanout_probe.py, fresh process, local[32]): the
+    first Python stage of a session costs ~2.5 s at ANY width — daemon
+    boot (a fresh Python importing pyspark.worker) plus the first
+    workers' import chains — and a later full-width stage pays ~+0.5 s
+    more to fork the rest of the pool. Running a trivial full-width
+    mapInPandas at session build overlaps all of that with the JVM's own
+    warmup; a prewarmed pool cut binary_resize_meta's cold run from
+    4.1-10.2 s to 1.4-2.6 s. Long-lived production sessions amortize
+    this exactly once, at startup, where it belongs — not inside
+    whichever query happens to touch Python first.
+
+    Local mode only (same gate as the preloading daemon) and
+    best-effort: failures are swallowed — the pool then warms lazily as
+    before. ``SPARK_GRAFT_PREWARM=0`` disables."""
+    import threading
+
+    def _go() -> None:
+        try:
+            width = spark.sparkContext.defaultParallelism
+
+            def _touch(batches):
+                for batch in batches:
+                    yield batch
+
+            spark.sparkContext.setJobDescription("python worker pool prewarm")
+            (
+                spark.range(0, width, 1, width)
+                .mapInPandas(_touch, "id long")
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+        except Exception:
+            pass
+        finally:
+            try:
+                spark.sparkContext.setJobDescription(None)
+            except Exception:
+                pass
+
+    threading.Thread(
+        target=_go, name="pyworker-prewarm", daemon=True
+    ).start()
+
+
 def get_spark(
     app_name: str = "etl_project_gcp_spark",
     master: str | None = None,
@@ -139,4 +189,11 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if _want_pydaemon(master) and os.environ.get(
+        "SPARK_GRAFT_PREWARM", "1"
+    ).strip().lower() not in ("0", "false", "no", "off"):
+        prewarmed = getattr(spark, "_spark_graft_prewarmed", False)
+        if not prewarmed:
+            setattr(spark, "_spark_graft_prewarmed", True)
+            _prewarm_python_workers(spark)
     return spark

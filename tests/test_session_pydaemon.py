@@ -72,3 +72,18 @@ def test_local_session_runs_python_stage_under_pydaemon(spark):
         .collect()
     )
     assert got == [0, 2, 4, 6, 8, 10, 12, 14]
+
+
+def test_prewarm_runs_once_per_session(spark):
+    """The background worker-pool prewarm fires at session build and
+    must not re-fire on every get_spark() call (it marks the session)."""
+    from etl_project_gcp_spark.session import get_spark
+
+    if os.environ.get("SPARK_GRAFT_PREWARM", "").strip() == "0":
+        pytest.skip("prewarm explicitly disabled in this environment")
+    assert getattr(spark, "_spark_graft_prewarmed", False) is True
+    # idempotent: a repeat call returns the same session, still marked,
+    # without spawning another prewarm (the flag short-circuits it)
+    again = get_spark(app_name="prewarm-idempotence-check")
+    assert again is spark
+    assert getattr(again, "_spark_graft_prewarmed", False) is True

@@ -41,13 +41,19 @@ def main() -> None:
 
     extra = {}
     width_cap = None
-    # the preloading daemon is ON by default in local sessions now;
-    # "base" must force it off to stay the A/B control
+    # the preloading daemon AND the background pool prewarm are ON by
+    # default in local sessions now; "base" must force both off to
+    # stay the A/B control ("preload" re-enables the daemon only,
+    # "prewarm" the background pool prewarm only)
     os.environ["SPARK_GRAFT_PYDAEMON"] = "0"
+    os.environ["SPARK_GRAFT_PREWARM"] = "0"
     for part in variant.split("+"):
         if part == "base":
             pass
         elif part == "preload":
+            os.environ["SPARK_GRAFT_PYDAEMON"] = "1"
+        elif part == "prewarm":
+            os.environ["SPARK_GRAFT_PREWARM"] = "1"
             os.environ["SPARK_GRAFT_PYDAEMON"] = "1"
         elif part == "warmpool":
             pass  # handled after session build
