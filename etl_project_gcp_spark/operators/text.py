@@ -1070,14 +1070,31 @@ def bpe_learn_merges(
     # latency — there is nothing to coalesce or re-join on a table this
     # small, and the loop pays the latency num_merges times. Interleaved
     # A/B at sf0.1 (12 merges): 3.56 s → 3.28 s median, merge tables
-    # identical. Restored in the finally so the caller's session is
-    # untouched (including on mid-loop errors).
-    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # identical.
+    #
+    # Scoped to a CLONED session (r16, r15 verdict "what's wrong" #5):
+    # toggling spark.sql.adaptive.enabled on the CALLER's session was
+    # not thread-safe — any query another thread ran during the loop
+    # (the simhash/recall thread-pool ensembles) silently lost AQE.
+    # ``newSession()`` shares the SparkContext but owns its SQLConf, so
+    # the loop sees AQE off while every other session is untouched; the
+    # checkpointed symbol table crosses sessions through a uuid-named
+    # GLOBAL temp view (dropped in the finally — the only shared state).
+    import uuid
+
+    view = f"bpe_syms_{uuid.uuid4().hex}"
+    syms.createOrReplaceGlobalTempView(view)
     try:
-        merges = _bpe_distributed_rounds(syms, num_merges)
+        clone = spark.newSession()
+        clone.conf.set("spark.sql.adaptive.enabled", "false")
+        gt_db = clone.conf.get(
+            "spark.sql.globalTempDatabase", "global_temp"
+        )
+        merges = _bpe_distributed_rounds(
+            clone.table(f"{gt_db}.{view}"), num_merges
+        )
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.catalog.dropGlobalTempView(view)
     return spark.createDataFrame(
         [(r, l, x, l + x) for r, l, x in merges],
         "rank int, left string, right string, merged string",

@@ -151,8 +151,13 @@ def brute_force_topk_arrow(
     """
     import numpy as np
 
-    probe = queries.select(id_col).limit(max_queries + 1).count()
-    if probe > max_queries:
+    # size guard folded into the collect (r16): limit(max+1) bounds the
+    # driver transfer exactly like the old count()-probe job did, and
+    # len() of the collected rows answers the same question — one Spark
+    # job instead of two per call (the probe job was pure latency at
+    # bench scale and redundant work at any scale).
+    qrows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
         raise ValueError(
             f"brute_force_topk_arrow collects the query set to the driver; "
             f"got > {max_queries} query rows. Batch the queries or use "
@@ -166,7 +171,6 @@ def brute_force_topk_arrow(
         with np.errstate(invalid="ignore", divide="ignore"):
             return np.where(nrm == 0, np.nan, mat / np.where(nrm == 0, 1, nrm))
 
-    qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows])
     qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     qn = _unit_rows(qmat)

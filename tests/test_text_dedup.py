@@ -1601,20 +1601,53 @@ def test_bpe_distributed_cadence_equality_and_tail(spark):
     assert every_round == want
 
 
-def test_bpe_distributed_restores_aqe_conf(spark):
-    """The merge loop disables AQE for its vocab-bounded rounds and must
-    restore the caller's setting afterwards — including when the loop
-    raises mid-round (the finally path)."""
-    import functools
+def test_bpe_distributed_aqe_scope_never_touches_caller_session(spark):
+    """r16: the merge loop's AQE-off scope lives in a CLONED session —
+    the caller's conf must hold its value DURING the loop (not merely
+    be restored after it: the r15 toggle-and-restore was unsafe for any
+    query a sibling thread ran mid-loop), the loop's own frames must
+    see AQE off, and the uuid global temp view that carries the symbol
+    table across sessions must be dropped even when the loop raises."""
 
     from etl_project_gcp_spark.operators import text as TX
 
+    def _bpe_views():
+        return [
+            t.name
+            for t in spark.catalog.listTables("global_temp")
+            if t.name.startswith("bpe_syms_")
+        ]
+
     docs = spark.createDataFrame([(1, "aa bb aa")], ["doc_id", "text"])
     spark.conf.set("spark.sql.adaptive.enabled", "true")
-    TX.bpe_learn_merges(docs, num_merges=2, fit="distributed")
-    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
 
     orig = TX._bpe_distributed_rounds
+    seen = {}
+
+    def _spy(syms, num_merges, ckpt_cadence=4):
+        # DURING the loop: the loop's session has AQE off while the
+        # caller's session simultaneously still reads true
+        seen["loop_aqe"] = syms.sparkSession.conf.get(
+            "spark.sql.adaptive.enabled"
+        )
+        seen["caller_aqe_during"] = spark.conf.get(
+            "spark.sql.adaptive.enabled"
+        )
+        seen["distinct_sessions"] = syms.sparkSession is not spark
+        return orig(syms, num_merges, ckpt_cadence)
+
+    try:
+        TX._bpe_distributed_rounds = _spy
+        TX.bpe_learn_merges(docs, num_merges=2, fit="distributed")
+    finally:
+        TX._bpe_distributed_rounds = orig
+    assert seen == {
+        "loop_aqe": "false",
+        "caller_aqe_during": "true",
+        "distinct_sessions": True,
+    }
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert _bpe_views() == [], "symbol-table view must not outlive the fit"
 
     def _boom(syms, num_merges, ckpt_cadence=4):
         raise RuntimeError("mid-loop failure")
@@ -1627,6 +1660,7 @@ def test_bpe_distributed_restores_aqe_conf(spark):
     finally:
         TX._bpe_distributed_rounds = orig
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert _bpe_views() == [], "raise path must still drop the view"
 
 
 def test_duplicated_spans_staged_tokens_match_inline_formulation(spark):

@@ -114,7 +114,10 @@ def test_arrow_brute_force_matches_expression_version(spark, sf01_dir):
 
 def test_arrow_brute_force_rejects_large_query_set(spark, sf01_dir):
     """The driver-collect contract must fail fast, not OOM: a query set
-    larger than max_queries raises before any collect."""
+    larger than max_queries raises after collecting AT MOST
+    max_queries+1 rows (r16 folded the old count()-probe job into a
+    limit-bounded collect — the bound, not a separate probe, is what
+    protects the driver)."""
     import pytest
 
     emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
