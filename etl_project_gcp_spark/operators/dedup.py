@@ -338,6 +338,7 @@ def jaccard_verify_arrays(
     sh_arrs: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.7,
+    b_arrs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs computed directly on the
     per-doc shingle ARRAYS (``shingle_arrays`` output) instead of
@@ -353,6 +354,10 @@ def jaccard_verify_arrays(
     hash-set intersect is the same O(|A|+|B|) work the join+count did,
     minus the shuffle plumbing.
 
+    ``b_arrs`` supplies the b-side arrays when the two sides come from
+    DIFFERENT corpora (the cross-side ingest screen: delta ids as "a",
+    corpus ids as "b"); default is the self-join case.
+
     Shuffle-bytes at scale: the exploded formulation ships every
     shingle as its own row (~2× the array's bytes in row overhead)
     through one exchange + reuse; this one ships each doc's array once
@@ -361,7 +366,9 @@ def jaccard_verify_arrays(
     (post-banding pairs ≪ corpus — same premise jaccard_verify already
     relies on)."""
     a_arr = sh_arrs.select(F.col(id_col).alias("a"), F.col("sh_arr").alias("_sha"))
-    b_arr = sh_arrs.select(F.col(id_col).alias("b"), F.col("sh_arr").alias("_shb"))
+    b_arr = (sh_arrs if b_arrs is None else b_arrs).select(
+        F.col(id_col).alias("b"), F.col("sh_arr").alias("_shb")
+    )
     common = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
     return (
         candidates.join(a_arr, "a")
@@ -447,12 +454,10 @@ def incremental_near_dedup(
         minhash_signatures(c_sh, id_col, num_hashes),
         id_col, bands, rows_per_band,
     )
-    c_shingled = c_sh.select(
-        F.col(id_col), F.explode_outer("sh_arr").alias("sh")
-    )
     return _near_dup_screen(
-        delta, d_sh, c_band, c_shingled,
+        delta, d_sh, c_band, None,
         id_col, num_hashes, bands, rows_per_band, threshold, max_bucket,
+        c_sh_arrs=c_sh,
     )
 
 
@@ -460,7 +465,7 @@ def _near_dup_screen(
     delta: DataFrame,
     d_sh: DataFrame,
     c_band: DataFrame,
-    c_shingled: DataFrame,
+    c_shingled: DataFrame | None,
     id_col: str,
     num_hashes: int,
     bands: int,
@@ -468,6 +473,7 @@ def _near_dup_screen(
     threshold: float,
     max_bucket: int,
     corpus_prepartitioned: bool = False,
+    c_sh_arrs: DataFrame | None = None,
 ) -> DataFrame:
     """Core of the ingest near-dup screen, shared by the inline
     (``incremental_near_dedup``) and persisted-index
@@ -478,7 +484,15 @@ def _near_dup_screen(
     ``corpus_prepartitioned`` says the corpus inputs arrive already
     clustered on their join keys (a bucketed index): skip the explicit
     corpus-side repartition so the bucketed layout flows through with
-    no Exchange."""
+    no Exchange.
+
+    ``c_sh_arrs`` (r16): when the corpus SHINGLE ARRAYS are available
+    (the inline path — both sides derive from shingle_arrays in this
+    process), the verify runs on the arrays
+    (:func:`jaccard_verify_arrays`, cross-side form) and
+    ``c_shingled`` is ignored; the persisted-index paths keep the
+    exploded-row verify because their index stores (id, sh) rows
+    bucketed by id — the layout IS the optimization there."""
     d_band = _stack_bands(
         minhash_signatures(d_sh, id_col, num_hashes),
         id_col, bands, rows_per_band,
@@ -496,29 +510,39 @@ def _near_dup_screen(
         .select("a", "b")
         .distinct()
     )
-    # cross-side exact-Jaccard verify: shingles stay side-tagged, so
-    # identical ids on both sides (a re-sent doc) join unambiguously
-    d_shingled = d_sh.select(
-        F.col(id_col).alias("a"), F.explode_outer("sh_arr").alias("sh")
-    ).repartition("a")
-    c_shingled = c_shingled.select(F.col(id_col).alias("b"), F.col("sh"))
-    if not corpus_prepartitioned:
-        c_shingled = c_shingled.repartition("b")
-    sz_a = d_shingled.groupBy("a").agg(F.count(F.lit(1)).alias("sza"))
-    sz_b = c_shingled.groupBy("b").agg(F.count(F.lit(1)).alias("szb"))
-    pairs = (
-        cands.join(d_shingled, "a")
-        .join(c_shingled, ["b", "sh"])
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("common"))
-        .join(sz_a, "a")
-        .join(sz_b, "b")
-        .withColumn(
-            "jaccard",
-            F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")),
+    if c_sh_arrs is not None:
+        # arrays on both sides: two id-keyed joins + one native
+        # array_intersect per pair (see jaccard_verify_arrays); the
+        # side-tag ambiguity the row path guards against cannot arise —
+        # the a/b joins are keyed per side by construction
+        pairs = jaccard_verify_arrays(
+            cands, d_sh, id_col, threshold, b_arrs=c_sh_arrs
         )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    else:
+        # cross-side exact-Jaccard verify: shingles stay side-tagged, so
+        # identical ids on both sides (a re-sent doc) join unambiguously
+        d_shingled = d_sh.select(
+            F.col(id_col).alias("a"), F.explode_outer("sh_arr").alias("sh")
+        ).repartition("a")
+        c_shingled = c_shingled.select(F.col(id_col).alias("b"), F.col("sh"))
+        if not corpus_prepartitioned:
+            c_shingled = c_shingled.repartition("b")
+        sz_a = d_shingled.groupBy("a").agg(F.count(F.lit(1)).alias("sza"))
+        sz_b = c_shingled.groupBy("b").agg(F.count(F.lit(1)).alias("szb"))
+        pairs = (
+            cands.join(d_shingled, "a")
+            .join(c_shingled, ["b", "sh"])
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("common"))
+            .join(sz_a, "a")
+            .join(sz_b, "b")
+            .withColumn(
+                "jaccard",
+                F.col("common")
+                / (F.col("sza") + F.col("szb") - F.col("common")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
     matches = pairs.groupBy("a").agg(
         F.count(F.lit(1)).alias("n_near_dups"),
         F.max("jaccard").alias("max_jaccard"),
