@@ -5803,11 +5803,18 @@ def streaming_rollup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # width 8 (r16): one windowed-agg state store per stateful
+    # partition; at gate scale the store setup/commit term dominates
+    # the ~10k-event batch (the r12 interval-join finding, 1 store
+    # flavor). Fresh-process A/B (tools/drain_width_probe.py, 3 reps):
+    # width 8 ≤ base in 5/6 cold/warm medians, ~15% better overall.
+    # Same parameterized gate-scale choice as the other drains.
     return _drain_stream_once(
         spark,
         _events(spark, sf_dir),
         plan,
         "streaming_rollup_drain_sink",
+        stream_shuffle_partitions=8,
         output_mode="complete",
     )
 
