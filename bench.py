@@ -418,29 +418,41 @@ def main() -> None:
     # stdout tail, so ordering puts totals/protocol inside the captured
     # window even though 122 entries can't fit in it (full detail:
     # BENCH_FULL.json).
-    print(
-        json.dumps(
-            {
-                "queries": timings,
-                "queries_warm": warm,
-                "metric": full["metric"],
-                "value": full["value"],
-                "unit": "sec",
-                "value_warm": full["value_warm"],
-                "value_headline35": head35,
-                "value_headline35_warm": head35_warm,
-                "n_queries": len(timings),
-                "sf": sf_val,
-                "bench_protocol": protocol,
-                "queries_full": "BENCH_FULL.json",
-                "loadavg": {
-                    "start_1m": sitting["loadavg_start"][0],
-                    "end_1m": sitting["loadavg_end"][0],
-                },
-                **compact_normalizer_fields(normalizer),
-            }
-        )
+    line = json.dumps(
+        {
+            "queries": timings,
+            "queries_warm": warm,
+            "metric": full["metric"],
+            "value": full["value"],
+            "unit": "sec",
+            "value_warm": full["value_warm"],
+            "value_headline35": head35,
+            "value_headline35_warm": head35_warm,
+            "n_queries": len(timings),
+            "sf": sf_val,
+            "bench_protocol": protocol,
+            "queries_full": "BENCH_FULL.json",
+            "loadavg": {
+                "start_1m": sitting["loadavg_start"][0],
+                "end_1m": sitting["loadavg_end"][0],
+            },
+            **compact_normalizer_fields(normalizer),
+        }
     )
+    # Tail-capture insurance (r15 verdict ask #2): rounds 11-14 all lost
+    # their per-query history because the recorder's 2000-char stdout
+    # tail truncated the HEAD of this line (BENCH_r11..r14 parsed:null).
+    # The stdout contract is unchanged — same single line, same fields —
+    # but the identical line is ALSO written to BENCH_LINE.json next to
+    # this file, so a future comparison can always recover the full
+    # payload even if stdout capture truncates again. Untimed: written
+    # after every measurement completes.
+    line_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LINE.json"
+    )
+    with open(line_path, "w") as f:
+        f.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":
