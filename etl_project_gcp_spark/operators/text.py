@@ -1087,6 +1087,22 @@ def bpe_learn_merges(
     try:
         clone = spark.newSession()
         clone.conf.set("spark.sql.adaptive.enabled", "false")
+        # With AQE off the loop's per-round pair aggregate would shuffle
+        # into the session-default partition count (32 at gate scale) —
+        # empty reduce tasks scheduled num_merges times over a
+        # vocab-bounded table. Width follows the CHECKPOINTED table's
+        # own materialized partition count instead (scale-adaptive: a
+        # production vocab wide enough to need N partitions keeps N;
+        # the gate's 1-partition table gets 1). Merge tables
+        # equality-gated identical across widths 1/4/32 (r16 probe,
+        # both interleave orders at sf0.1, 12 merges: 32-width median
+        # 2.96/2.73 s vs this formulation 2.86/2.60 s — a small,
+        # order-robust win; a hard-coded width 4 read marginally
+        # better still but is a gate-tuned constant, rejected).
+        clone.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(1, syms.rdd.getNumPartitions())),
+        )
         gt_db = clone.conf.get(
             "spark.sql.globalTempDatabase", "global_temp"
         )

@@ -2536,6 +2536,36 @@ def _repair_unready(path: str, ready) -> bool:
     return ready(path)
 
 
+def _install_build(tmp: str, path: str, ready) -> None:
+    """Install a finished build dir at ``path`` by atomic rename,
+    tolerating the repair window (r16): on a cache that is ALSO
+    repaired by `_repair_unready`, a failed install rename can race the
+    transient state where a concurrent repairer holds the
+    currently-installed GOOD build renamed aside to its trash name —
+    a one-shot ``if not ready(path): raise`` misreads that instant as
+    permanent failure (observed as a spurious ENOTEMPTY under the
+    multithread stress test). Re-check readiness and re-attempt the
+    rename for a short bounded period instead: the repairer either
+    renames the good build straight back (→ ready) or clears its trash
+    (→ our next rename lands). Genuinely stuck conditions (EACCES,
+    EXDEV, an unready dir nobody clears) still raise, just after the
+    bounded loop instead of instantly."""
+    import os
+    import time
+
+    last_attempt = 49
+    for attempt in range(last_attempt + 1):
+        try:
+            os.rename(tmp, path)
+            return
+        except OSError:
+            if ready(path):
+                return  # a concurrent builder's good build is in place
+            if attempt == last_attempt:
+                raise
+            time.sleep(0.01)
+
+
 def _lsh_index_ensure(spark: SparkSession, sf_dir: str) -> str:
     """Build-once lifecycle for the LSH screen index (the
     _ivf_index_ensure discipline: pid-suffixed build dir, atomic
@@ -2571,11 +2601,7 @@ def _lsh_index_ensure(spark: SparkSession, sf_dir: str) -> str:
     shutil.rmtree(tmp, ignore_errors=True)
     try:
         DD.lsh_build_index(corpus, tmp)
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            if not _ready(path):
-                raise
+        _install_build(tmp, path, _ready)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return path
@@ -2628,11 +2654,7 @@ def _lsh_bucketed_index_ensure(spark: SparkSession, sf_dir: str) -> str:
         # (external tables: metadata-only drop)
         for t in (f"{prefix}_bands", f"{prefix}_shingles"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            if not _ready(path):
-                raise
+        _install_build(tmp, path, _ready)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return path
@@ -5970,6 +5992,27 @@ def _drain_stream_once(
                 "spark.sql.shuffle.partitions",
                 str(stream_shuffle_partitions),
             )
+        # No-data micro-batches exist so long-running streams can fire
+        # event-time timeouts / advance watermarks without new input.
+        # An availableNow DRAIN never needs one: every gate's emission
+        # happens in the data batch by construction (sessionize closes
+        # final sessions with far-future SENTINEL events whose timeout
+        # sits gap PAST the max watermark, forward-fill emits per-row
+        # under NoTimeout, the interval join and dedup emit on arrival,
+        # complete-mode rollup re-emits the same state) — yet the
+        # engine appends a 0-row
+        # batch that pays a full pass over every state store and (for
+        # the Python drains) the worker round trip: ~0.5-0.7 s per
+        # drain at gate scale. Scoped here and restored because the
+        # OPERATORS do rely on no-data batches in real continuous use
+        # (timeout close-out); all five drained outputs proven
+        # identical either way at sf0.1/0.01 before shipping (r16).
+        prev_ndb = spark.conf.get(
+            "spark.sql.streaming.noDataMicroBatches.enabled"
+        )
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "false"
+        )
         try:
             t0 = _time.time()
             q = run_to_memory_sink(
@@ -5981,6 +6024,9 @@ def _drain_stream_once(
             t_drain = _time.time() - t0
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+            spark.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
+            )
         if not finished:
             q.stop()
             raise RuntimeError(

@@ -1153,3 +1153,64 @@ def test_ts_to_us_tz_aware_falls_back_instead_of_raising():
     # object-dtype Timestamps (another serializer shape) also work
     obj = pd.Series(list(naive), dtype="object")
     assert (_ts_to_us(obj) == _ts_to_us(naive)).all()
+
+
+def test_drain_harness_scopes_nodata_and_width_confs(spark):
+    """r16: ``_drain_stream_once`` disables no-data micro-batches for
+    exactly the drain span (an availableNow drain's emissions all land
+    in the data batch; the trailing 0-row batch pays a pass over every
+    state store and, for the Python drains, a worker round trip) and
+    restores BOTH toggled confs — shuffle width and noDataMicroBatches
+    — on the normal and the raise path. Output equality across the
+    flag was probed for all five drain entries at sf0.1 and sf0.01
+    before the change shipped (identical drained rows)."""
+    import datetime as _dt
+
+    from etl_project_gcp_spark import queries as Q
+    from etl_project_gcp_spark.streaming.streams import EVENT_SCHEMA
+
+    landed = spark.createDataFrame(
+        [(1, _dt.datetime(2024, 1, 1, 0, 0, 0), 7, "click", 1.0, "{}")],
+        EVENT_SCHEMA,
+    )
+    ndb_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_ndb = spark.conf.get(ndb_key)
+    spark.conf.set(ndb_key, "true")
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+    seen = {}
+
+    def plan(stream):
+        # runs inside the drain span, after both confs are applied
+        seen["ndb_during"] = spark.conf.get(ndb_key)
+        seen["width_during"] = spark.conf.get(
+            "spark.sql.shuffle.partitions"
+        )
+        return stream.select("event_id", "ts", "user_id")
+
+    try:
+        out = Q._drain_stream_once(
+            spark, landed, plan, "ndb_scope_sink",
+            stream_shuffle_partitions=3,
+        )
+        assert out.count() == 1
+        assert seen == {"ndb_during": "false", "width_during": "3"}
+        assert spark.conf.get(ndb_key) == "true"
+        assert (
+            spark.conf.get("spark.sql.shuffle.partitions") == prev_width
+        )
+
+        def boom(stream):
+            raise RuntimeError("mid-drain failure")
+
+        with pytest.raises(RuntimeError, match="mid-drain"):
+            Q._drain_stream_once(
+                spark, landed, boom, "ndb_scope_sink_boom",
+                stream_shuffle_partitions=3,
+            )
+        assert spark.conf.get(ndb_key) == "true"
+        assert (
+            spark.conf.get("spark.sql.shuffle.partitions") == prev_width
+        )
+    finally:
+        spark.conf.set(ndb_key, prev_ndb)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_width)

@@ -1474,7 +1474,7 @@ def test_repair_unready_multithread_stress_converges(tmp_path):
     import shutil
     import threading
 
-    from etl_project_gcp_spark.queries import _repair_unready
+    from etl_project_gcp_spark.queries import _install_build, _repair_unready
 
     p = str(tmp_path / "idx")
     n_threads, n_rounds = 8, 12
@@ -1482,14 +1482,14 @@ def test_repair_unready_multithread_stress_converges(tmp_path):
     errors = []
 
     def build_and_install():
+        # the production install helper (r16): a one-shot rename +
+        # ready check here could re-raise ENOTEMPTY against a good
+        # build a concurrent repairer had momentarily renamed aside
         tmp = f"{p}.build-{os.getpid()}-{threading.get_ident()}"
         shutil.rmtree(tmp, ignore_errors=True)
         _mk_index(tmp, ready=True)
         try:
-            os.rename(tmp, p)
-        except OSError:
-            if not _ready(p):
-                raise
+            _install_build(tmp, p, _ready)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1620,6 +1620,10 @@ def test_bpe_distributed_aqe_scope_never_touches_caller_session(spark):
 
     docs = spark.createDataFrame([(1, "aa bb aa")], ["doc_id", "text"])
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+    # a sentinel the vocab-bounded symbol table can never materialize
+    # to, so the width assertion below cannot pass by accident
+    spark.conf.set("spark.sql.shuffle.partitions", "57")
 
     orig = TX._bpe_distributed_rounds
     seen = {}
@@ -1634,6 +1638,18 @@ def test_bpe_distributed_aqe_scope_never_touches_caller_session(spark):
             "spark.sql.adaptive.enabled"
         )
         seen["distinct_sessions"] = syms.sparkSession is not spark
+        # r16: with AQE off the loop would shuffle every round into the
+        # session default (the "57" sentinel); instead its width must
+        # follow the checkpointed symbol table's own partition count
+        seen["loop_width"] = syms.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"
+        )
+        seen["expected_width"] = str(
+            max(1, syms.rdd.getNumPartitions())
+        )
+        seen["caller_width_during"] = spark.conf.get(
+            "spark.sql.shuffle.partitions"
+        )
         return orig(syms, num_merges, ckpt_cadence)
 
     try:
@@ -1641,10 +1657,15 @@ def test_bpe_distributed_aqe_scope_never_touches_caller_session(spark):
         TX.bpe_learn_merges(docs, num_merges=2, fit="distributed")
     finally:
         TX._bpe_distributed_rounds = orig
+        spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+    assert seen["loop_width"] == seen["expected_width"]
+    assert seen["loop_width"] != "57"
+    del seen["loop_width"], seen["expected_width"]
     assert seen == {
         "loop_aqe": "false",
         "caller_aqe_during": "true",
         "distinct_sessions": True,
+        "caller_width_during": "57",
     }
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert _bpe_views() == [], "symbol-table view must not outlive the fit"
